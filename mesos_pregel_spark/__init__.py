@@ -1,0 +1,35 @@
+"""mesos_pregel_spark — a from-scratch PySpark-native link-graph engine.
+
+Re-implements the *capabilities* of the Pregel model (Malewicz et al.,
+SIGMOD 2010) as realized by bcrusu/mesos-pregel — vertex-centric BSP
+with combiners, aggregators, vote-to-halt and checkpointing — but
+expressed Spark-first: every superstep is a DataFrame join + partial
+aggregation, vertex updates are column expressions or Arrow-batched
+pandas UDFs over CSR-packed partitions, and fault tolerance is
+checkpointed vertex-state tables.  No RDDs, no per-row Python.
+
+NOTE on citations: /root/reference was empty at build time (see
+SURVEY.md §0); semantic ground truth is the Pregel paper [P] and
+BASELINE.json [B].
+"""
+
+from mesos_pregel_spark.session import get_spark
+from mesos_pregel_spark.functions.edges import build_edges, edges_with_ids
+from mesos_pregel_spark.plans.pregel import PregelRun
+from mesos_pregel_spark.algos.pagerank import pagerank
+from mesos_pregel_spark.algos.cc import connected_components
+from mesos_pregel_spark.algos.lpa import label_propagation
+from mesos_pregel_spark.algos.triangles import triangle_count
+
+__all__ = [
+    "get_spark",
+    "build_edges",
+    "edges_with_ids",
+    "PregelRun",
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+]
+
+__version__ = "0.1.0"

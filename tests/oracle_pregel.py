@@ -1,0 +1,164 @@
+"""Executable stand-in reference: a single-process Pregel.
+
+/root/reference was empty at build time (SURVEY.md §0), so THIS is the
+reference implementation whose per-vertex outputs the Spark engine
+must match — PageRank allclose 1e-6, CC/LPA/triangles exact
+(BASELINE.json:14).  It implements, in plain Python dicts, the SAME
+pinned semantics paragraphs as the engine (SURVEY §2.2 A1–A4); the
+oracle itself is cross-checked against closed-form micro-graph answers
+in test_oracle_selfcheck.py.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+Edge = tuple[object, object, float]
+
+
+def _vertices(edges: list[Edge]) -> set:
+    vs = set()
+    for s, d, _w in edges:
+        vs.add(s)
+        vs.add(d)
+    return vs
+
+
+def _dedupe_directed(edges: list[Edge]) -> dict[tuple, float]:
+    """Collapse multi-edges (sum weights), matching build_edges output."""
+    agg: dict[tuple, float] = defaultdict(float)
+    for s, d, w in edges:
+        if s != d:
+            agg[(s, d)] += w
+    return dict(agg)
+
+
+def oracle_pagerank(
+    edges: list[Edge],
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+) -> dict:
+    """A1: pr' = (1-d)/N + d·Σ pr_u/outdeg_u; unweighted outdeg =
+    #distinct out-neighbors; dangling mass leaks; init 1/N; stop when
+    max |delta| < tol."""
+    directed = _dedupe_directed(edges)
+    vs = _vertices(edges)
+    n = len(vs)
+    out: dict = defaultdict(list)
+    for (s, d), _w in directed.items():
+        out[s].append(d)
+    pr = {v: 1.0 / n for v in vs}
+    for _ in range(max_iter):
+        sums: dict = defaultdict(float)
+        for u, nbrs in out.items():
+            c = pr[u] / len(nbrs)
+            for v in nbrs:
+                sums[v] += c
+        new = {v: (1.0 - damping) / n + damping * sums.get(v, 0.0) for v in vs}
+        max_delta = max(abs(new[v] - pr[v]) for v in vs)
+        pr = new
+        if max_delta < tol:
+            break
+    return pr
+
+
+def _symmetrize(edges: list[Edge]) -> dict[tuple, float]:
+    agg: dict[tuple, float] = defaultdict(float)
+    for s, d, w in edges:
+        if s != d:
+            agg[(s, d)] += w
+            agg[(d, s)] += w
+    return dict(agg)
+
+
+def oracle_cc(edges: list[Edge], max_iter: int = 10_000) -> dict:
+    """A2: undirected hash-min label propagation to fixpoint; exact."""
+    sym = _symmetrize(edges)
+    vs = _vertices(edges)
+    nbrs: dict = defaultdict(list)
+    for (s, d), _w in sym.items():
+        nbrs[s].append(d)
+    comp = {v: v for v in vs}
+    changed = set(vs)
+    for _ in range(max_iter):
+        inbox: dict = {}
+        for u in changed:
+            for v in nbrs[u]:
+                cur = inbox.get(v)
+                if cur is None or comp[u] < cur:
+                    inbox[v] = comp[u]
+        new_changed = set()
+        for v, m in inbox.items():
+            if m < comp[v]:
+                comp[v] = m
+                new_changed.add(v)
+        changed = new_changed
+        if not changed:
+            break
+    return comp
+
+
+def oracle_lpa(edges: list[Edge], max_iter: int = 20) -> dict:
+    """A3: sync LPA, weighted argmax of in-messages over symmetrized
+    edges, ties -> smallest label, self does not vote, no-message
+    vertices keep their label; bounded supersteps; halt on no change."""
+    sym = _symmetrize(edges)
+    vs = _vertices(edges)
+    in_edges: dict = defaultdict(list)  # v -> [(u, w)]
+    for (u, v), w in sym.items():
+        in_edges[v].append((u, w))
+    label = {v: v for v in vs}
+    for _ in range(max_iter):
+        new = {}
+        any_changed = False
+        for v in vs:
+            votes: dict = defaultdict(float)
+            for u, w in in_edges[v]:
+                votes[label[u]] += w
+            if votes:
+                # Highest weight wins; among equals the SMALLEST label.
+                best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+                new[v] = best[0]
+            else:
+                new[v] = label[v]
+            if new[v] != label[v]:
+                any_changed = True
+        label = new
+        if not any_changed:
+            break
+    return label
+
+
+def oracle_triangles(edges: list[Edge]) -> tuple[dict, int]:
+    """A4: exact per-vertex + global triangle counts on the
+    canonicalized undirected graph."""
+    und = set()
+    for s, d, _w in edges:
+        if s != d:
+            und.add((min(s, d, key=_key), max(s, d, key=_key)))
+    nbrs: dict = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    vs = _vertices(edges)
+    count = {v: 0 for v in vs}
+    total = 0
+    for a, b in und:
+        common = nbrs[a] & nbrs[b]
+        for c in common:
+            # Count each triangle once via a canonical ordering.
+            if _lt(a, c) and _lt(b, c):
+                total += 1
+                count[a] += 1
+                count[b] += 1
+                count[c] += 1
+    return count, total
+
+
+def _key(x):
+    return (str(type(x)), x)
+
+
+def _lt(a, b):
+    return _key(a) < _key(b)

@@ -1,0 +1,123 @@
+"""X1–X6 edge extraction unit + invariant tests (SURVEY §2.3, §5.2)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from mesos_pregel_spark.fixtures import (
+    TRANSCRIPT_SCHEMA,
+    generate_transcripts,
+)
+from mesos_pregel_spark.functions.edges import (
+    build_edges,
+    edges_with_ids,
+    out_degrees,
+    symmetrize,
+    validate_transcripts,
+    vertex_names,
+)
+
+
+def _ts(i):
+    return datetime.datetime(2026, 1, 1, 0, 0, i)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        # conv A: user -> assistant -> tool:bash -> user
+        ("A", 0, "user", "tA0", None, _ts(0)),
+        ("A", 1, "assistant", "tA1", None, _ts(1)),
+        ("A", 2, "tool", "tA2", "bash", _ts(2)),
+        ("A", 3, "user", "tA3", None, _ts(3)),
+        # conv B: system -> user -> user (self-loop dropped) -> assistant
+        ("B", 0, "system", "tB0", None, _ts(0)),
+        ("B", 1, "user", "tB1", None, _ts(1)),
+        ("B", 2, "user", "tB2", None, _ts(2)),
+        ("B", 3, "assistant", "tB3", None, _ts(3)),
+    ]
+    return spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+
+
+def test_extraction_exact(spark, tiny):
+    got = {
+        (r["src_actor"], r["dst_actor"]): r["weight"]
+        for r in build_edges(tiny).collect()
+    }
+    expected = {
+        ("role:user", "role:assistant"): 2.0,  # A0->A1, B2->B3
+        ("role:assistant", "tool:bash"): 1.0,
+        ("tool:bash", "role:user"): 1.0,
+        ("role:system", "role:user"): 1.0,
+    }
+    assert got == expected
+
+
+def test_rows_out_of_order_same_edges(spark, tiny):
+    """Stable (conv_id, turn_idx) ordering — input row order irrelevant."""
+    shuffled = tiny.orderBy(F.desc("turn_idx"), "conv_id")
+    a = sorted(map(tuple, build_edges(tiny).collect()))
+    b = sorted(map(tuple, build_edges(shuffled).collect()))
+    assert a == b
+
+
+def test_text_multiset_invariant(spark):
+    """BASELINE.json:15 — extraction must not drop/dup/mutate any turn
+    text.  Compare the (conv_id, turn_idx, text) multiset before/after."""
+    t = generate_transcripts(spark, n_conv=200, seed=42)
+    before = sorted(
+        map(tuple, t.select("conv_id", "turn_idx", "text").collect())
+    )
+    edges = build_edges(t)
+    edges.count()  # run the extraction
+    after = sorted(
+        map(tuple, t.select("conv_id", "turn_idx", "text").collect())
+    )
+    assert before == after
+    assert len(before) == len({(c, i) for c, i, _ in before})  # no dup turns
+
+
+def test_partition_invariance(spark):
+    t = generate_transcripts(spark, n_conv=200, seed=42)
+    e2 = sorted(map(tuple, build_edges(t.repartition(2)).collect()))
+    e16 = sorted(map(tuple, build_edges(t.repartition(16)).collect()))
+    assert e2 == e16
+
+
+def test_ids_stable_and_reversible(spark, tiny):
+    e = build_edges(tiny)
+    ids = edges_with_ids(e)
+    names = {r["id"]: r["name"] for r in vertex_names(e).collect()}
+    # xxhash64 is deterministic: same actor -> same id across calls.
+    ids2 = edges_with_ids(e)
+    assert sorted(map(tuple, ids.collect())) == sorted(map(tuple, ids2.collect()))
+    # every id in edges resolves back to a name
+    for r in ids.collect():
+        assert r["src"] in names and r["dst"] in names
+
+
+def test_symmetrize_and_degrees(spark, tiny):
+    e = edges_with_ids(build_edges(tiny))
+    sym = symmetrize(e)
+    pairs = {(r["src"], r["dst"]) for r in sym.collect()}
+    assert all((d, s) in pairs for s, d in pairs)
+    deg = {r["id"]: r["outdeg"] for r in out_degrees(e).collect()}
+    assert sum(deg.values()) == e.count()
+
+
+def test_validate_rejects_missing_columns(spark, tiny):
+    with pytest.raises(ValueError, match="missing columns"):
+        validate_transcripts(tiny.drop("tool"))
+
+
+def test_generator_deterministic_and_skewed(spark):
+    a = generate_transcripts(spark, 100, seed=42)
+    b = generate_transcripts(spark, 100, seed=42)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # hub skew: role:assistant and role:user dominate edge endpoints
+    e = build_edges(a)
+    w = {r["dst_actor"]: r["weight"] for r in
+         e.groupBy("dst_actor").agg(F.sum("weight").alias("weight")).collect()}
+    total = sum(w.values())
+    assert w.get("role:assistant", 0) + w.get("role:user", 0) > 0.5 * total
