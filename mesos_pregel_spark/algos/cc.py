@@ -42,6 +42,9 @@ def connected_components(
         else (PregelRun(spark, "cc"), None)
     )
 
+    if run.resumed_final:
+        return resumed, run  # already-converged run: stored (id, component)
+
     nparts = edge_partitions or spark.sparkContext.defaultParallelism
     sym = symmetrize(edges.select("src", "dst", "weight")) \
         .select("src", "dst").repartition(nparts, "src") \
@@ -98,6 +101,9 @@ def connected_components(
         if active == 0:
             break
 
-    result = run.finish(state.select("id", F.col("comp").alias("component")))
+    result = run.finish(
+        state.select("id", F.col("comp").alias("component")),
+        converged=(active == 0),
+    )
     sym.unpersist()
     return result, run

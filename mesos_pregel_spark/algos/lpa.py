@@ -48,6 +48,9 @@ def label_propagation(
         else (PregelRun(spark, "lpa"), None)
     )
 
+    if run.resumed_final:
+        return resumed, run  # bounded-superstep run already completed
+
     nparts = edge_partitions or spark.sparkContext.defaultParallelism
     sym = symmetrize(edges.select("src", "dst", "weight")) \
         .repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -78,12 +81,14 @@ def label_propagation(
             n_salt=n_salt,
             salt_on="msrc",
         )
-        # Argmax with smallest-label tie-break: max of struct
-        # (wsum, -label) compares wsum first, then prefers smaller label.
+        # Argmax with smallest-label tie-break: min of struct
+        # (-wsum, label) compares weight first (negated => largest sum
+        # wins), then prefers the smaller label — type-generic, works
+        # for long ids and string actor keys alike.
         winner = per_label.groupBy("dst").agg(
-            F.max(F.struct(F.col("wsum"), (-F.col("msg_label")).alias("neg_label")))
-            .alias("best")
-        ).select("dst", (-F.col("best.neg_label")).alias("new_label"))
+            F.min(F.struct((-F.col("wsum")).alias("neg_wsum"),
+                           F.col("msg_label").alias("lbl"))).alias("best")
+        ).select("dst", F.col("best.lbl").alias("new_label"))
 
         new_state = (
             state.join(winner, state["id"] == winner["dst"], "left_outer")

@@ -80,6 +80,9 @@ def pagerank(
         else (PregelRun(spark, "pagerank", params={"damping": damping, "tol": tol}), None)
     )
 
+    if run.resumed_final:
+        return resumed, run  # already-converged run: stored (id, pagerank)
+
     nparts = edge_partitions or spark.sparkContext.defaultParallelism
     edges = edges.select("src", "dst").repartition(nparts, "src") \
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -96,6 +99,7 @@ def pagerank(
         from mesos_pregel_spark.operators.csr import csr_gather_sums
         csr_edges = None  # packed lazily below
 
+    converged = False
     while run.superstep < max_supersteps:
         if kernel == "csr":
             from mesos_pregel_spark.operators.csr import pack_edges_by_dst
@@ -146,9 +150,12 @@ def pagerank(
         )
         state = new_state.drop("delta")
         run.next_superstep()
-        if aggs["max_delta"] < tol:
+        converged = aggs["max_delta"] < tol
+        if converged:
             break
 
-    result = run.finish(state.select("id", F.col("pr").alias("pagerank")))
+    result = run.finish(
+        state.select("id", F.col("pr").alias("pagerank")), converged=converged
+    )
     edges.unpersist()
     return result, run

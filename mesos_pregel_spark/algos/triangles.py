@@ -85,10 +85,12 @@ def triangle_count(
 
     # Close the wedge: oriented edge (v, w) exists (v precedes w by rank,
     # which the wedge ordering above guarantees matches the orientation).
+    wg = wedges.alias("wg")
     c = oriented.alias("c")
-    tri = wedges.join(
-        c, (F.col("v") == F.col("c.u")) & (F.col("w") == F.col("c.v"))
-    ).select("u", "v", "w")
+    tri = wg.join(
+        c, (F.col("wg.v") == F.col("c.u")) & (F.col("wg.w") == F.col("c.v"))
+    ).select(F.col("wg.u").alias("u"), F.col("wg.v").alias("v"),
+             F.col("wg.w").alias("w"))
 
     corners = (
         tri.select(F.col("u").alias("id"))

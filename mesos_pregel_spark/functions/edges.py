@@ -44,6 +44,30 @@ def actor_col() -> F.Column:
     )
 
 
+def build_edges_generic(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: list[str],
+    actor: F.Column,
+) -> DataFrame:
+    """X2+X4+X5 for ANY sequence table: consecutive-row actor links
+    within each partition key under a stable order, weight = count,
+    self-loops dropped.  ``build_edges`` instantiates this for
+    transcripts; the driver-oracle queries instantiate it for the
+    ``events`` table (user_id-partitioned, (ts, event_id)-ordered
+    event_type transitions — FIXTURES.md §3)."""
+    w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    linked = (
+        df.select(partition_col, *order_cols, actor.alias("src_actor"))
+        .withColumn("dst_actor", F.lead("src_actor").over(w))
+        .where(F.col("dst_actor").isNotNull())
+        .where(F.col("src_actor") != F.col("dst_actor"))
+    )
+    return linked.groupBy("src_actor", "dst_actor").agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
+    )
+
+
 def build_edges(transcripts: DataFrame) -> DataFrame:
     """X1–X5: transcripts → (src_actor, dst_actor, weight) edge table.
 
@@ -55,17 +79,7 @@ def build_edges(transcripts: DataFrame) -> DataFrame:
     shuffle is tiny even at 10^12 turns.
     """
     t = validate_transcripts(transcripts)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    linked = (
-        t.select("conv_id", "turn_idx", actor_col().alias("src_actor"))
-        .withColumn("dst_actor", F.lead("src_actor").over(w))
-        .where(F.col("dst_actor").isNotNull())
-        .where(F.col("src_actor") != F.col("dst_actor"))
-    )
-    return (
-        linked.groupBy("src_actor", "dst_actor")
-        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
-    )
+    return build_edges_generic(t, "conv_id", ["turn_idx"], actor_col())
 
 
 def vertex_names(edges_by_actor: DataFrame) -> DataFrame:

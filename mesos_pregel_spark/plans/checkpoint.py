@@ -66,9 +66,12 @@ class CheckpointManager:
         os.replace(tmp, os.path.join(path, "_meta.json"))
         return reread
 
-    def latest(self) -> tuple[int, dict] | None:
-        """Newest superstep with a complete manifest, or None."""
-        best = None
+    def latest(self, include_final: bool = True) -> tuple[int, dict] | None:
+        """Newest superstep with a complete manifest, or None.  With
+        ``include_final=False``, checkpoints marked ``final`` (converged
+        results, different schema than mid-run state) are skipped —
+        that's what resume-of-an-interrupted-run wants."""
+        candidates: list[tuple[int, dict]] = []
         for name in os.listdir(self.directory):
             m = _STEP_DIR.match(name)
             if not m:
@@ -76,13 +79,14 @@ class CheckpointManager:
             meta_path = os.path.join(self.directory, name, "_meta.json")
             if not os.path.exists(meta_path):
                 continue  # incomplete write — ignore
-            step = int(m.group(1))
-            if best is None or step > best:
-                best = step
-        if best is None:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if not include_final and meta.get("final"):
+                continue
+            candidates.append((int(m.group(1)), meta))
+        if not candidates:
             return None
-        with open(os.path.join(self._step_dir(best), "_meta.json")) as f:
-            return best, json.load(f)
+        return max(candidates, key=lambda kv: kv[0])
 
     def read(self, superstep: int) -> DataFrame:
         return self.spark.read.parquet(

@@ -46,6 +46,7 @@ class PregelRun:
         self.checkpoint_every = checkpoint_every
         self.truncate_every = max(1, truncate_every)
         self.ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
+        self.resumed_final = False
         self._live: DataFrame | None = None
         self._t0 = time.monotonic()
 
@@ -57,7 +58,7 @@ class PregelRun:
         """Reopen a checkpointed run.  Returns (run, vertices-or-None);
         vertices is None when no checkpoint exists yet (fresh start)."""
         run = cls(spark, algorithm, checkpoint_dir=checkpoint_dir, **kwargs)
-        latest = run.ckpt.latest()
+        latest = run.ckpt.latest(include_final=True)
         if latest is None:
             return run, None
         step, meta = latest
@@ -66,6 +67,11 @@ class PregelRun:
                 f"checkpoint at {checkpoint_dir} belongs to {meta.get('algorithm')!r}, "
                 f"not {algorithm!r}"
             )
+        if meta.get("final"):
+            # The run already converged — hand back the stored result.
+            run.resumed_final = True
+            run.superstep = step
+            return run, run.ckpt.read(step)
         run.superstep = step + 1
         vertices = run.ckpt.read(step)
         run._live = vertices
@@ -115,9 +121,13 @@ class PregelRun:
     def next_superstep(self) -> None:
         self.superstep += 1
 
-    def finish(self, vertices: DataFrame, meta: dict | None = None) -> DataFrame:
-        """Final checkpoint (if configured) so results are durable."""
-        if self.ckpt is not None:
+    def finish(
+        self, vertices: DataFrame, converged: bool = True, meta: dict | None = None
+    ) -> DataFrame:
+        """Durable final checkpoint — only when the run actually
+        converged; a superstep-capped (interrupted) run keeps only its
+        periodic checkpoints so a later resume continues mid-iteration."""
+        if self.ckpt is not None and converged and not self.resumed_final:
             vertices = self.ckpt.write(
                 vertices,
                 self.superstep,

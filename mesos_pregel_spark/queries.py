@@ -1,0 +1,384 @@
+"""Driver-contract queries (SURVEY §3.3, §7.3).
+
+Each entry runs an engine operator over the driver's testdata views
+and has a DuckDB-oracle SQL twin with IDENTICAL column names/types.
+The graph substrate is the ``events`` table — the structural analogue
+of transcript turns (user_id ↔ conv_id, (ts, event_id) ↔ turn_idx,
+event_type ↔ actor) — plus ``orders ⋈ lineitem`` for the bipartite
+relational feed (FIXTURES.md §3).
+
+Floating-point columns computed by BOTH engines are rounded to 9
+decimal places on both sides: the driver hash-compares values, and
+sum-order differences between Spark and DuckDB live at ~1e-16 —
+far below the rounding grain, so the hashes agree.
+
+Vertex identity note (SURVEY §2.3 X6): these oracle queries keep
+STRING actor keys — DuckDB has no xxhash64, so id assignment is
+checked separately (tests/test_edges.py) and everything here is keyed
+by actor name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mesos_pregel_spark.algos.cc import connected_components
+from mesos_pregel_spark.algos.lpa import label_propagation
+from mesos_pregel_spark.algos.pagerank import pagerank
+from mesos_pregel_spark.algos.triangles import triangle_count
+from mesos_pregel_spark.functions.edges import (
+    build_edges_generic,
+    symmetrize,
+)
+
+# ---------------------------------------------------------------------------
+# shared substrates
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition edges over the events table: consecutive events of a
+    user (ordered by ts, event_id) link their event_type actors."""
+    return build_edges_generic(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"], F.col("event_type")
+    )
+
+
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_edges renamed to engine (src, dst, weight) columns."""
+    return events_edges(spark, sf_dir).select(
+        F.col("src_actor").alias("src"),
+        F.col("dst_actor").alias("dst"),
+        "weight",
+    )
+
+
+# The same substrate as a DuckDB CTE prefix.  NOTE: declared with
+# WITH RECURSIVE so queries appending a recursive member can reuse it.
+_SQL_EDGES = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type AS src_actor,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
+  FROM events
+),
+edges AS (
+  SELECT src_actor, dst_actor, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM seq
+  WHERE dst_actor IS NOT NULL AND src_actor <> dst_actor
+  GROUP BY src_actor, dst_actor
+),
+verts AS (
+  SELECT DISTINCT a AS actor FROM (
+    SELECT src_actor AS a FROM edges
+    UNION ALL SELECT dst_actor FROM edges)
+),
+symw AS (
+  SELECT s, d, SUM(w) AS weight FROM (
+    SELECT src_actor AS s, dst_actor AS d, weight AS w FROM edges
+    UNION ALL SELECT dst_actor, src_actor, weight FROM edges) u
+  GROUP BY s, d
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# X-queries: extraction + degrees (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def q_edge_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_edges(spark, sf_dir)
+
+
+SQL_EDGE_EXTRACT = _SQL_EDGES + "SELECT src_actor, dst_actor, weight FROM edges"
+
+
+def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_edges(spark, sf_dir)
+    out = e.groupBy(F.col("src_actor").alias("actor")).agg(
+        F.count(F.lit(1)).alias("outdeg"), F.sum("weight").alias("out_weight")
+    )
+    inn = e.groupBy(F.col("dst_actor").alias("actor")).agg(
+        F.count(F.lit(1)).alias("indeg"), F.sum("weight").alias("in_weight")
+    )
+    return out.join(inn, "actor", "full_outer").select(
+        "actor",
+        F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+        F.coalesce("out_weight", F.lit(0.0)).alias("out_weight"),
+        F.coalesce("indeg", F.lit(0)).alias("indeg"),
+        F.coalesce("in_weight", F.lit(0.0)).alias("in_weight"),
+    )
+
+
+SQL_DEGREES = _SQL_EDGES + """
+, o AS (SELECT src_actor AS actor, COUNT(*) AS outdeg, SUM(weight) AS out_weight
+        FROM edges GROUP BY src_actor),
+  i AS (SELECT dst_actor AS actor, COUNT(*) AS indeg, SUM(weight) AS in_weight
+        FROM edges GROUP BY dst_actor)
+SELECT COALESCE(o.actor, i.actor) AS actor,
+       COALESCE(outdeg, 0) AS outdeg,
+       COALESCE(out_weight, 0.0) AS out_weight,
+       COALESCE(indeg, 0) AS indeg,
+       COALESCE(in_weight, 0.0) AS in_weight
+FROM o FULL OUTER JOIN i ON o.actor = i.actor
+"""
+
+
+# ---------------------------------------------------------------------------
+# P/A-queries: superstep + algorithm parity (SURVEY §2.1–2.2)
+# ---------------------------------------------------------------------------
+
+
+def _pr_query(n_steps: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ranks, _run = pagerank(
+            spark, _graph_edges(spark, sf_dir), tol=0.0, max_supersteps=n_steps,
+            edge_partitions=8,
+        )
+        return ranks.select(
+            F.col("id").alias("actor"), F.round("pagerank", 9).alias("pagerank")
+        )
+    return q
+
+
+_SQL_PR_PRELUDE = _SQL_EDGES + """
+, n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+od AS (SELECT src_actor, COUNT(*) AS od FROM edges GROUP BY src_actor),
+pr1 AS (
+  SELECT v.actor,
+         0.15/(SELECT n FROM n) + 0.85*COALESCE(c.s, 0.0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.dst_actor AS actor, SUM((1.0/(SELECT n FROM n))/od.od) AS s
+    FROM edges e JOIN od ON e.src_actor = od.src_actor
+    GROUP BY e.dst_actor) c
+  ON v.actor = c.actor
+)
+"""
+
+SQL_PAGERANK_STEP = _SQL_PR_PRELUDE + \
+    "SELECT actor, ROUND(pr, 9) AS pagerank FROM pr1"
+
+SQL_PAGERANK_STEP2 = _SQL_PR_PRELUDE + """
+, pr2 AS (
+  SELECT v.actor,
+         0.15/(SELECT n FROM n) + 0.85*COALESCE(c.s, 0.0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.dst_actor AS actor, SUM(p.pr/od.od) AS s
+    FROM edges e
+    JOIN pr1 p ON e.src_actor = p.actor
+    JOIN od ON e.src_actor = od.src_actor
+    GROUP BY e.dst_actor) c
+  ON v.actor = c.actor
+)
+SELECT actor, ROUND(pr, 9) AS pagerank FROM pr2
+"""
+
+
+def q_cc_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = symmetrize(events_edges(spark, sf_dir))
+    verts = sym.select(F.col("src_actor").alias("actor")).distinct()
+    mins = sym.groupBy(F.col("dst_actor").alias("actor")).agg(
+        F.min("src_actor").alias("m")
+    )
+    return verts.join(mins, "actor", "left_outer").select(
+        "actor", F.least("actor", F.coalesce("m", "actor")).alias("component")
+    )
+
+
+SQL_CC_STEP = _SQL_EDGES + """
+, m AS (SELECT d AS actor, MIN(s) AS m FROM symw GROUP BY d)
+SELECT v.actor, LEAST(v.actor, COALESCE(m.m, v.actor)) AS component
+FROM (SELECT DISTINCT s AS actor FROM symw) v
+LEFT JOIN m ON v.actor = m.actor
+"""
+
+
+def q_cc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps, _run = connected_components(
+        spark, _graph_edges(spark, sf_dir), edge_partitions=8
+    )
+    return comps.select(F.col("id").alias("actor"), "component")
+
+
+SQL_CC_FULL = _SQL_EDGES + """
+, reach AS (
+  SELECT s AS actor, s AS c FROM symw
+  UNION
+  SELECT sym.d AS actor, r.c
+  FROM reach r JOIN symw sym ON sym.s = r.actor
+)
+SELECT actor, MIN(c) AS component FROM reach GROUP BY actor
+"""
+
+
+def q_lpa_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels, _run = label_propagation(
+        spark, _graph_edges(spark, sf_dir), max_supersteps=1, edge_partitions=8
+    )
+    return labels.select(F.col("id").alias("actor"), "label")
+
+
+SQL_LPA_STEP = _SQL_EDGES + """
+, ranked AS (
+  SELECT d AS actor, s AS label,
+         ROW_NUMBER() OVER (
+           PARTITION BY d ORDER BY weight DESC, s ASC) AS rn
+  FROM symw
+)
+SELECT actor, label FROM ranked WHERE rn = 1
+"""
+
+
+def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_vertex, _total = triangle_count(spark, _graph_edges(spark, sf_dir))
+    return per_vertex.select(F.col("id").alias("actor"), "triangles")
+
+
+_SQL_TRI = _SQL_EDGES + """
+, und AS (
+  SELECT DISTINCT LEAST(src_actor, dst_actor) AS lo,
+                  GREATEST(src_actor, dst_actor) AS hi
+  FROM edges WHERE src_actor <> dst_actor
+),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+  JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+corners AS (
+  SELECT a AS actor FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT actor, COUNT(*) AS triangles FROM corners GROUP BY actor)
+"""
+
+SQL_TRIANGLES_PER_VERTEX = _SQL_TRI + """
+SELECT v.actor, COALESCE(cnt.triangles, 0) AS triangles
+FROM verts v LEFT JOIN cnt ON v.actor = cnt.actor
+"""
+
+
+def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_vertex, _total = triangle_count(spark, _graph_edges(spark, sf_dir))
+    return per_vertex.agg(
+        (F.coalesce(F.sum("triangles"), F.lit(0)) / 3).cast("long")
+        .alias("total_triangles")
+    )
+
+
+SQL_TRIANGLE_TOTAL = _SQL_TRI + \
+    "SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles FROM tri"
+
+
+def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 aggregator parity: global scalars over the graph."""
+    e = events_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src_actor").alias("a"))
+        .unionByName(e.select(F.col("dst_actor").alias("a")))
+        .distinct()
+    )
+    n_vertices = verts.count()
+    return e.agg(
+        F.lit(n_vertices).cast("long").alias("n_vertices"),
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("weight").alias("total_weight"),
+        F.max("weight").alias("max_weight"),
+    )
+
+
+SQL_GRAPH_SUMMARY = _SQL_EDGES + """
+SELECT (SELECT COUNT(*) FROM verts) AS n_vertices,
+       COUNT(*) AS n_edges,
+       SUM(weight) AS total_weight,
+       MAX(weight) AS max_weight
+FROM edges
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational feed: bipartite customer→supplier links (FIXTURES §3)
+# ---------------------------------------------------------------------------
+
+
+def q_bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+SQL_BIPARTITE_EDGES = """
+SELECT o_custkey AS src, l_suppkey AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_custkey, l_suppkey
+"""
+
+
+def q_bipartite_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = q_bipartite_edges(spark, sf_dir)
+    return e.groupBy(F.col("dst").alias("supplier")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("weight").alias("link_weight"),
+    )
+
+
+SQL_BIPARTITE_DEGREES = """
+WITH e AS (
+  SELECT o_custkey AS src, l_suppkey AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, l_suppkey
+)
+SELECT dst AS supplier, COUNT(*) AS n_customers, SUM(weight) AS link_weight
+FROM e GROUP BY dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "edge_extract": q_edge_extract,
+    "degrees": q_degrees,
+    "pagerank_step": _pr_query(1),
+    "pagerank_step2": _pr_query(2),
+    "cc_step": q_cc_step,
+    "cc_full": q_cc_full,
+    "lpa_step": q_lpa_step,
+    "triangles_per_vertex": q_triangles_per_vertex,
+    "triangle_total": q_triangle_total,
+    "graph_summary": q_graph_summary,
+    "bipartite_edges": q_bipartite_edges,
+    "bipartite_degrees": q_bipartite_degrees,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "edge_extract": SQL_EDGE_EXTRACT,
+    "degrees": SQL_DEGREES,
+    "pagerank_step": SQL_PAGERANK_STEP,
+    "pagerank_step2": SQL_PAGERANK_STEP2,
+    "cc_step": SQL_CC_STEP,
+    "cc_full": SQL_CC_FULL,
+    "lpa_step": SQL_LPA_STEP,
+    "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
+    "triangle_total": SQL_TRIANGLE_TOTAL,
+    "graph_summary": SQL_GRAPH_SUMMARY,
+    "bipartite_edges": SQL_BIPARTITE_EDGES,
+    "bipartite_degrees": SQL_BIPARTITE_DEGREES,
+}
