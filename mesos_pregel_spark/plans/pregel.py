@@ -35,7 +35,6 @@ class PregelRun:
         algorithm: str,
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 10,
-        truncate_every: int = 6,
         params: dict | None = None,
     ):
         self.spark = spark
@@ -44,7 +43,6 @@ class PregelRun:
         self.superstep = 0
         self.metrics: list[dict] = []
         self.checkpoint_every = checkpoint_every
-        self.truncate_every = max(1, truncate_every)
         self.ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
         self.resumed_final = False
         self._live: DataFrame | None = None
@@ -79,21 +77,29 @@ class PregelRun:
 
     # ---- state rotation / lineage (S3) -------------------------------
     def materialize(self, vertices: DataFrame, meta: dict | None = None) -> DataFrame:
-        """Persist the new state, drop the old, truncate lineage on
-        schedule, checkpoint on schedule.  Returns the DataFrame the
-        next superstep must build on."""
+        """Materialize the new state with a HARD plan truncation and
+        checkpoint on schedule.  Returns the DataFrame the next
+        superstep must build on.
+
+        Truncation every superstep is load-bearing: ``persist()`` alone
+        leaves the full logical plan in place and Catalyst re-analyzes
+        the deepening chain each superstep — measured on a 100k-edge
+        graph, per-superstep wall time grew 7s → 45s by superstep 5 and
+        fell back to <1s right after a truncation.  ``localCheckpoint``
+        (eager) replaces the plan with an O(1) scan of the materialized
+        partitions; on checkpoint supersteps the durable parquet
+        write/read-back does the same job and doubles as fault
+        tolerance.  Superseded state RDDs are dropped by Spark's
+        ContextCleaner once unreferenced."""
         s = self.superstep
-        do_ckpt = self.ckpt is not None and s % self.checkpoint_every == 0
-        if do_ckpt:
+        if self.ckpt is not None and s % self.checkpoint_every == 0:
             new = self.ckpt.write(
-                vertices, s, {"algorithm": self.algorithm, "params": self.params, **(meta or {})}
+                vertices, s,
+                {"algorithm": self.algorithm, "params": self.params, **(meta or {})},
             )
             new = new.persist(StorageLevel.MEMORY_AND_DISK)
-        elif s % self.truncate_every == self.truncate_every - 1:
-            # Hard plan truncation without durable IO.
-            new = vertices.localCheckpoint(eager=True)
         else:
-            new = vertices.persist(StorageLevel.MEMORY_AND_DISK)
+            new = vertices.localCheckpoint(eager=True)
         if self._live is not None:
             try:
                 self._live.unpersist()
