@@ -83,9 +83,14 @@ def pagerank(
     if run.resumed_final:
         return resumed, run  # already-converged run: stored (id, pagerank)
 
-    nparts = edge_partitions or spark.sparkContext.defaultParallelism
-    edges = edges.select("src", "dst").repartition(nparts, "src") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # edge_partitions=0 ⇒ caller already partitioned+persisted the edge
+    # table (one-time setup, amortized over all supersteps/algorithms).
+    if edge_partitions == 0:
+        edges = edges.select("src", "dst")
+    else:
+        nparts = edge_partitions or spark.sparkContext.defaultParallelism
+        edges = edges.select("src", "dst").repartition(nparts, "src") \
+            .persist(StorageLevel.MEMORY_AND_DISK)
     edge_count = edges.count()  # materialize once; reused every superstep
 
     if resumed is not None:
@@ -157,5 +162,6 @@ def pagerank(
     result = run.finish(
         state.select("id", F.col("pr").alias("pagerank")), converged=converged
     )
-    edges.unpersist()
+    if edge_partitions != 0:
+        edges.unpersist()
     return result, run

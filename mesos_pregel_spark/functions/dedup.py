@@ -1,0 +1,175 @@
+"""Deduplication operators for a large-scale training-data pipeline:
+exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join), n-gram Jaccard verification, SimHash.
+
+All hashing is md5-based so every stage has an EXACT DuckDB oracle
+twin (queries.py) — no engine-specific hash functions in the
+deterministic path.  Everything is built from JVM-side higher-order
+functions (transform/filter/aggregate over arrays) — no Python UDFs.
+
+Scale notes (100 TB corpus):
+- shingling + minhash is a single scan + explode + groupBy(doc_id):
+  the explode multiplies rows ×|text| but the groupBy partially
+  aggregates map-side, so the shuffle carries k minhash strings per
+  document, not the shingles;
+- the LSH band join shuffles (band_idx, band_key) — uniformly
+  distributed md5 prefixes, no hotspot; candidate pairs ≪ n²;
+- Jaccard verification joins shingle sets ONLY for candidate pairs
+  (broadcast the candidate list when small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mesos_pregel_spark.functions.text import fingerprint, normalize_text
+
+DEFAULT_K = 8       # minhash functions
+DEFAULT_BANDS = 4   # LSH bands (rows per band = K // BANDS)
+SIMHASH_BITS = 16
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint groups.  Returns one
+    row per document: (doc_id, canonical_id, is_duplicate) where
+    canonical_id is the smallest doc_id sharing the fingerprint."""
+    fp = fingerprint(docs)
+    canon = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return fp.join(canon, "fingerprint").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        "group_size",
+    )
+
+
+def shingles(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Distinct character n-gram shingles of the normalized text:
+    (doc_id, shingle).  Documents shorter than n yield their whole
+    normalized text as the single shingle."""
+    norm = normalize_text(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+        lambda i: F.substr(norm, i, F.lit(n)),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 5, k: int = DEFAULT_K
+) -> DataFrame:
+    """k-function MinHash signature per document.  Hash function i is
+    ``md5(i || ':' || shingle)``; the signature component is the
+    lexicographic MIN of those hex strings — string ordering is
+    identical across engines, so the oracle matches byte-for-byte."""
+    sh = shingles(docs, n)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+            .alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_candidates(
+    docs: DataFrame, n: int = 5, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) sharing at least one LSH
+    band.  Band j's key concatenates its r = k/bands minhash strings;
+    the banded self-join is the classic sub-quadratic LSH step."""
+    r = k // bands
+    sig = minhash_signatures(docs, n, k)
+    banded = None
+    for j in range(bands):
+        key = F.concat_ws(
+            "|", *[F.col(f"mh{j * r + t}") for t in range(r)]
+        ).alias("band_key")
+        part = sig.select(
+            F.lit(j).alias("band_idx"), key, F.col("doc_id")
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def near_duplicates(
+    docs: DataFrame,
+    n: int = 5,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """LSH candidates verified with EXACT n-gram Jaccard similarity.
+    Returns (doc_a, doc_b, jaccard) for candidates with
+    jaccard >= threshold; jaccard rounded to 9 dp."""
+    cand = lsh_candidates(docs, n, k, bands)
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    sa = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    sb = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb.withColumnRenamed("shingle", "shingle_b"), "doc_b")
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"})
+    nb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"})
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left_outer")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("inter"), F.lit(0))),
+                9,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash over whitespace tokens of the normalized
+    text.  Token hash = first 8 md5 hex chars as a 32-bit int (same
+    derivation in the oracle); bit j of the signature is 1 iff the
+    ±1 vote sum over tokens is positive."""
+    norm = normalize_text(F.col("text"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("token")
+    )
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))

@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_scores`` / ``cosine_topk``: brute-force exact cosine — the
+  correctness baseline, built from higher-order array functions
+  (``zip_with`` + ``aggregate``), JVM-side, no Python UDFs.  Both have
+  DuckDB oracle twins (``list_cosine_similarity`` over DOUBLE[]);
+  ranking ties are broken on (rounded cosine desc, vec_id asc) so the
+  top-k is deterministic across engines.
+- ``ann_lsh_topk``: the scale path — random-hyperplane LSH buckets the
+  corpus so each query only scores its own bucket (sub-linear work,
+  approximate recall).  The hyperplanes are derived deterministically
+  from md5 bits, broadcast as a tiny table; no oracle twin (the driver
+  records the weaker rows-only check) but recall-vs-exact is pytest'd.
+
+Scale notes: brute force is a broadcast (queries) × scan (corpus) —
+embarrassingly parallel, no shuffle; LSH adds one groupBy on
+(bucket), uniformly distributed by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_scores(
+    spark: SparkSession, embeddings: DataFrame, n_queries: int = 3
+) -> DataFrame:
+    """Exact cosine of the ``n_queries`` lowest vec_ids against the
+    whole corpus (excluding self): (query_id, vec_id, cosine@6dp)."""
+    emb = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    queries = (
+        emb.orderBy("vec_id").limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("q"))
+    )
+    joined = emb.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("q"), F.col("e")) / (
+        F.sqrt(_dot(F.col("q"), F.col("q"))) * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    return joined.select(
+        "query_id", "vec_id", F.round(cos, 6).alias("cosine")
+    )
+
+
+def cosine_topk(
+    spark: SparkSession, embeddings: DataFrame, n_queries: int = 3, k: int = 10
+) -> DataFrame:
+    """Deterministic exact top-k per query: rank on (cosine@6dp desc,
+    vec_id asc)."""
+    scores = cosine_scores(spark, embeddings, n_queries)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign p,d from a bit of
+    md5(f"{p}:{d}").  No RNG, reproducible everywhere."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).digest()[0]
+            row.append(1.0 if h & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature buckets the
+    corpus into ≤ 2^n_planes cells; each query scores only its own
+    bucket.  Returns (query_id, vec_id, cosine@6dp, rank)."""
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    dim = first["d"]
+    planes = _hyperplanes(dim, n_planes)
+    planes_col = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in planes]
+    )
+
+    emb = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).withColumn(
+        "bucket",
+        # fold the sign bits in plane order: acc*2 + sign_bit
+        F.aggregate(
+            planes_col,
+            F.lit(0),
+            lambda acc, plane: acc * 2
+            + F.when(_dot(plane, F.col("e")) > 0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+    queries = (
+        emb.orderBy("vec_id").limit(n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("q"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    joined = emb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = _dot(F.col("q"), F.col("e")) / (
+        F.sqrt(_dot(F.col("q"), F.col("q"))) * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

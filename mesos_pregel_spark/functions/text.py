@@ -1,0 +1,120 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+token counting, quality scoring, language-ID, document fingerprinting.
+
+These run over the ``documents`` table and are built exclusively from
+JVM-side ``pyspark.sql.functions`` (no Python UDFs) so they stay in
+whole-stage codegen and scale linearly with a parquet scan.  Every
+operator has an exact DuckDB oracle twin (same expressions, same
+rounding) in queries.py.
+
+Determinism rules shared with the oracle SQL:
+- tokenization = lowercase, split on ``\\s+`` after trim;
+- hashes = md5 hex (identical in Spark and DuckDB);
+- ratios rounded to 9 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID.  Order matters: ties break toward the FIRST language in
+# this list (then 'und' when nothing matches).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+
+PUNCT_CLASS = "[^.,;:!?]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Pinned tokenization: normalize (lowercase, collapse whitespace,
+    trim) then split on single spaces — identical in Spark and DuckDB
+    (regex split trailing-empty semantics differ between engines, a
+    plain space split after normalization does not)."""
+    return F.split(normalize_text(text), " ")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token/quality statistics (doc_id keyed)."""
+    toks = tokens_col(F.col("text"))
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    en_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(
+            n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)), 9
+        ).alias("avg_token_len"),
+        F.round(
+            n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 9
+        ).alias("punct_ratio"),
+        F.round(
+            en_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 9
+        ).alias("stopword_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """A simple composite quality score in [0,1]: favors mid-length
+    documents with some stopwords and moderate punctuation.  The exact
+    formula is pinned here and mirrored in SQL — it is a deterministic
+    scoring pipeline stage, not a model."""
+    s = token_stats(docs)
+    len_score = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5.0)
+    return s.select(
+        "doc_id",
+        F.round((len_score + stop_score + punct_pen) / 3.0, 9).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language-ID: count tokens matching each language's
+    stopword list; argmax wins, ties break by LANG_STOPWORDS order,
+    zero matches → 'und'."""
+    toks = tokens_col(F.col("text"))
+
+    def stop_filter(sw):
+        # NB: a plain 1-arg lambda — pyspark's higher-order-function
+        # bridge inspects arity, and a 2-arg lambda (e.g. a sw=sw
+        # default) would be bound as an (element, index) function.
+        return lambda t: t.isin(*sw)
+
+    counted = docs.select(
+        "doc_id",
+        *[
+            F.size(F.filter(toks, stop_filter(sw))).alias(f"cnt_{lang}")
+            for lang, sw in LANG_STOPWORDS.items()
+        ],
+    )
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"cnt_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first match wins => pinned tie-break order
+        pred = pred.when(F.col(f"cnt_{lang}") == best, F.lit(lang))
+    return counted.select("doc_id", pred.alias("lang_pred"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Pinned normalization for fingerprinting/dedup: lowercase,
+    collapse whitespace runs to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint = md5 of the normalized text (stable,
+    engine-independent — matches the oracle byte-for-byte)."""
+    return docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    )

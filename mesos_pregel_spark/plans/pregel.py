@@ -99,7 +99,11 @@ class PregelRun:
             )
             new = new.persist(StorageLevel.MEMORY_AND_DISK)
         else:
-            new = vertices.localCheckpoint(eager=True)
+            # Lazy: the checkpoint materializes inside the caller's next
+            # action (the P5 aggregator collect), so each superstep runs
+            # ONE Spark job instead of two — measured ~1.7s/superstep of
+            # fixed latency, and this removes a full job's worth.
+            new = vertices.localCheckpoint(eager=False)
         if self._live is not None:
             try:
                 self._live.unpersist()

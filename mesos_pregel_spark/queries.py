@@ -353,6 +353,8 @@ FROM e GROUP BY dst
 # registry
 # ---------------------------------------------------------------------------
 
+from mesos_pregel_spark.queries_text import TEXT_ORACLE_SQL, TEXT_QUERIES  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edge_extract": q_edge_extract,
     "degrees": q_degrees,
@@ -366,6 +368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_summary": q_graph_summary,
     "bipartite_edges": q_bipartite_edges,
     "bipartite_degrees": q_bipartite_degrees,
+    **TEXT_QUERIES,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -381,4 +384,5 @@ ORACLE_SQL: dict[str, str] = {
     "graph_summary": SQL_GRAPH_SUMMARY,
     "bipartite_edges": SQL_BIPARTITE_EDGES,
     "bipartite_degrees": SQL_BIPARTITE_DEGREES,
+    **TEXT_ORACLE_SQL,
 }

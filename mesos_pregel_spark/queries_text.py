@@ -1,0 +1,297 @@
+"""Driver-contract queries for the training-data-pipeline operators
+(text analysis, dedup, similarity search, multimodal) with their
+DuckDB oracle twins.  Merged into the main registry by queries.py.
+
+Shared determinism contract (see functions/text.py): normalization =
+``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``; tokens =
+single-space split of the normalized text; hashes = md5 hex; floats
+rounded at a pinned precision on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mesos_pregel_spark.functions.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_K,
+    SIMHASH_BITS,
+    exact_duplicates,
+    lsh_candidates,
+    near_duplicates,
+    simhash,
+)
+from mesos_pregel_spark.functions.similarity import (
+    ann_lsh_topk,
+    cosine_scores,
+    cosine_topk,
+)
+from mesos_pregel_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from mesos_pregel_spark.sources.multimodal import decode_features, synthesize_media
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SQL building blocks
+# ---------------------------------------------------------------------------
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+_SQL_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {_NORM} AS norm,
+         string_split({_NORM}, ' ') AS toks
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+           AS n_punct,
+         CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is')))
+           AS BIGINT) AS n_stop
+  FROM base
+),
+token_stats AS (
+  SELECT doc_id, n_chars, n_tokens,
+         ROUND(CAST(n_chars AS DOUBLE) / GREATEST(n_tokens, 1), 9)
+           AS avg_token_len,
+         ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1), 9)
+           AS punct_ratio,
+         ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 9)
+           AS stopword_ratio
+  FROM stats
+)
+"""
+
+SQL_TOKEN_STATS = _SQL_STATS + "SELECT * FROM token_stats"
+
+SQL_QUALITY = _SQL_STATS + """
+SELECT doc_id,
+       ROUND((LEAST(n_tokens / 100.0, 1.0)
+            + LEAST(stopword_ratio * 5.0, 1.0)
+            + GREATEST(0.0, 1.0 - punct_ratio * 5.0)) / 3.0, 9) AS quality
+FROM token_stats
+"""
+
+
+def _sql_lang_id() -> str:
+    cnts = ",\n         ".join(
+        f"CAST(len(list_filter(toks, t -> t IN "
+        f"({', '.join(repr(w) for w in sw)}))) AS BIGINT) AS cnt_{lang}"
+        for lang, sw in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    best = f"GREATEST({', '.join('cnt_' + lang for lang in langs)})"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und'\n"
+    for lang in langs:
+        case += f"            WHEN cnt_{lang} = {best} THEN '{lang}'\n"
+    case += "       END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         {cnts}
+  FROM base
+)
+SELECT doc_id, {case} AS lang_pred FROM counted
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+SQL_FINGERPRINT = f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
+
+SQL_DEDUP_EXACT = f"""
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents),
+canon AS (
+  SELECT fingerprint, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+  FROM fp GROUP BY fingerprint
+)
+SELECT fp.doc_id, canon.canonical_id,
+       fp.doc_id <> canon.canonical_id AS is_duplicate,
+       canon.group_size
+FROM fp JOIN canon ON fp.fingerprint = canon.fingerprint
+"""
+
+
+def _sql_shingle_prelude(n: int = 5) -> str:
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [substr(t, i, {n}) FOR i IN
+            generate_series(1, GREATEST(length(t) - {n - 1}, 1))]
+         )) AS shingle
+  FROM norm
+)
+"""
+
+
+def _sql_minhash_sig(k: int = DEFAULT_K) -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+    )
+    return f""",
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+)
+"""
+
+
+def _sql_banded(k: int = DEFAULT_K, bands: int = DEFAULT_BANDS) -> str:
+    r = k // bands
+    parts = []
+    for j in range(bands):
+        key = " || '|' || ".join(f"mh{j * r + t}" for t in range(r))
+        parts.append(
+            f"SELECT {j} AS band_idx, {key} AS band_key, doc_id FROM sig"
+        )
+    union = "\n  UNION ALL ".join(parts)
+    return f""",
+banded AS (
+  {union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+"""
+
+
+SQL_LSH_CANDIDATES = (
+    _sql_shingle_prelude() + _sql_minhash_sig() + _sql_banded()
+    + "SELECT doc_a, doc_b FROM cand"
+)
+
+SQL_NEAR_DUPLICATES = (
+    _sql_shingle_prelude() + _sql_minhash_sig() + _sql_banded()
+    + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+             / (na.n_sh + nb.n_sh - COALESCE(i.inter, 0)), 9) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b
+"""
+)
+
+
+def _sql_simhash(bits: int = SIMHASH_BITS) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM tok
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+_SQL_COS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 3),
+scores AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+  FROM q, e WHERE e.vec_id <> q.query_id
+)
+"""
+
+SQL_COSINE_SCORES = _SQL_COS + "SELECT query_id, vec_id, cosine FROM scores"
+
+SQL_COSINE_TOPK = _SQL_COS + """
+, ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "token_stats": lambda s, d: token_stats(_docs(s, d)),
+    "quality_score": lambda s, d: quality_score(_docs(s, d)),
+    "language_id": lambda s, d: language_id(_docs(s, d)),
+    "doc_fingerprint": lambda s, d: fingerprint(_docs(s, d)),
+    "dedup_exact": lambda s, d: exact_duplicates(_docs(s, d)),
+    "minhash_lsh_candidates": lambda s, d: lsh_candidates(_docs(s, d)),
+    "near_duplicates": lambda s, d: near_duplicates(_docs(s, d)),
+    "simhash": lambda s, d: simhash(_docs(s, d)),
+    "cosine_scores": lambda s, d: cosine_scores(s, _emb(s, d)),
+    "cosine_topk": lambda s, d: cosine_topk(s, _emb(s, d)),
+    # rows-only (no SQL-expressible oracle): approximate ANN + the
+    # Arrow/mapInPandas multimodal feature plumbing
+    "ann_lsh_topk": lambda s, d: ann_lsh_topk(s, _emb(s, d)),
+    "multimodal_features": lambda s, d: decode_features(
+        synthesize_media(_docs(s, d)), partitions=8
+    ),
+}
+
+TEXT_ORACLE_SQL: dict[str, str] = {
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_score": SQL_QUALITY,
+    "language_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_lsh_candidates": SQL_LSH_CANDIDATES,
+    "near_duplicates": SQL_NEAR_DUPLICATES,
+    "simhash": SQL_SIMHASH,
+    "cosine_scores": SQL_COSINE_SCORES,
+    "cosine_topk": SQL_COSINE_TOPK,
+}

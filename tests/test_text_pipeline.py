@@ -1,0 +1,181 @@
+"""Unit tests for the training-data-pipeline operators (text analysis,
+dedup, similarity, multimodal) on planted fixtures — the driver-oracle
+comparison in test_driver_contract.py covers engine-vs-DuckDB parity;
+these pin the *semantics* on hand-checkable inputs."""
+
+import math
+
+import pytest
+from pyspark.sql import types as T
+
+from mesos_pregel_spark.functions.dedup import (
+    exact_duplicates,
+    lsh_candidates,
+    near_duplicates,
+    simhash,
+)
+from mesos_pregel_spark.functions.similarity import (
+    ann_lsh_topk,
+    cosine_scores,
+    cosine_topk,
+)
+from mesos_pregel_spark.functions.text import (
+    fingerprint,
+    language_id,
+    token_stats,
+)
+from mesos_pregel_spark.sources.multimodal import (
+    decode_features,
+    synthesize_media,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+LONG_A = "the quick brown fox jumps over the lazy dog and runs far away"
+LONG_B = "the quick brown fox jumps over the lazy cat and runs far away"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The  Quick Brown\nFox", "en", "s1", 20),   # dup of 2 modulo ws/case
+        (2, "the quick brown fox", "en", "s1", 19),
+        (3, LONG_A, "en", "s2", len(LONG_A)),
+        (4, LONG_B, "en", "s2", len(LONG_B)),            # near-dup of 3
+        (5, "der hund ist das tier und die katze", "de", "s3", 36),
+        (6, "zzz qqq xxx", None, "s4", 11),
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_token_stats_hand_checked(spark, docs):
+    got = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    r = got[2]  # "the quick brown fox"
+    assert r["n_chars"] == 19
+    assert r["n_tokens"] == 4
+    assert math.isclose(r["avg_token_len"], 19 / 4, abs_tol=1e-9)
+    assert r["punct_ratio"] == 0.0
+    assert math.isclose(r["stopword_ratio"], 1 / 4, abs_tol=1e-9)
+
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert got[3] == "en"
+    assert got[5] == "de"
+    assert got[6] == "und"
+
+
+def test_fingerprint_normalization(spark, docs):
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert got[1] == got[2]  # whitespace/case-insensitive identity
+    assert got[3] != got[4]
+
+
+def test_exact_duplicates(spark, docs):
+    got = {r["doc_id"]: r for r in exact_duplicates(docs).collect()}
+    assert got[1]["canonical_id"] == 1 and not got[1]["is_duplicate"]
+    assert got[2]["canonical_id"] == 1 and got[2]["is_duplicate"]
+    assert got[2]["group_size"] == 2
+    assert not got[3]["is_duplicate"]
+
+
+def test_lsh_finds_near_duplicates(spark, docs):
+    cand = {(r["doc_a"], r["doc_b"]) for r in lsh_candidates(docs).collect()}
+    assert (1, 2) in cand  # exact dups always collide on every band
+    nd = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in near_duplicates(docs).collect()
+    }
+    assert nd[(1, 2)] == 1.0
+    if (3, 4) in nd:  # 1-word edit: high jaccard when LSH catches it
+        assert nd[(3, 4)] > 0.7
+
+
+def test_simhash_properties(spark, docs):
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert got[1] == got[2]  # identical normalized text -> same simhash
+    # near-dups differ in few bits
+    ham = bin(got[3] ^ got[4]).count("1")
+    assert ham <= 6
+    assert all(0 <= v < 2 ** 16 for v in got.values())
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0], 0),   # identical to 0
+        (2, [0.0, 1.0, 0.0], 1),   # orthogonal to 0
+        (3, [1.0, 1.0, 0.0], 1),   # 45 degrees
+        (4, [-1.0, 0.0, 0.0], 2),  # opposite
+    ]
+    return spark.createDataFrame(rows, EMB_SCHEMA)
+
+
+def test_cosine_hand_checked(spark, emb):
+    got = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in cosine_scores(spark, emb, n_queries=1).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 0.0
+    assert math.isclose(got[(0, 3)], round(1 / math.sqrt(2), 6), abs_tol=1e-9)
+    assert got[(0, 4)] == -1.0
+
+
+def test_cosine_topk_deterministic_order(spark, emb):
+    rows = cosine_topk(spark, emb, n_queries=1, k=3).collect()
+    ranked = [(r["rank"], r["vec_id"], r["cosine"]) for r in sorted(
+        rows, key=lambda r: r["rank"])]
+    assert ranked[0] == (1, 1, 1.0)        # best match, tie-break by vec_id
+    assert ranked[1][1] == 3               # then 45-degree vector
+    assert ranked[2][1] == 2
+
+
+def test_ann_lsh_subset_of_exact_scores(spark, emb):
+    """ANN results carry the same cosine values as the exact scorer and
+    identical vectors always share a bucket."""
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in cosine_scores(spark, emb, n_queries=1).collect()
+    }
+    ann = ann_lsh_topk(spark, emb, n_queries=1, k=5).collect()
+    assert len(ann) >= 1
+    for r in ann:
+        assert exact[(r["query_id"], r["vec_id"])] == r["cosine"]
+    assert any(r["vec_id"] == 1 for r in ann)  # identical vector found
+
+
+def test_multimodal_feature_plumbing(spark, docs):
+    media = synthesize_media(docs)
+    assert media.schema["payload"].dataType == T.BinaryType()
+    feats = decode_features(media, partitions=4)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    r = {x["media_id"]: x for x in rows}[1]
+    assert len(r["feat"]) == 8
+    assert r["n_bytes"] == 32  # two md5 digests = 32 bytes
+    assert r["kind"] in ("image", "audio", "video")
+    # deterministic across runs
+    rows2 = decode_features(media, partitions=2).collect()
+    a = sorted([(x["media_id"], x["mean"], x["std"]) for x in rows])
+    b = sorted([(x["media_id"], x["mean"], x["std"]) for x in rows2])
+    assert a == b
+
+
+def test_real_decode_is_explicit_stub():
+    from mesos_pregel_spark.sources.multimodal import real_decode
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x00", "image")
