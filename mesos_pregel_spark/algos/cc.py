@@ -32,6 +32,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
     n_salt: int = 0,
+    salt_hot_k: int = 0,
     broadcast_threshold: int = 100_000,
     edge_partitions: int | None = None,
 ) -> tuple[DataFrame, PregelRun]:
@@ -62,6 +63,11 @@ def connected_components(
         )
         state = run.materialize(state)
 
+    hot = None
+    if n_salt > 0 and salt_hot_k > 0:
+        from mesos_pregel_spark.operators.combine import hot_destinations
+        hot = hot_destinations(sym, salt_hot_k)
+
     active = None  # frontier size; None = unknown (first superstep)
     while run.superstep < max_supersteps:
         use_broadcast = active is not None and active <= broadcast_threshold
@@ -73,7 +79,8 @@ def connected_components(
             broadcast=use_broadcast,
         )
         combined = combine(
-            msgs, ["dst"], {"msg_min": ("msg", "min")}, n_salt=n_salt, salt_on="msrc"
+            msgs, ["dst"], {"msg_min": ("msg", "min")},
+            n_salt=n_salt, salt_on="msrc", hot_keys=hot,
         )
         new_state = (
             state.join(combined, state["id"] == combined["dst"], "left_outer")

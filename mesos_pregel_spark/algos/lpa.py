@@ -39,6 +39,7 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
     n_salt: int = 0,
+    salt_hot_k: int = 0,
     edge_partitions: int | None = None,
 ) -> tuple[DataFrame, PregelRun]:
     """Run sync-LPA.  Returns (labels(id, label), run)."""
@@ -63,6 +64,11 @@ def label_propagation(
             .select("id", F.col("id").alias("label"))
         state = run.materialize(state)
 
+    hot = None
+    if n_salt > 0 and salt_hot_k > 0:
+        from mesos_pregel_spark.operators.combine import hot_destinations
+        hot = hot_destinations(sym, salt_hot_k)
+
     while run.superstep < max_supersteps:
         msgs = scatter(
             sym,
@@ -80,6 +86,7 @@ def label_propagation(
             {"wsum": ("msg_weight", "sum")},
             n_salt=n_salt,
             salt_on="msrc",
+            hot_keys=hot,
         )
         # Argmax with smallest-label tie-break: min of struct
         # (-wsum, label) compares weight first (negated => largest sum

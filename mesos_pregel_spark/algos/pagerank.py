@@ -61,6 +61,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
     n_salt: int = 0,
+    salt_hot_k: int = 0,
     edge_partitions: int | None = None,
     kernel: str = "join",
 ) -> tuple[DataFrame, PregelRun]:
@@ -104,6 +105,12 @@ def pagerank(
         from mesos_pregel_spark.operators.csr import csr_gather_sums
         csr_edges = None  # packed lazily below
 
+    # S1 hot-list: computed once per graph, reused every superstep.
+    hot = None
+    if n_salt > 0 and salt_hot_k > 0:
+        from mesos_pregel_spark.operators.combine import hot_destinations
+        hot = hot_destinations(edges, salt_hot_k)
+
     converged = False
     while run.superstep < max_supersteps:
         if kernel == "csr":
@@ -119,7 +126,7 @@ def pagerank(
             )
             combined = combine(
                 msgs, ["dst"], {"msg_sum": ("msg", "sum")},
-                n_salt=n_salt, salt_on="msrc",
+                n_salt=n_salt, salt_on="msrc", hot_keys=hot,
             )
 
         teleport = (1.0 - damping) / float(n)

@@ -41,12 +41,16 @@ def canonical_undirected(edges: DataFrame) -> DataFrame:
 
 
 def triangle_count(
-    spark: SparkSession, edges: DataFrame
+    spark: SparkSession, edges: DataFrame, kernel: str = "join"
 ) -> tuple[DataFrame, int]:
     """Exact triangle counting.
 
     Returns (per_vertex(id, triangles) including zero rows for
     triangle-free vertices, global_total).
+
+    ``kernel='csr'`` uses the broadcast sorted-adjacency numpy kernel
+    (operators/csr.py) instead of the wedge joins — same pinned
+    semantics, chosen when the oriented adjacency fits a broadcast.
     """
     und = canonical_undirected(edges)
 
@@ -71,6 +75,17 @@ def triangle_count(
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
         F.when(lo_first, F.col("deg_hi")).otherwise(F.col("deg_lo")).alias("deg_v"),
     )
+
+    if kernel == "csr":
+        from mesos_pregel_spark.operators.csr import csr_triangle_counts
+        counts_csr = csr_triangle_counts(spark, oriented)
+        per_vertex = (
+            deg.select("id")
+            .join(counts_csr, "id", "left_outer")
+            .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+        )
+        total_row = per_vertex.agg(F.sum("triangles").alias("t")).collect()[0]
+        return per_vertex, int((total_row["t"] or 0) // 3)
 
     # Wedges: two out-neighbors of the same source, rank-ordered so each
     # unordered pair appears exactly once.

@@ -33,6 +33,7 @@ def combine(
     aggs: dict[str, tuple[str, str]],
     n_salt: int = 0,
     salt_on: str | None = None,
+    hot_keys: Sequence | None = None,
 ) -> DataFrame:
     """Combine messages per destination key(s).
 
@@ -41,6 +42,12 @@ def combine(
     group by (keys, salt) then by keys, where salt is derived from
     ``salt_on`` (typically the message's src — uniform over a hub's
     senders) or a random-free per-row hash of all key columns.
+
+    ``hot_keys`` (SURVEY S1): when given, ONLY those destination keys
+    get salted (salt=0 elsewhere) — the driver computes the top-k
+    in-degree hubs once and the second-stage aggregation touches just
+    the few hot groups instead of every key.  The list is small by
+    construction (top-k), so it ships as a literal IN predicate.
     """
     for out, (col, fn) in aggs.items():
         if fn not in _MERGEABLE:
@@ -56,7 +63,12 @@ def combine(
         return messages.groupBy(*keys).agg(*agg_exprs())
 
     salt_src = F.col(salt_on) if salt_on else F.concat_ws("\x00", *keys)
-    salted = messages.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)))
+    salt_expr = F.pmod(F.xxhash64(salt_src), F.lit(n_salt))
+    if hot_keys is not None:
+        salt_expr = F.when(
+            F.col(keys[0]).isin(list(hot_keys)), salt_expr
+        ).otherwise(F.lit(0))
+    salted = messages.withColumn("_salt", salt_expr)
     stage1 = salted.groupBy(*keys, "_salt").agg(
         *[getattr(F, fn)(col).alias(out) for out, (col, fn) in aggs.items()]
     )
@@ -65,3 +77,19 @@ def combine(
     return stage1.groupBy(*keys).agg(
         *[getattr(F, fn)(out).alias(out) for out, (_c, fn) in aggs.items()]
     )
+
+
+def hot_destinations(edges: DataFrame, top_k: int = 64) -> list:
+    """The top-k destinations by in-edge count — the hub hot-list the
+    driver computes ONCE (per graph, not per superstep) and feeds to
+    ``combine(hot_keys=...)``.  Transcript graphs concentrate ~half of
+    all endpoints on a few actors (role:assistant/user), so k stays
+    tiny."""
+    dst = edges.columns[1]
+    rows = (
+        edges.groupBy(dst).agg(F.count(F.lit(1)).alias("indeg"))
+        .orderBy(F.desc("indeg"), F.asc(dst))
+        .limit(top_k)
+        .collect()
+    )
+    return [r[dst] for r in rows]

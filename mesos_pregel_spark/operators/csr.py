@@ -76,3 +76,61 @@ def csr_gather_sums(
     partials = packed_edges.mapInPandas(reduce_batches, "dst long, msg_sum double")
     # dst-partitioned input => this merge moves ~#batches rows per dst.
     return partials.groupBy("dst").agg(F.sum("msg_sum").alias("msg_sum"))
+
+
+def csr_triangle_counts(
+    spark: SparkSession, oriented: DataFrame
+) -> DataFrame:
+    """A4 alternate kernel: per-edge sorted-adjacency intersections.
+
+    ``oriented`` is the degree-ordered oriented edge table (u, v) from
+    algos/triangles.py.  The full oriented adjacency (CSR: sorted u →
+    sorted neighbor arrays) is broadcast; ``mapInPandas`` streams edge
+    batches and intersects adj(u) ∩ adj(v) with ``np.intersect1d`` —
+    each common neighbor w closes a triangle {u, v, w}, credited to
+    all three corners.
+
+    Regime: adjacency must fit in a broadcast (fine for actor graphs
+    and up to ~10^8 oriented edges); beyond that, the join formulation
+    in algos/triangles.py is the scale path.  Returns (id, triangles)
+    partial counts (sum per id = per-vertex count; total = sum/3).
+    """
+    pdf = oriented.select("u", "v").toPandas()
+    u = pdf["u"].to_numpy()
+    v = pdf["v"].to_numpy()
+    order = np.lexsort((v, u))
+    u_sorted, v_sorted = u[order], v[order]
+    uniq, starts = np.unique(u_sorted, return_index=True)
+    bounds = np.append(starts, len(u_sorted))
+    bc = spark.sparkContext.broadcast((uniq, bounds, v_sorted))
+    _EMPTY = np.empty(0, dtype=np.int64)
+
+    def count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_uniq, b_bounds, b_adj = bc.value
+
+        def adj(x: int) -> np.ndarray:
+            i = np.searchsorted(b_uniq, x)
+            if i >= len(b_uniq) or b_uniq[i] != x:
+                return _EMPTY
+            return b_adj[b_bounds[i]:b_bounds[i + 1]]
+
+        for batch in batches:
+            ids: list[int] = []
+            counts: list[int] = []
+            for eu, ev in zip(batch["u"].to_numpy(), batch["v"].to_numpy()):
+                common = np.intersect1d(adj(eu), adj(ev), assume_unique=True)
+                n = len(common)
+                if n:
+                    ids.extend((eu, ev))
+                    counts.extend((n, n))
+                    ids.extend(common.tolist())
+                    counts.extend([1] * n)
+            yield pd.DataFrame(
+                {"id": np.array(ids, dtype=np.int64),
+                 "triangles": np.array(counts, dtype=np.int64)}
+            )
+
+    partials = oriented.select("u", "v").mapInPandas(
+        count_batches, "id long, triangles long"
+    )
+    return partials.groupBy("id").agg(F.sum("triangles").alias("triangles"))

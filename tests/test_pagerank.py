@@ -63,3 +63,11 @@ def test_csr_kernel_matches(spark):
     edges = [(r["src"], r["dst"], r["weight"]) for r in ids_df.collect()]
     _run_and_compare(spark, ids_df, edges, tol=0.0, max_supersteps=8,
                      kernel="csr")
+
+
+def test_hot_key_salting_equivalence(spark):
+    """S1 hot-list: salting only the top-k hub destinations produces
+    identical results to unsalted / fully-salted combines."""
+    ids_df, edges, _ = id_space(spark, micro_graph_df(spark, "star_hub"))
+    _run_and_compare(spark, ids_df, edges, tol=0.0, max_supersteps=6,
+                     n_salt=4, salt_hot_k=2)

@@ -51,3 +51,25 @@ def test_transcript_graph(spark):
     ids_df = edges_with_ids(build_edges(t))
     edges = [(r["src"], r["dst"], r["weight"]) for r in ids_df.collect()]
     _compare(spark, ids_df, edges)
+
+
+@pytest.mark.parametrize("name", ["k4", "two_islands", "tri_cycle"])
+def test_csr_kernel_matches_join(spark, name):
+    ids_df, edges, _ = id_space(spark, micro_graph_df(spark, name))
+    pv_join, total_join = triangle_count(spark, ids_df)
+    pv_csr, total_csr = triangle_count(spark, ids_df, kernel="csr")
+    assert total_csr == total_join
+    a = {r["id"]: r["triangles"] for r in pv_join.collect()}
+    b = {r["id"]: r["triangles"] for r in pv_csr.collect()}
+    assert a == b
+
+
+def test_csr_kernel_transcript_graph(spark):
+    t = generate_transcripts(spark, n_conv=200, seed=42)
+    ids_df = edges_with_ids(build_edges(t))
+    edges = [(r["src"], r["dst"], r["weight"]) for r in ids_df.collect()]
+    from tests.oracle_pregel import oracle_triangles
+    exp_counts, exp_total = oracle_triangles(edges)
+    pv, total = triangle_count(spark, ids_df, kernel="csr")
+    assert total == exp_total
+    assert {r["id"]: r["triangles"] for r in pv.collect()} == exp_counts
