@@ -14,22 +14,59 @@ BASELINE.json [B].
 """
 
 from mesos_pregel_spark.session import get_spark
-from mesos_pregel_spark.functions.edges import build_edges, edges_with_ids
+from mesos_pregel_spark.functions.edges import (
+    build_edges,
+    build_edges_generic,
+    edges_with_ids,
+    symmetrize,
+    vertex_names,
+)
 from mesos_pregel_spark.plans.pregel import PregelRun
 from mesos_pregel_spark.algos.pagerank import pagerank
 from mesos_pregel_spark.algos.cc import connected_components
 from mesos_pregel_spark.algos.lpa import label_propagation
 from mesos_pregel_spark.algos.triangles import triangle_count
+from mesos_pregel_spark.functions.dedup import (
+    exact_duplicates,
+    lsh_candidates,
+    near_duplicates,
+    simhash,
+)
+from mesos_pregel_spark.functions.similarity import (
+    ann_lsh_topk,
+    cosine_scores,
+    cosine_topk,
+)
+from mesos_pregel_spark.functions.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
 
 __all__ = [
     "get_spark",
     "build_edges",
+    "build_edges_generic",
     "edges_with_ids",
+    "symmetrize",
+    "vertex_names",
     "PregelRun",
     "pagerank",
     "connected_components",
     "label_propagation",
     "triangle_count",
+    "exact_duplicates",
+    "lsh_candidates",
+    "near_duplicates",
+    "simhash",
+    "ann_lsh_topk",
+    "cosine_scores",
+    "cosine_topk",
+    "fingerprint",
+    "language_id",
+    "quality_score",
+    "token_stats",
 ]
 
 __version__ = "0.1.0"

@@ -182,6 +182,28 @@ SELECT actor, ROUND(pr, 9) AS pagerank FROM pr2
 """
 
 
+def q_pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PageRank to 1e-6 convergence on the events actor graph —
+    the iterative fixpoint isn't SQL-expressible, so the driver records
+    the rows-only check; pytest matches it against the numpy oracle."""
+    ranks, _run = pagerank(
+        spark, _graph_edges(spark, sf_dir), tol=1e-6, max_supersteps=120,
+        edge_partitions=8,
+    )
+    return ranks.select(
+        F.col("id").alias("actor"), F.round("pagerank", 9).alias("pagerank")
+    )
+
+
+def q_lpa_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sync-LPA (20 supersteps) — oscillation-bounded fixpoint,
+    rows-only for the driver; exactness pytest'd vs the oracle."""
+    labels, _run = label_propagation(
+        spark, _graph_edges(spark, sf_dir), max_supersteps=20, edge_partitions=8
+    )
+    return labels.select(F.col("id").alias("actor"), "label")
+
+
 def q_cc_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = symmetrize(events_edges(spark, sf_dir))
     verts = sym.select(F.col("src_actor").alias("actor")).distinct()
@@ -360,9 +382,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degrees": q_degrees,
     "pagerank_step": _pr_query(1),
     "pagerank_step2": _pr_query(2),
+    "pagerank_full": q_pagerank_full,
     "cc_step": q_cc_step,
     "cc_full": q_cc_full,
     "lpa_step": q_lpa_step,
+    "lpa_full": q_lpa_full,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "graph_summary": q_graph_summary,
