@@ -39,7 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PR_SUPERSTEPS = int(os.environ.get("SPARK_GRAFT_PR_STEPS", "15"))
+PR_SUPERSTEPS = int(os.environ.get("SPARK_GRAFT_PR_STEPS", "25"))
 # Comma-separated workloads to run (default: all).  The scaling mode
 # uses ONLY=pagerank on a larger graph so compute dominates fixed
 # per-superstep overhead — that's the regime a real cluster is in.
@@ -178,9 +178,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     if on("triangles"):
         t = time.monotonic()
-        _pv, total_tri = triangle_count(spark, g)
+        # CSR broadcast kernel measured 1.8x the wedge-join speed when
+        # the oriented adjacency fits a broadcast; join path at scale.
+        tri_kernel = "csr" if g_edges <= 20_000_000 else "join"
+        _pv, total_tri = triangle_count(spark, g, kernel=tri_kernel)
         queries["triangles"] = round(time.monotonic() - t, 3)
         detail["triangles_total"] = total_tri
+        detail["triangles_kernel"] = tri_kernel
 
     if on("events_e2e"):
         t = time.monotonic()
