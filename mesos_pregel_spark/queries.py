@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from mesos_pregel_spark.algos.cc import connected_components
 from mesos_pregel_spark.algos.lpa import label_propagation
 from mesos_pregel_spark.algos.pagerank import pagerank
+from mesos_pregel_spark.algos.sssp import shortest_paths
 from mesos_pregel_spark.algos.triangles import triangle_count
 from mesos_pregel_spark.functions.edges import (
     build_edges_generic,
@@ -259,6 +260,52 @@ SELECT actor, label FROM ranked WHERE rn = 1
 """
 
 
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SSSP from the lexicographically smallest source actor.
+    Weights are integer interaction counts, so distances are exact;
+    the oracle is a 10-step unrolled Bellman-Ford (the events actor
+    graph has ~5 vertices, diameter ≪ 10)."""
+    e = _graph_edges(spark, sf_dir)
+    source = e.agg(F.min("src")).collect()[0][0]
+    dists, _run = shortest_paths(spark, e, source, edge_partitions=8)
+    return dists.select(
+        F.col("id").alias("actor"), F.round("distance", 9).alias("distance")
+    )
+
+
+def _sql_sssp(steps: int = 10) -> str:
+    inf = "1e18"
+    # NB: every d{k} is MATERIALIZED — it is referenced twice by
+    # d{k+1}, and DuckDB inlines CTEs by default, which would make the
+    # unrolled chain exponential (2^steps evaluations of the base).
+    parts = [f"""
+, srcv AS (SELECT MIN(src_actor) AS s FROM edges),
+d0 AS MATERIALIZED (
+  SELECT actor,
+         CASE WHEN actor = (SELECT s FROM srcv) THEN 0.0 ELSE {inf} END AS dist
+  FROM verts
+)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+d{k} AS MATERIALIZED (
+  SELECT p.actor, LEAST(p.dist, COALESCE(m.md, {inf})) AS dist
+  FROM d{k-1} p LEFT JOIN (
+    SELECT e.dst_actor AS actor, MIN(pp.dist + e.weight) AS md
+    FROM d{k-1} pp JOIN edges e ON e.src_actor = pp.actor
+    WHERE pp.dist < 1e17 GROUP BY e.dst_actor) m
+  ON m.actor = p.actor
+)""")
+    parts.append(f"""
+SELECT actor,
+       CASE WHEN dist >= 1e17 THEN NULL ELSE ROUND(dist, 9) END AS distance
+FROM d{steps}
+""")
+    return _SQL_EDGES + "".join(parts)
+
+
+SQL_SSSP = _sql_sssp()
+
+
 def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_vertex, _total = triangle_count(spark, _graph_edges(spark, sf_dir))
     return per_vertex.select(F.col("id").alias("actor"), "triangles")
@@ -387,6 +434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_full": q_cc_full,
     "lpa_step": q_lpa_step,
     "lpa_full": q_lpa_full,
+    "sssp": q_sssp,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "graph_summary": q_graph_summary,
@@ -403,6 +451,7 @@ ORACLE_SQL: dict[str, str] = {
     "cc_step": SQL_CC_STEP,
     "cc_full": SQL_CC_FULL,
     "lpa_step": SQL_LPA_STEP,
+    "sssp": SQL_SSSP,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "graph_summary": SQL_GRAPH_SUMMARY,

@@ -162,3 +162,32 @@ def _key(x):
 
 def _lt(a, b):
     return _key(a) < _key(b)
+
+
+def oracle_sssp(edges: list[Edge], source, max_iter: int = 10_000) -> dict:
+    """A5: directed weighted SSSP — Bellman-Ford style relaxation to
+    fixpoint; unreachable vertices map to None."""
+    directed = _dedupe_directed(edges)
+    vs = _vertices(edges)
+    out: dict = defaultdict(list)
+    for (s, d), w in directed.items():
+        out[s].append((d, w))
+    INF = float("inf")
+    dist = {v: (0.0 if v == source else INF) for v in vs}
+    changed = {source} if source in dist else set()
+    for _ in range(max_iter):
+        inbox: dict = {}
+        for u in changed:
+            for v, w in out[u]:
+                cand = dist[u] + w
+                if v not in inbox or cand < inbox[v]:
+                    inbox[v] = cand
+        new_changed = set()
+        for v, m in inbox.items():
+            if m < dist[v]:
+                dist[v] = m
+                new_changed.add(v)
+        changed = new_changed
+        if not changed:
+            break
+    return {v: (None if d == INF else d) for v, d in dist.items()}
