@@ -74,6 +74,39 @@ def cosine_topk(
     )
 
 
+def embedding_near_dups(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the dedup-pipeline
+    flavor of similarity search): candidate pairs are blocked on the
+    ``label`` column — a stand-in for any coarse partitioner (cluster
+    id, IVF cell, LSH bucket) that keeps the pair space sub-quadratic —
+    then verified with exact cosine.  Returns (vec_a, vec_b, label,
+    cosine@6dp) for pairs at or above ``threshold``."""
+    e = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (
+        F.sqrt(_dot(F.col("a.e"), F.col("a.e")))
+        * F.sqrt(_dot(F.col("b.e"), F.col("b.e")))
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        F.round(cos, 6).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
+
+
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes: sign p,d from a bit of
     md5(f"{p}:{d}").  No RNG, reproducible everywhere."""

@@ -27,6 +27,7 @@ from mesos_pregel_spark.functions.similarity import (
     ann_lsh_topk,
     cosine_scores,
     cosine_topk,
+    embedding_near_dups,
 )
 from mesos_pregel_spark.functions.text import (
     LANG_STOPWORDS,
@@ -248,6 +249,20 @@ scores AS (
 
 SQL_COSINE_SCORES = _SQL_COS + "SELECT query_id, vec_id, cosine FROM scores"
 
+# Embedding near-dup verification: pairs blocked on label, exact
+# cosine at 6dp.  Threshold 0.9 (driver testdata embeddings are random
+# — exact-duplicate pairs would be rare; the pytest fixture plants
+# them; an empty result still hash-matches).
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, cosine FROM pairs WHERE cosine >= 0.9
+"""
+
 SQL_COSINE_TOPK = _SQL_COS + """
 , ranked AS (
   SELECT query_id, vec_id, cosine,
@@ -275,6 +290,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": lambda s, d: simhash(_docs(s, d)),
     "cosine_scores": lambda s, d: cosine_scores(s, _emb(s, d)),
     "cosine_topk": lambda s, d: cosine_topk(s, _emb(s, d)),
+    "embedding_near_dups": lambda s, d: embedding_near_dups(
+        s, _emb(s, d), threshold=0.9),
     # rows-only (no SQL-expressible oracle): approximate ANN + the
     # Arrow/mapInPandas multimodal feature plumbing
     "ann_lsh_topk": lambda s, d: ann_lsh_topk(s, _emb(s, d)),
@@ -294,4 +311,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "cosine_scores": SQL_COSINE_SCORES,
     "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
 }

@@ -179,3 +179,23 @@ def test_real_decode_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         real_decode(b"\x00", "image")
+
+
+def test_embedding_near_dups_planted(spark):
+    from mesos_pregel_spark.functions.similarity import embedding_near_dups
+
+    rows = [
+        (0, [1.0, 2.0, 3.0], 0),
+        (1, [1.0, 2.0, 3.0], 0),      # exact dup of 0, same label
+        (2, [1.0, 2.0, 3.01], 0),     # near dup of 0
+        (3, [3.0, -1.0, 0.5], 0),     # unrelated, same label
+        (4, [1.0, 2.0, 3.0], 1),      # dup values but different label: blocked
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in embedding_near_dups(spark, emb, threshold=0.99).collect()}
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got and got[(0, 2)] > 0.999
+    assert (1, 2) in got
+    assert all(a != 4 and b != 4 for a, b in got)  # label blocking
+    assert (0, 3) not in got
