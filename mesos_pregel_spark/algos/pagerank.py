@@ -85,12 +85,17 @@ def pagerank(
         return resumed, run  # already-converged run: stored (id, pagerank)
 
     # edge_partitions=0 ⇒ caller already partitioned+persisted the edge
-    # table (one-time setup, amortized over all supersteps/algorithms).
+    # table (one-time setup, amortized over all supersteps/algorithms)
+    # AND guarantees it is multi-edge-collapsed; otherwise collapse
+    # parallel edges here — outdeg counts distinct out-neighbors (the
+    # pinned UNWEIGHTED semantics above), so duplicate (src,dst) rows
+    # must not double-send mass.
+    nparts = edge_partitions or spark.sparkContext.defaultParallelism
     if edge_partitions == 0:
         edges = edges.select("src", "dst")
     else:
-        nparts = edge_partitions or spark.sparkContext.defaultParallelism
-        edges = edges.select("src", "dst").repartition(nparts, "src") \
+        edges = edges.select("src", "dst").distinct() \
+            .repartition(nparts, "src") \
             .persist(StorageLevel.MEMORY_AND_DISK)
     edge_count = edges.count()  # materialize once; reused every superstep
 
@@ -171,4 +176,6 @@ def pagerank(
     )
     if edge_partitions != 0:
         edges.unpersist()
+    if kernel == "csr" and csr_edges is not None:
+        csr_edges.unpersist()
     return result, run

@@ -78,21 +78,37 @@ def embedding_near_dups(
     spark: SparkSession,
     embeddings: DataFrame,
     threshold: float = 0.99,
+    n_planes: int = 6,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection (the dedup-pipeline
     flavor of similarity search): candidate pairs are blocked on the
-    ``label`` column — a stand-in for any coarse partitioner (cluster
-    id, IVF cell, LSH bucket) that keeps the pair space sub-quadratic —
-    then verified with exact cosine.  Returns (vec_a, vec_b, label,
-    cosine@6dp) for pairs at or above ``threshold``."""
-    e = embeddings.select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
-    )
+    engine's own hyperplane-LSH bucket (self-contained, sub-quadratic —
+    the pair space is Σ_bucket n_b², not n²), then verified with exact
+    cosine.  ``block_col`` substitutes an externally supplied coarse
+    partitioner (cluster id, IVF cell) for the LSH bucket.  Returns
+    (vec_a, vec_b, cosine@6dp) for pairs at or above ``threshold``.
+
+    Scale note: identical vectors always share an LSH bucket (equal
+    sign patterns), so exact duplicates have recall 1.0; near-dup
+    recall rises with cosine and falls with ``n_planes`` (more planes =
+    smaller buckets = less verify work)."""
+    if block_col is None:
+        dim = embeddings.select(F.size("embedding").alias("d")).first()["d"]
+        e = embeddings.select(
+            "vec_id", _as_double(F.col("embedding")).alias("e")
+        ).withColumn("blk", _bucket_expr(_hyperplanes(dim, n_planes)))
+    else:
+        e = embeddings.select(
+            "vec_id",
+            F.col(block_col).alias("blk"),
+            _as_double(F.col("embedding")).alias("e"),
+        )
     a = e.alias("a")
     b = e.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.label") == F.col("b.label"))
+        (F.col("a.blk") == F.col("b.blk"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     cos = _dot(F.col("a.e"), F.col("b.e")) / (
@@ -102,14 +118,14 @@ def embedding_near_dups(
     return pairs.select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.col("a.label").alias("label"),
         F.round(cos, 6).alias("cosine"),
     ).where(F.col("cosine") >= threshold)
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes: sign p,d from a bit of
-    md5(f"{p}:{d}").  No RNG, reproducible everywhere."""
+    md5(f"{p}:{d}").  No RNG, reproducible everywhere (the DuckDB
+    oracle twin inlines the same constants)."""
     planes = []
     for p in range(n_planes):
         row = []
@@ -118,6 +134,18 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
             row.append(1.0 if h & 1 else -1.0)
         planes.append(row)
     return planes
+
+
+def _bucket_expr(planes: list[list[float]]):
+    """Hyperplane signature of the ``e`` column: fold the sign bits in
+    plane order (acc*2 + bit), so plane 0 is the high bit."""
+    planes_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    return F.aggregate(
+        planes_col,
+        F.lit(0),
+        lambda acc, plane: acc * 2
+        + F.when(_dot(plane, F.col("e")) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
 
 
 def ann_lsh_topk(
@@ -132,23 +160,10 @@ def ann_lsh_topk(
     bucket.  Returns (query_id, vec_id, cosine@6dp, rank)."""
     first = embeddings.select(F.size("embedding").alias("d")).first()
     dim = first["d"]
-    planes = _hyperplanes(dim, n_planes)
-    planes_col = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in planes]
-    )
 
     emb = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
-    ).withColumn(
-        "bucket",
-        # fold the sign bits in plane order: acc*2 + sign_bit
-        F.aggregate(
-            planes_col,
-            F.lit(0),
-            lambda acc, plane: acc * 2
-            + F.when(_dot(plane, F.col("e")) > 0, F.lit(1)).otherwise(F.lit(0)),
-        ),
-    )
+    ).withColumn("bucket", _bucket_expr(_hyperplanes(dim, n_planes)))
     queries = (
         emb.orderBy("vec_id").limit(n_queries)
         .select(

@@ -65,6 +65,14 @@ class PregelRun:
                 f"checkpoint at {checkpoint_dir} belongs to {meta.get('algorithm')!r}, "
                 f"not {algorithm!r}"
             )
+        stored_params = meta.get("params")
+        if stored_params is not None and stored_params != run.params:
+            # Resuming under different damping/tol/source would silently
+            # continue (or return a stored final) for the wrong job.
+            raise ValueError(
+                f"checkpoint at {checkpoint_dir} was written with params "
+                f"{stored_params!r}, but resume requested {run.params!r}"
+            )
         if meta.get("final"):
             # The run already converged — hand back the stored result.
             run.resumed_final = True

@@ -263,8 +263,10 @@ SELECT actor, label FROM ranked WHERE rn = 1
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full SSSP from the lexicographically smallest source actor.
     Weights are integer interaction counts, so distances are exact;
-    the oracle is a 10-step unrolled Bellman-Ford (the events actor
-    graph has ~5 vertices, diameter ≪ 10)."""
+    the oracle is a 30-step unrolled Bellman-Ford — comfortably above
+    any plausible hop depth of the events actor graph at every sf
+    (MATERIALIZED CTEs keep oracle cost linear in steps), while the
+    engine runs to full fixpoint."""
     e = _graph_edges(spark, sf_dir)
     source = e.agg(F.min("src")).collect()[0][0]
     dists, _run = shortest_paths(spark, e, source, edge_partitions=8)
@@ -273,7 +275,7 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_sssp(steps: int = 10) -> str:
+def _sql_sssp(steps: int = 30) -> str:
     inf = "1e18"
     # NB: every d{k} is MATERIALIZED — it is referenced twice by
     # d{k+1}, and DuckDB inlines CTEs by default, which would make the

@@ -249,19 +249,51 @@ scores AS (
 
 SQL_COSINE_SCORES = _SQL_COS + "SELECT query_id, vec_id, cosine FROM scores"
 
-# Embedding near-dup verification: pairs blocked on label, exact
-# cosine at 6dp.  Threshold 0.9 (driver testdata embeddings are random
-# — exact-duplicate pairs would be rare; the pytest fixture plants
-# them; an empty result still hash-matches).
-SQL_EMBEDDING_NEAR_DUPS = """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+# Embedding near-dup verification: pairs blocked on the engine's OWN
+# hyperplane-LSH bucket (same deterministic ±1 planes as
+# similarity._hyperplanes, inlined as literals on both sides), exact
+# cosine at 6dp.  Threshold 0.35 chosen by inspection so sf0.01's
+# random embeddings yield a NON-EMPTY result (~17 pairs) — values are
+# actually compared, not just two empty sets.
+EMBED_NEAR_DUP_THRESHOLD = 0.35
+_EMBED_DIM = 64  # driver testdata embeddings are 64-d (TESTDATA.md)
+_EMBED_PLANES = 6
+
+
+def _sql_embedding_near_dups(
+    threshold: float = EMBED_NEAR_DUP_THRESHOLD,
+    dim: int = _EMBED_DIM,
+    n_planes: int = _EMBED_PLANES,
+) -> str:
+    from mesos_pregel_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    terms = []
+    for p, row in enumerate(planes):
+        lit = "[" + ", ".join(str(v) for v in row) + "]::DOUBLE[]"
+        weight = 2 ** (n_planes - 1 - p)
+        terms.append(
+            f"(CASE WHEN list_dot_product({lit}, v) > 0 "
+            f"THEN {weight} ELSE 0 END)"
+        )
+    bucket = "\n       + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         {bucket} AS blk
+  FROM e
+),
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM b a JOIN b b ON a.blk = b.blk AND a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, label, cosine FROM pairs WHERE cosine >= 0.9
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}
 """
+
+
+SQL_EMBEDDING_NEAR_DUPS = _sql_embedding_near_dups()
 
 SQL_COSINE_TOPK = _SQL_COS + """
 , ranked AS (
@@ -273,6 +305,26 @@ SQL_COSINE_TOPK = _SQL_COS + """
 SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
 """
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver query for the multimodal Arrow plumbing.  The
+    driver canonicalizes rows with a pandas sort, which cannot hash an
+    ``array<float>`` column — so ``feat`` is projected to a
+    deterministic string signature (each value rounded to 3dp); the
+    array-typed path stays covered by tests/test_text_pipeline.py."""
+    from pyspark.sql import functions as F
+
+    feats = decode_features(synthesize_media(_docs(spark, sf_dir)), partitions=8)
+    feat_sig = F.concat_ws(
+        ",", F.transform(F.col("feat"), lambda x: F.round(x.cast("double"), 3).cast("string"))
+    )
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        feat_sig.alias("feat_sig"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -291,13 +343,12 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_scores": lambda s, d: cosine_scores(s, _emb(s, d)),
     "cosine_topk": lambda s, d: cosine_topk(s, _emb(s, d)),
     "embedding_near_dups": lambda s, d: embedding_near_dups(
-        s, _emb(s, d), threshold=0.9),
+        s, _emb(s, d), threshold=EMBED_NEAR_DUP_THRESHOLD,
+        n_planes=_EMBED_PLANES),
     # rows-only (no SQL-expressible oracle): approximate ANN + the
     # Arrow/mapInPandas multimodal feature plumbing
     "ann_lsh_topk": lambda s, d: ann_lsh_topk(s, _emb(s, d)),
-    "multimodal_features": lambda s, d: decode_features(
-        synthesize_media(_docs(s, d)), partitions=8
-    ),
+    "multimodal_features": lambda s, d: _multimodal_features(s, d),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {

@@ -182,14 +182,21 @@ def test_real_decode_is_explicit_stub():
 
 
 def test_embedding_near_dups_planted(spark):
+    """Default (self-contained LSH-bucket) blocking: identical vectors
+    always share a bucket, so exact dups have recall 1.0 regardless of
+    any external grouping column."""
     from mesos_pregel_spark.functions.similarity import embedding_near_dups
 
+    # NB: base vector chosen OFF every ±1-hyperplane boundary (min
+    # |±1·1 ±1·2 ±1·3.5| = 0.5), so a 0.01 perturbation cannot flip a
+    # sign bit — near dups that straddle a plane are legitimately
+    # missed by LSH blocking (recall < 1 is the documented trade).
     rows = [
-        (0, [1.0, 2.0, 3.0], 0),
-        (1, [1.0, 2.0, 3.0], 0),      # exact dup of 0, same label
-        (2, [1.0, 2.0, 3.01], 0),     # near dup of 0
-        (3, [3.0, -1.0, 0.5], 0),     # unrelated, same label
-        (4, [1.0, 2.0, 3.0], 1),      # dup values but different label: blocked
+        (0, [1.0, 2.0, 3.5], 0),
+        (1, [1.0, 2.0, 3.5], 0),      # exact dup of 0
+        (2, [1.0, 2.0, 3.51], 0),     # near dup of 0
+        (3, [3.0, -1.0, 0.5], 0),     # unrelated
+        (4, [1.0, 2.0, 3.5], 1),      # dup values, different label
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     got = {(r["vec_a"], r["vec_b"]): r["cosine"]
@@ -197,5 +204,23 @@ def test_embedding_near_dups_planted(spark):
     assert got[(0, 1)] == 1.0
     assert (0, 2) in got and got[(0, 2)] > 0.999
     assert (1, 2) in got
-    assert all(a != 4 and b != 4 for a, b in got)  # label blocking
-    assert (0, 3) not in got
+    assert got[(0, 4)] == 1.0          # content-based blocking finds it
+    assert (0, 3) not in got           # below threshold
+
+
+def test_embedding_near_dups_external_block_col(spark):
+    """block_col substitutes an externally supplied partitioner (IVF
+    cell / cluster id) for the LSH bucket — pairs across blocks are
+    never compared."""
+    from mesos_pregel_spark.functions.similarity import embedding_near_dups
+
+    rows = [
+        (0, [1.0, 2.0, 3.0], 0),
+        (1, [1.0, 2.0, 3.0], 0),
+        (4, [1.0, 2.0, 3.0], 1),      # dup values but different label: blocked
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in embedding_near_dups(
+               spark, emb, threshold=0.99, block_col="label").collect()}
+    assert got == {(0, 1): 1.0}
