@@ -22,6 +22,7 @@ from mesos_pregel_spark.functions.edges import (
     vertex_names,
 )
 from mesos_pregel_spark.plans.pregel import PregelRun
+from mesos_pregel_spark.plans.program import VertexProgram, pregel
 from mesos_pregel_spark.algos.pagerank import pagerank
 from mesos_pregel_spark.algos.cc import connected_components
 from mesos_pregel_spark.algos.lpa import label_propagation
@@ -52,6 +53,8 @@ __all__ = [
     "symmetrize",
     "vertex_names",
     "PregelRun",
+    "VertexProgram",
+    "pregel",
     "pagerank",
     "connected_components",
     "label_propagation",

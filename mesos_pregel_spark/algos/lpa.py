@@ -14,22 +14,21 @@ paragraph — determinism is part of the contract, BASELINE.json:14):
   bounded by ``max_supersteps`` (default 20); halts early when no
   label changed.
 
-The combiner is the per-(dst,label) weight sum — commutative +
-associative, so map-side partials apply; the argmax is a single
-``max_by``-style struct aggregate (max of (weight_sum, -label)), not a
-window, so it stays one hash aggregation per superstep.
+Expressed as a :class:`VertexProgram` on plans/program.py: the
+combiner is the per-(dst, label) weight sum — commutative +
+associative, so map-side partials apply — and the argmax is a
+``post_combine`` struct-min aggregate (min of (-weight_sum, label)),
+not a window, so it stays one hash aggregation per superstep.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from mesos_pregel_spark.functions.edges import symmetrize
-from mesos_pregel_spark.operators.combine import combine
-from mesos_pregel_spark.operators.scatter import scatter
 from mesos_pregel_spark.plans.pregel import PregelRun
+from mesos_pregel_spark.plans.program import VertexProgram, pregel
 
 
 def label_propagation(
@@ -43,61 +42,25 @@ def label_propagation(
     edge_partitions: int | None = None,
 ) -> tuple[DataFrame, PregelRun]:
     """Run sync-LPA.  Returns (labels(id, label), run)."""
-    run, resumed = (
-        PregelRun.resume(spark, "lpa", checkpoint_dir, checkpoint_every=checkpoint_every)
-        if checkpoint_dir
-        else (PregelRun(spark, "lpa"), None)
-    )
 
-    if run.resumed_final:
-        return resumed, run  # bounded-superstep run already completed
-
-    nparts = edge_partitions or spark.sparkContext.defaultParallelism
-    sym = symmetrize(edges.select("src", "dst", "weight")) \
-        .repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    sym.count()
-
-    if resumed is not None:
-        state = resumed
-    else:
-        state = sym.select(F.col("src").alias("id")).distinct() \
+    def init(e: DataFrame, ctx: dict) -> DataFrame:
+        return (
+            e.select(F.col("src").alias("id")).distinct()
             .select("id", F.col("id").alias("label"))
-        state = run.materialize(state)
-
-    hot = None
-    if n_salt > 0 and salt_hot_k > 0:
-        from mesos_pregel_spark.operators.combine import hot_destinations
-        hot = hot_destinations(sym, salt_hot_k)
-
-    while run.superstep < max_supersteps:
-        msgs = scatter(
-            sym,
-            state,
-            [
-                F.col("label").alias("msg_label"),
-                F.col("weight").alias("msg_weight"),
-                F.col("src").alias("msrc"),
-            ],
         )
-        # Combiner stage: per-(dst, label) weight sums (partial-agg friendly).
-        per_label = combine(
-            msgs,
-            ["dst", "msg_label"],
-            {"wsum": ("msg_weight", "sum")},
-            n_salt=n_salt,
-            salt_on="msrc",
-            hot_keys=hot,
-        )
+
+    def argmax(per_label: DataFrame) -> DataFrame:
         # Argmax with smallest-label tie-break: min of struct
         # (-wsum, label) compares weight first (negated => largest sum
         # wins), then prefers the smaller label — type-generic, works
         # for long ids and string actor keys alike.
-        winner = per_label.groupBy("dst").agg(
+        return per_label.groupBy("dst").agg(
             F.min(F.struct((-F.col("wsum")).alias("neg_wsum"),
                            F.col("msg_label").alias("lbl"))).alias("best")
         ).select("dst", F.col("best.lbl").alias("new_label"))
 
-        new_state = (
+    def apply(state: DataFrame, winner: DataFrame, ctx: dict) -> DataFrame:
+        return (
             state.join(winner, state["id"] == winner["dst"], "left_outer")
             .select(
                 state["id"],
@@ -106,20 +69,34 @@ def label_propagation(
                 .alias("changed"),
             )
         )
-        new_state = run.materialize(new_state)
-        aggs = run.aggregators(
-            new_state,
-            [
-                F.sum(F.col("changed").cast("long")).alias("changed_count"),
-                F.count_distinct(F.col("label")).alias("n_labels"),
-            ],
-        )
-        run.record(changed=aggs["changed_count"], n_labels=aggs["n_labels"])
-        state = new_state.drop("changed")
-        run.next_superstep()
-        if aggs["changed_count"] == 0:
-            break
 
-    result = run.finish(state.select("id", "label"))
-    sym.unpersist()
-    return result, run
+    program = VertexProgram(
+        name="lpa",
+        init=init,
+        prep_edges=lambda e: symmetrize(e.select("src", "dst", "weight")),
+        edge_cols=("src", "dst", "weight"),
+        msg_cols=[
+            F.col("label").alias("msg_label"),
+            F.col("weight").alias("msg_weight"),
+        ],
+        combine_keys=("dst", "msg_label"),
+        combiner={"wsum": ("msg_weight", "sum")},
+        post_combine=argmax,
+        apply=apply,
+        aggregators=[
+            F.sum(F.col("changed").cast("long")).alias("changed_count"),
+            F.count_distinct(F.col("label")).alias("n_labels"),
+        ],
+        halt=lambda aggs: aggs["changed_count"] == 0,
+        finalize=lambda s: s.select("id", "label"),
+        # Bounded-iteration program: hitting the superstep cap is normal
+        # completion (sync-LPA may oscillate forever otherwise).
+        converged_at_cap=True,
+    )
+    return pregel(
+        spark, edges, program,
+        max_supersteps=max_supersteps,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        n_salt=n_salt, salt_hot_k=salt_hot_k,
+        edge_partitions=edge_partitions,
+    )

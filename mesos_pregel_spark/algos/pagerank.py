@@ -5,29 +5,30 @@ paragraph):
 
     pr'_v = (1-d)/N + d * Σ_{u→v} pr_u / outdeg_u        (d = 0.85)
 
-- UNWEIGHTED: outdeg_u = number of distinct out-neighbors (the edge
-  table is already multi-edge-collapsed by build_edges).
+- UNWEIGHTED: outdeg_u = number of distinct out-neighbors (parallel
+  edges are collapsed in edge prep).
 - Dangling vertices send nothing — their mass leaks; do NOT
   renormalize (Pregel-paper variant).
 - Initial value 1/N.  All vertices recompute every superstep.
 - Converge when max_v |pr'_v − pr_v| < tol (1e-6, BASELINE.json:2).
 
-Physical plan per superstep: scatter join (edges pre-partitioned by
-src, persisted — only the small vertex state shuffles) → combiner
-(hash agg with automatic map-side partials; optional explicit salting
-for hub skew) → left join back to state + pure column expressions.
-The only driver boundary is the P5 aggregator collect (max delta).
+Expressed as a :class:`VertexProgram` on the generic superstep runner
+(plans/program.py): scatter join (edges pre-partitioned by src,
+persisted — only the small vertex state shuffles) → sum combiner (hash
+agg with automatic map-side partials; optional explicit salting for
+hub skew) → damping expression.  ``kernel='csr'`` swaps the gather for
+the Arrow/CSR broadcast kernel (operators/csr.py) via
+``custom_gather`` — correct when vertex state fits in a broadcast,
+which holds for actor graphs (vertex set = roles ∪ tools).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
-from mesos_pregel_spark.operators.combine import combine
-from mesos_pregel_spark.operators.scatter import scatter
 from mesos_pregel_spark.plans.pregel import PregelRun
+from mesos_pregel_spark.plans.program import VertexProgram, pregel
 
 
 def init_state(edges: DataFrame) -> tuple[DataFrame, int]:
@@ -65,77 +66,19 @@ def pagerank(
     edge_partitions: int | None = None,
     kernel: str = "join",
 ) -> tuple[DataFrame, PregelRun]:
-    """Run PageRank to convergence.  Returns (ranks(id, pagerank), run).
+    """Run PageRank to convergence.  Returns (ranks(id, pagerank), run)."""
 
-    ``kernel='csr'`` switches the gather to the Arrow/CSR fast path
-    (operators/csr.py) — correct when vertex state fits in a broadcast,
-    which holds for actor graphs (vertex set = roles ∪ tools).
-    """
-    run, resumed = (
-        PregelRun.resume(
-            spark, "pagerank", checkpoint_dir,
-            checkpoint_every=checkpoint_every,
-            params={"damping": damping, "tol": tol},
-        )
-        if checkpoint_dir
-        else (PregelRun(spark, "pagerank", params={"damping": damping, "tol": tol}), None)
-    )
+    def init(e: DataFrame, ctx: dict) -> DataFrame:
+        state, n = init_state(e)
+        ctx["n"] = n
+        return state
 
-    if run.resumed_final:
-        return resumed, run  # already-converged run: stored (id, pagerank)
+    def restore_ctx(state: DataFrame, ctx: dict) -> None:
+        ctx["n"] = state.count()
 
-    # edge_partitions=0 ⇒ caller already partitioned+persisted the edge
-    # table (one-time setup, amortized over all supersteps/algorithms)
-    # AND guarantees it is multi-edge-collapsed; otherwise collapse
-    # parallel edges here — outdeg counts distinct out-neighbors (the
-    # pinned UNWEIGHTED semantics above), so duplicate (src,dst) rows
-    # must not double-send mass.
-    nparts = edge_partitions or spark.sparkContext.defaultParallelism
-    if edge_partitions == 0:
-        edges = edges.select("src", "dst")
-    else:
-        edges = edges.select("src", "dst").distinct() \
-            .repartition(nparts, "src") \
-            .persist(StorageLevel.MEMORY_AND_DISK)
-    edge_count = edges.count()  # materialize once; reused every superstep
-
-    if resumed is not None:
-        state = resumed
-        n = state.count()
-    else:
-        state, n = init_state(edges)
-        state = run.materialize(state)
-
-    if kernel == "csr":
-        from mesos_pregel_spark.operators.csr import csr_gather_sums
-        csr_edges = None  # packed lazily below
-
-    # S1 hot-list: computed once per graph, reused every superstep.
-    hot = None
-    if n_salt > 0 and salt_hot_k > 0:
-        from mesos_pregel_spark.operators.combine import hot_destinations
-        hot = hot_destinations(edges, salt_hot_k)
-
-    converged = False
-    while run.superstep < max_supersteps:
-        if kernel == "csr":
-            from mesos_pregel_spark.operators.csr import pack_edges_by_dst
-            if csr_edges is None:
-                csr_edges = pack_edges_by_dst(edges, nparts)
-            combined = csr_gather_sums(spark, csr_edges, state)
-        else:
-            msgs = scatter(
-                edges,
-                state.where(F.col("outdeg") > 0),
-                [(F.col("pr") / F.col("outdeg")).alias("msg"), F.col("src").alias("msrc")],
-            )
-            combined = combine(
-                msgs, ["dst"], {"msg_sum": ("msg", "sum")},
-                n_salt=n_salt, salt_on="msrc", hot_keys=hot,
-            )
-
-        teleport = (1.0 - damping) / float(n)
-        new_state = (
+    def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:
+        teleport = (1.0 - damping) / float(ctx["n"])
+        return (
             state.join(combined, state["id"] == combined["dst"], "left_outer")
             .select(
                 state["id"],
@@ -150,32 +93,72 @@ def pagerank(
             .drop("pr_prev")
         )
 
-        new_state = run.materialize(new_state, meta={"n_vertices": n})
-        aggs = run.aggregators(
-            new_state,
-            [
-                F.max("delta").alias("max_delta"),
-                F.sum("pr").alias("pr_mass"),
-                F.count(F.lit(1)).alias("n_vertices"),
-            ],
+    custom_gather = None
+    packed: dict = {}  # CSR edge table, lazily packed once per run
+    if kernel == "csr":
+        from mesos_pregel_spark.operators.combine import combine
+        from mesos_pregel_spark.operators.scatter import scatter
+        from mesos_pregel_spark.operators.csr import (
+            CsrStateTooLarge,
+            csr_gather_sums,
+            pack_edges_by_dst,
         )
-        run.record(
-            max_delta=aggs["max_delta"],
-            pr_mass=aggs["pr_mass"],
-            messages_emitted=edge_count,
-            active=n,
-        )
-        state = new_state.drop("delta")
-        run.next_superstep()
-        converged = aggs["max_delta"] < tol
-        if converged:
-            break
 
-    result = run.finish(
-        state.select("id", F.col("pr").alias("pagerank")), converged=converged
+        def join_gather(e, state):
+            msgs = scatter(
+                e,
+                state,
+                [(F.col("pr") / F.col("outdeg")).alias("msg")],
+                active_filter=F.col("outdeg") > 0,
+            )
+            return combine(msgs, ["dst"], {"msg_sum": ("msg", "sum")})
+
+        def custom_gather(spark, e, state, ctx):
+            # Guard: CSR broadcasts the whole vertex state — fall back
+            # to the join kernel instead of OOMing the driver when the
+            # graph outgrows the broadcastable regime.
+            if ctx.get("csr_fallback"):
+                return join_gather(e, state)
+            try:
+                if "edges" not in packed:
+                    packed["edges"] = pack_edges_by_dst(e, ctx["nparts"])
+                return csr_gather_sums(
+                    spark, packed["edges"], state, n_vertices=ctx.get("n")
+                )
+            except CsrStateTooLarge:
+                ctx["csr_fallback"] = True
+                return join_gather(e, state)
+
+    program = VertexProgram(
+        name="pagerank",
+        init=init,
+        restore_ctx=restore_ctx,
+        # Collapse parallel edges: outdeg counts DISTINCT out-neighbors
+        # (pinned semantics above), so duplicate (src,dst) rows must not
+        # double-send mass.  edge_partitions=0 callers guarantee this.
+        prep_edges=lambda e: e.select("src", "dst").distinct(),
+        edge_cols=("src", "dst"),
+        msg_cols=[(F.col("pr") / F.col("outdeg")).alias("msg")],
+        active_filter=F.col("outdeg") > 0,
+        combiner={"msg_sum": ("msg", "sum")},
+        apply=apply,
+        aggregators=[
+            F.max("delta").alias("max_delta"),
+            F.sum("pr").alias("pr_mass"),
+            F.count(F.lit(1)).alias("n_vertices"),
+        ],
+        halt=lambda aggs: aggs["max_delta"] < tol,
+        finalize=lambda s: s.select("id", F.col("pr").alias("pagerank")),
+        custom_gather=custom_gather,
+        params={"damping": damping, "tol": tol},
     )
-    if edge_partitions != 0:
-        edges.unpersist()
-    if kernel == "csr" and csr_edges is not None:
-        csr_edges.unpersist()
+    result, run = pregel(
+        spark, edges, program,
+        max_supersteps=max_supersteps,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        n_salt=n_salt, salt_hot_k=salt_hot_k,
+        edge_partitions=edge_partitions,
+    )
+    if "edges" in packed:
+        packed["edges"].unpersist()
     return result, run

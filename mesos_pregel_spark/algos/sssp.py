@@ -13,17 +13,17 @@ Pinned semantics (shared with tests/oracle_pregel.py::oracle_sssp):
   machinery with (dist, +) in place of (comp, min-id).
 - Terminates when no distance changed; unreachable vertices keep +inf
   (reported as null in the result).
+
+Expressed as a :class:`VertexProgram` on plans/program.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
-from mesos_pregel_spark.operators.combine import combine
-from mesos_pregel_spark.operators.scatter import scatter
 from mesos_pregel_spark.plans.pregel import PregelRun
+from mesos_pregel_spark.plans.program import VertexProgram, pregel
 
 _INF = float("inf")
 
@@ -42,61 +42,22 @@ def shortest_paths(
 ) -> tuple[DataFrame, PregelRun]:
     """Run SSSP from ``source``.  Returns (dists(id, distance), run)
     with distance null for unreachable vertices."""
-    run, resumed = (
-        PregelRun.resume(spark, "sssp", checkpoint_dir,
-                         checkpoint_every=checkpoint_every,
-                         params={"source": str(source)})
-        if checkpoint_dir
-        else (PregelRun(spark, "sssp", params={"source": str(source)}), None)
-    )
-    if run.resumed_final:
-        return resumed, run
 
-    nparts = edge_partitions or spark.sparkContext.defaultParallelism
-    if edge_partitions == 0:
-        e = edges.select("src", "dst", "weight")
-    else:
-        e = edges.select("src", "dst", "weight").repartition(nparts, "src") \
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        e.count()
-
-    if resumed is not None:
-        state = resumed
-    else:
+    def init(e: DataFrame, ctx: dict) -> DataFrame:
         vertices = (
             e.select(F.col("src").alias("id"))
             .unionByName(e.select(F.col("dst").alias("id")))
             .distinct()
         )
-        state = vertices.select(
+        return vertices.select(
             "id",
             F.when(F.col("id") == F.lit(source), F.lit(0.0))
             .otherwise(F.lit(_INF)).alias("dist"),
             (F.col("id") == F.lit(source)).alias("changed"),
         )
-        state = run.materialize(state)
 
-    hot = None
-    if n_salt > 0 and salt_hot_k > 0:
-        from mesos_pregel_spark.operators.combine import hot_destinations
-        hot = hot_destinations(e, salt_hot_k)
-
-    active = None
-    while run.superstep < max_supersteps:
-        use_broadcast = active is not None and active <= broadcast_threshold
-        msgs = scatter(
-            e,
-            state,
-            [(F.col("dist") + F.col("weight")).alias("msg"),
-             F.col("src").alias("msrc")],
-            active_filter=F.col("changed"),
-            broadcast=use_broadcast,
-        )
-        combined = combine(
-            msgs, ["dst"], {"msg_min": ("msg", "min")},
-            n_salt=n_salt, salt_on="msrc", hot_keys=hot,
-        )
-        new_state = (
+    def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:
+        return (
             state.join(combined, state["id"] == combined["dst"], "left_outer")
             .select(
                 state["id"],
@@ -108,30 +69,34 @@ def shortest_paths(
                 ).alias("changed"),
             )
         )
-        new_state = run.materialize(new_state)
-        aggs = run.aggregators(
-            new_state,
-            [
-                F.sum(F.col("changed").cast("long")).alias("changed_count"),
-                F.sum(F.when(F.col("dist") != _INF, 1).otherwise(0))
-                .alias("reached"),
-            ],
-        )
-        run.record(active=aggs["changed_count"], reached=aggs["reached"])
-        state = new_state
-        run.next_superstep()
-        active = aggs["changed_count"]
-        if active == 0:
-            break
 
-    result = run.finish(
-        state.select(
+    program = VertexProgram(
+        name="sssp",
+        init=init,
+        prep_edges=lambda e: e.select("src", "dst", "weight"),
+        edge_cols=("src", "dst", "weight"),
+        msg_cols=[(F.col("dist") + F.col("weight")).alias("msg")],
+        active_filter=F.col("changed"),
+        combiner={"msg_min": ("msg", "min")},
+        apply=apply,
+        aggregators=[
+            F.sum(F.col("changed").cast("long")).alias("active"),
+            F.sum(F.when(F.col("dist") != _INF, 1).otherwise(0)).alias("reached"),
+        ],
+        halt=lambda aggs: aggs["active"] == 0,
+        frontier_agg="active",
+        finalize=lambda s: s.select(
             "id",
             F.when(F.col("dist") == _INF, F.lit(None).cast("double"))
             .otherwise(F.col("dist")).alias("distance"),
         ),
-        converged=(active == 0),
+        params={"source": str(source)},
     )
-    if edge_partitions != 0:
-        e.unpersist()
-    return result, run
+    return pregel(
+        spark, edges, program,
+        max_supersteps=max_supersteps,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        n_salt=n_salt, salt_hot_k=salt_hot_k,
+        broadcast_threshold=broadcast_threshold,
+        edge_partitions=edge_partitions,
+    )

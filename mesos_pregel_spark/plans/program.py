@@ -1,0 +1,199 @@
+"""The generic user-supplied vertex-program API — mesos-pregel's core
+capability ("bring your own Compute", Pregel [P §3]; SURVEY §2.5 listed
+it as a non-goal for round 1, promoted to first-class in round 2).
+
+A :class:`VertexProgram` declares, in DataFrame terms, exactly the
+pieces Pregel's ``Compute`` callback owns:
+
+- ``init``         — initial vertex state from the prepared edge table;
+- ``msg_cols``     — SendMessageTo: expressions over the (edge ⋈ active
+                     state) row, evaluated by the scatter join [P §3];
+- ``combiner``     — commutative+associative message reduction [P §3.2];
+- ``apply``        — the vertex update: new state from old state + the
+                     combined inbox.  It also receives ``ctx`` whose
+                     ``ctx["aggs"]`` holds the PREVIOUS superstep's
+                     global aggregator values — Pregel's rule that
+                     aggregator results are visible to vertices in the
+                     next superstep [P §3.3];
+- ``aggregators``  — global reductions collected at the barrier;
+- ``halt``         — vote-to-halt at job granularity: the run stops
+                     when ``halt(aggs)`` is true (per-vertex halting is
+                     expressed through ``active_filter``) [P §3].
+
+:func:`pregel` runs the superstep loop with the engine's scale
+machinery applied uniformly: edges repartitioned by ``src`` once and
+persisted, hub-salted two-stage combines (S1), hard lineage truncation
+per superstep (S3), frontier-size-driven broadcast swap (SURVEY §4.3),
+checkpoint/resume (P8) and per-superstep metrics (S4).  The built-in
+algorithms (algos/pagerank.py, cc.py, lpa.py, sssp.py) are thin
+wrappers constructing a VertexProgram — a user's custom algorithm is
+the same ~20 declarative lines (see
+tests/test_program.py::test_custom_program_max_propagation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from mesos_pregel_spark.operators.combine import combine
+from mesos_pregel_spark.operators.scatter import scatter
+from mesos_pregel_spark.plans.pregel import PregelRun
+
+
+@dataclass
+class VertexProgram:
+    """Declarative description of one Pregel job (see module docstring).
+
+    ``ctx`` is a plain dict threaded through the run: ``init`` /
+    ``restore_ctx`` may stash graph-level constants (vertex count,
+    source id), and the loop publishes each superstep's aggregator
+    values under ``ctx["aggs"]`` before the next ``apply``.
+    """
+
+    name: str
+    # (prepared edges, ctx) -> initial state; must contain an `id` column.
+    init: Callable[[DataFrame, dict], DataFrame]
+    # Aliased expressions over the scatter-joined row (edge cols + state cols).
+    msg_cols: Sequence[Column]
+    # output column -> (message column, fn in {sum, min, max}).
+    combiner: dict[str, tuple[str, str]]
+    # (state, combined messages, ctx) -> new state (keep `id` + halt cols).
+    apply: Callable[[DataFrame, DataFrame, dict], DataFrame]
+    # Global reductions evaluated on the NEW state each superstep.
+    aggregators: Sequence[Column]
+    # aggs -> True when the job should stop (converged).
+    halt: Callable[[dict], bool]
+    # Columns the superstep loop needs from the raw edge DataFrame
+    # (used only when edge_partitions=0 hands over pre-prepared edges).
+    edge_cols: Sequence[str] = ("src", "dst", "weight")
+    # Combine grouping keys; LPA-style programs add the message label.
+    combine_keys: Sequence[str] = ("dst",)
+    # Vote-to-halt: restrict the sending side (e.g. F.col("changed")).
+    active_filter: Column | None = None
+    # Name of the aggregator output holding the frontier size, for the
+    # driver-side broadcast-join swap when it falls under threshold.
+    frontier_agg: str | None = None
+    # Raw edges -> prepared edges (symmetrize, collapse, project).
+    prep_edges: Callable[[DataFrame], DataFrame] | None = None
+    # Post-combine transform (e.g. LPA's argmax over per-label sums).
+    post_combine: Callable[[DataFrame], DataFrame] | None = None
+    # Final state -> result projection.
+    finalize: Callable[[DataFrame], DataFrame] | None = None
+    # Rebuild ctx constants when resuming from a checkpoint.
+    restore_ctx: Callable[[DataFrame, dict], None] | None = None
+    # Replace scatter+combine entirely (e.g. the CSR/Arrow gather):
+    # (spark, edges, state, ctx) -> combined messages.
+    custom_gather: (
+        Callable[[SparkSession, DataFrame, DataFrame, dict], DataFrame] | None
+    ) = None
+    # Bounded-iteration programs (sync-LPA) treat hitting the superstep
+    # cap as normal completion, not interruption.
+    converged_at_cap: bool = False
+    # Recorded in checkpoints; resume rejects a mismatch.
+    params: dict = field(default_factory=dict)
+
+
+def pregel(
+    spark: SparkSession,
+    edges: DataFrame,
+    program: VertexProgram,
+    max_supersteps: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    n_salt: int = 0,
+    salt_hot_k: int = 0,
+    broadcast_threshold: int | None = None,
+    edge_partitions: int | None = None,
+) -> tuple[DataFrame, PregelRun]:
+    """Run ``program`` to its halt condition (or the superstep cap).
+    Returns (result DataFrame, run bookkeeping).
+
+    ``edge_partitions=0`` means the caller already projected,
+    partitioned and persisted the edge table (one-time setup amortized
+    across jobs); any other value repartitions by ``src`` and persists
+    here so every superstep's scatter join reuses the partitioning and
+    only the small vertex-state side shuffles.
+    """
+    run, resumed = (
+        PregelRun.resume(
+            spark, program.name, checkpoint_dir,
+            checkpoint_every=checkpoint_every, params=program.params,
+        )
+        if checkpoint_dir
+        else (PregelRun(spark, program.name, params=program.params), None)
+    )
+    if run.resumed_final:
+        return resumed, run
+
+    nparts = edge_partitions or spark.sparkContext.defaultParallelism
+    if edge_partitions == 0:
+        e = edges.select(*[c for c in program.edge_cols if c in edges.columns])
+    else:
+        e = program.prep_edges(edges) if program.prep_edges else edges
+        e = e.repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
+        e.count()
+
+    ctx: dict = {"aggs": {}, "nparts": nparts}
+    if resumed is not None:
+        state = resumed
+        if program.restore_ctx is not None:
+            program.restore_ctx(state, ctx)
+    else:
+        state = run.materialize(program.init(e, ctx))
+
+    hot = None
+    if n_salt > 0 and salt_hot_k > 0:
+        from mesos_pregel_spark.operators.combine import hot_destinations
+        hot = hot_destinations(e, salt_hot_k)
+
+    converged = False
+    while run.superstep < max_supersteps:
+        if program.custom_gather is not None:
+            combined = program.custom_gather(spark, e, state, ctx)
+        else:
+            frontier = (
+                ctx["aggs"].get(program.frontier_agg)
+                if program.frontier_agg else None
+            )
+            use_broadcast = (
+                broadcast_threshold is not None
+                and frontier is not None
+                and frontier <= broadcast_threshold
+            )
+            msgs = scatter(
+                e,
+                state,
+                [*program.msg_cols, F.col("src").alias("msrc")],
+                active_filter=program.active_filter,
+                broadcast=use_broadcast,
+            )
+            combined = combine(
+                msgs, list(program.combine_keys), program.combiner,
+                n_salt=n_salt, salt_on="msrc", hot_keys=hot,
+            )
+        if program.post_combine is not None:
+            combined = program.post_combine(combined)
+
+        new_state = program.apply(state, combined, ctx)
+        new_state = run.materialize(new_state)
+        aggs = run.aggregators(new_state, list(program.aggregators))
+        run.record(**aggs)
+        ctx["aggs"] = aggs  # visible to apply() NEXT superstep [P §3.3]
+        state = new_state
+        run.next_superstep()
+        if program.halt(aggs):
+            converged = True
+            break
+
+    result = run.finish(
+        program.finalize(state) if program.finalize else state,
+        converged=converged or program.converged_at_cap,
+    )
+    if edge_partitions != 0:
+        e.unpersist()
+    return result, run
