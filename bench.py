@@ -97,7 +97,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     from mesos_pregel_spark.algos.lpa import label_propagation
     from mesos_pregel_spark.algos.pagerank import pagerank
     from mesos_pregel_spark.algos.triangles import triangle_count
-    from mesos_pregel_spark.fixtures import generate_transcripts
+    from mesos_pregel_spark.fixtures import generate_transcripts_dist
     from mesos_pregel_spark.functions.edges import build_edges, edges_with_ids
     from mesos_pregel_spark.queries import _graph_edges
     from mesos_pregel_spark.session import get_spark
@@ -122,7 +122,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     if on("edge_build"):
         t = time.monotonic()
-        transcripts = generate_transcripts(spark, n_conv=n_conv, partitions=cpus * 2)
+        # Distributed generation (spark.range + column exprs): no
+        # driver-side rows, no outsized task binaries, scales to 10^8
+        # turns (round-1 shipped 4975 KiB tasks from the pandas path).
+        transcripts = generate_transcripts_dist(
+            spark, n_conv=n_conv, partitions=cpus * 2)
         transcripts = transcripts.persist()
         n_turns = transcripts.count()
         detail["transcript_gen_sec"] = round(time.monotonic() - t, 3)

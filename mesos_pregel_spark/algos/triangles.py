@@ -75,6 +75,13 @@ def triangle_count(
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
         F.when(lo_first, F.col("deg_hi")).otherwise(F.col("deg_lo")).alias("deg_v"),
     )
+    # The oriented table is referenced three times downstream (both
+    # wedge sides + the closing join; or toPandas + mapInPandas in the
+    # CSR path).  Materialize it ONCE — without this, the whole
+    # canonicalize/degree/orient subplan re-executes per reference
+    # (measured 28-35s vs ~7s at 1M edges).
+    from pyspark.storagelevel import StorageLevel
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
 
     if kernel == "csr":
         from mesos_pregel_spark.operators.csr import csr_triangle_counts
@@ -83,8 +90,9 @@ def triangle_count(
             deg.select("id")
             .join(counts_csr, "id", "left_outer")
             .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         total_row = per_vertex.agg(F.sum("triangles").alias("t")).collect()[0]
+        oriented.unpersist()  # per_vertex is materialized; safe to drop
         return per_vertex, int((total_row["t"] or 0) // 3)
 
     # Wedges: two out-neighbors of the same source, rank-ordered so each
@@ -117,7 +125,8 @@ def triangle_count(
         deg.select("id")
         .join(counts, "id", "left_outer")
         .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     total_row = per_vertex.agg(F.sum("triangles").alias("t")).collect()[0]
     total = int((total_row["t"] or 0) // 3)
+    oriented.unpersist()  # per_vertex is materialized; safe to drop
     return per_vertex, total

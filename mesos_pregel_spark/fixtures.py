@@ -104,12 +104,101 @@ def generate_transcripts_pdf(n_conv: int, seed: int = 42) -> pd.DataFrame:
 
 def generate_transcripts(spark: SparkSession, n_conv: int, seed: int = 42,
                          partitions: int | None = None) -> DataFrame:
-    """Deterministic transcript DataFrame with the pinned schema."""
+    """Deterministic transcript DataFrame with the pinned schema.
+
+    Driver-side (pandas) generation — fine for test-sized fixtures
+    whose exact rows the oracles pin.  Benches use
+    :func:`generate_transcripts_dist`, which scales."""
     pdf = generate_transcripts_pdf(n_conv, seed)
     df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
     if partitions:
         df = df.repartition(partitions, "conv_id")
     return df
+
+
+_EPOCH_S = 1767225600  # 2026-01-01T00:00:00Z, matches _EPOCH above
+_MAX_PAIRS = 20  # user/assistant pairs per conversation (L <= 40)
+
+
+def generate_transcripts_dist(
+    spark: SparkSession, n_conv: int, seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed transcript generator: ``spark.range`` + column
+    functions ONLY — conversations are built as per-row array
+    expressions and posexploded, so nothing materializes on the driver
+    and fixtures scale to 10^8+ turns (round-1 bench shipped 4975 KiB
+    tasks from the pandas path).
+
+    Deterministic (hash-derived uniforms from ``seed``) and
+    distributionally equivalent to :func:`generate_transcripts` —
+    zipf-ish conversation lengths in [2, 40], 10% system openers,
+    user/assistant alternation, ~15% tool turns after assistant turns
+    with zipf-skewed tool picks — but NOT row-identical (numpy RNG
+    streams are not reproducible in SQL expressions).  Tests pin the
+    pandas rows; the bench only needs shape + skew.
+    """
+    from pyspark.sql import functions as F
+
+    def u(name: str, *cols) -> F.Column:
+        """Deterministic uniform in (0, 1) from (seed, name, cols)."""
+        h = F.xxhash64(F.lit(f"{seed}:{name}"), *cols)
+        return (F.pmod(h, F.lit(1 << 20)).cast("double") + 0.5) / float(1 << 20)
+
+    df = spark.range(n_conv).select(F.col("id").alias("i"))
+    # Heavy-tailed lengths: 2 + floor(1/u) ~ zipf(a=2), clipped to 40.
+    # NB: clamp in DOUBLE before the int cast — ANSI mode makes an
+    # overflowing cast a task failure, and 1/u^k explodes for tiny u.
+    df = df.withColumn(
+        "L",
+        F.least(F.lit(40.0),
+                F.lit(2.0) + F.pow(u("len", F.col("i")), F.lit(-1.0))).cast("int"),
+    ).withColumn("sys", u("sys", F.col("i")) < 0.10)
+
+    none_s = F.lit(None).cast("string")
+    user_s = F.struct(F.lit("user").alias("role"), none_s.alias("tool"))
+    asst_s = F.struct(F.lit("assistant").alias("role"), none_s.alias("tool"))
+    sys_s = F.struct(F.lit("system").alias("role"), none_s.alias("tool"))
+    tools_arr = F.array(*[F.lit(t) for t in TOOL_NAMES])
+
+    def block(p):  # NB: 1-arg HOF lambda (closure defaults would bind the index)
+        # ~15% of assistant turns are followed by a tool turn; the tool
+        # pick is zipf-skewed (u^-2 rank) so hub tools dominate.
+        rank = F.least(
+            F.pow(u("rank", F.col("i"), p), F.lit(-2.0)) - F.lit(1.0),
+            F.lit(float(len(TOOL_NAMES) - 1)),
+        ).cast("int")
+        tool_s = F.struct(
+            F.lit("tool").alias("role"),
+            F.element_at(tools_arr, rank + F.lit(1)).alias("tool"),
+        )
+        return F.when(
+            u("flip", F.col("i"), p) < 0.15, F.array(user_s, asst_s, tool_s)
+        ).otherwise(F.array(user_s, asst_s))
+
+    seq = F.flatten(F.transform(F.sequence(F.lit(0), F.lit(_MAX_PAIRS - 1)), block))
+    seq = F.when(F.col("sys"), F.concat(F.array(sys_s), seq)).otherwise(seq)
+    seq = F.slice(seq, F.lit(1), F.col("L"))
+
+    turns = df.select("i", F.posexplode(seq).alias("turn_idx", "rt"))
+    conv_id = F.format_string("conv%08d", F.col("i"))
+    # Same text recipe as the pandas generator: sha1(f"{seed}:{cid}:{t}")[:16].
+    digest = F.substring(
+        F.sha1(F.concat_ws(":", F.lit(str(seed)), conv_id, F.col("turn_idx"))), 1, 16
+    )
+    out = turns.select(
+        conv_id.alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("rt.role").alias("role"),
+        F.concat_ws(":", conv_id, F.col("turn_idx"), digest).alias("text"),
+        F.col("rt.tool").alias("tool"),
+        F.timestamp_seconds(
+            F.lit(_EPOCH_S) + F.col("i") * 60 + F.col("turn_idx") * 30
+        ).alias("ts"),
+    )
+    if partitions:
+        out = out.repartition(partitions, "conv_id")
+    return out
 
 
 # Hand-checkable micro-graphs (FIXTURES.md §2): direct edge lists with
