@@ -19,6 +19,10 @@ Workloads (all seed-deterministic, no external data):
   triangles   — A4 exact count on the same graph
   events_e2e  — events.parquet → edges → PageRank convergence (the
                 driver-testdata path; small graph, loop-overhead bound)
+  dedup       — documents.parquet → fingerprint/exact dedup + MinHash
+                LSH candidates + Jaccard verify (the training-data
+                dedup stack at sf-scale, reporting docs/sec and
+                candidate-pair counts)
 
 Scaling mode (``--scaling``): re-runs the same workloads at
 ``local[8]`` and ``local[32]`` (the sandbox stand-in for N vs 4N
@@ -203,6 +207,38 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         throughput["events_supersteps_per_hour"] = round(
             len(run_ev.metrics) / ev_sec * 3600
         )
+
+    if on("dedup"):
+        from mesos_pregel_spark.functions.dedup import (
+            exact_duplicates,
+            lsh_candidates,
+            near_duplicates,
+        )
+        # The sandbox parquet is a single row-group => one input split;
+        # spread the shingle/minhash work across cores (a real lake
+        # splits at maxPartitionBytes and never hits this).
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .repartition(nparts, "doc_id").persist()
+        n_docs = docs.count()
+        t = time.monotonic()
+        n_dup_rows = exact_duplicates(docs).where("is_duplicate").count()
+        # Scale-true banding: r = k/bands = 8 rows/band makes the
+        # candidate probability s^8 per band — measured on this corpus,
+        # the toy correctness defaults (r=2) admit 1.1M of the 12.5M
+        # possible pairs (42 docs/s); r=8 keeps candidates ~ true dups.
+        # hash_fn='xxhash64': native 64-bit minhash (the scale variant;
+        # md5 hex strings stay the oracle-parity path).
+        n_cand = lsh_candidates(docs, k=32, bands=4, hash_fn="xxhash64").count()
+        n_near = near_duplicates(docs, k=32, bands=4, hash_fn="xxhash64") \
+            .where("jaccard >= 0.8").count()
+        dd_sec = time.monotonic() - t
+        queries["dedup"] = round(dd_sec, 3)
+        throughput["dedup_docs_per_sec"] = round(n_docs / dd_sec)
+        detail["dedup_docs"] = n_docs
+        detail["dedup_exact_dups"] = n_dup_rows
+        detail["dedup_lsh_candidates"] = n_cand
+        detail["dedup_near_dups_j08"] = n_near
+        docs.unpersist()
 
     total = round(sum(queries.values()), 3)
     result = {

@@ -61,30 +61,49 @@ def shingles(docs: DataFrame, n: int = 5) -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 5, k: int = DEFAULT_K
+    docs: DataFrame, n: int = 5, k: int = DEFAULT_K, hash_fn: str = "md5"
 ) -> DataFrame:
-    """k-function MinHash signature per document.  Hash function i is
+    """k-function MinHash signature per document.
+
+    ``hash_fn='md5'`` (default): hash function i is
     ``md5(i || ':' || shingle)``; the signature component is the
     lexicographic MIN of those hex strings — string ordering is
-    identical across engines, so the oracle matches byte-for-byte."""
+    identical across engines, so the DuckDB oracle matches
+    byte-for-byte.  This is the parity-checked variant.
+
+    ``hash_fn='xxhash64'``: the scale variant — hash i is the native
+    64-bit ``xxhash64(i, shingle)`` (no hex strings, 8-byte comparisons
+    in whole-stage codegen).  No DuckDB twin (no xxhash64 there);
+    identical documents still get identical signatures, so exact-dup
+    recall is unchanged (pinned by test)."""
     sh = shingles(docs, n)
-    return sh.groupBy("doc_id").agg(
-        *[
+    if hash_fn == "xxhash64":
+        exprs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    else:
+        exprs = [
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
             .alias(f"mh{i}")
             for i in range(k)
         ]
-    )
+    return sh.groupBy("doc_id").agg(*exprs)
 
 
 def lsh_candidates(
-    docs: DataFrame, n: int = 5, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
+    docs: DataFrame, n: int = 5, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) sharing at least one LSH
     band.  Band j's key concatenates its r = k/bands minhash strings;
     the banded self-join is the classic sub-quadratic LSH step."""
     r = k // bands
-    sig = minhash_signatures(docs, n, k)
+    # The signature table is scanned once per band and the banded table
+    # self-joins — without materialization the shingle+minhash subplan
+    # (k md5-mins over every shingle) re-executes up to 2*bands times.
+    # Signatures are k hex strings per doc: tiny relative to shingles.
+    sig = minhash_signatures(docs, n, k, hash_fn).persist()
     banded = None
     for j in range(bands):
         key = F.concat_ws(
@@ -114,12 +133,16 @@ def near_duplicates(
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.0,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH candidates verified with EXACT n-gram Jaccard similarity.
     Returns (doc_a, doc_b, jaccard) for candidates with
     jaccard >= threshold; jaccard rounded to 9 dp."""
-    cand = lsh_candidates(docs, n, k, bands)
-    sh = shingles(docs, n)
+    # cand is referenced twice (intersection + outer join) and sh three
+    # times (both join sides + sizes); materialize both so the banded
+    # self-join and the shingle explosion run once each.
+    cand = lsh_candidates(docs, n, k, bands, hash_fn).persist()
+    sh = shingles(docs, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     sa = sh.withColumnsRenamed({"doc_id": "doc_a"})

@@ -183,6 +183,82 @@ SELECT actor, ROUND(pr, 9) AS pagerank FROM pr2
 """
 
 
+def _sql_pagerank_steps(steps: int) -> str:
+    """k-step unrolled PageRank oracle — MATERIALIZED CTE per superstep
+    (the SSSP oracle's technique; keeps DuckDB cost linear in steps).
+    Closes the oracle gap for multi-superstep behavior that single-step
+    queries can't see (frontier bookkeeping, repeated damping)."""
+    parts = ["""
+, n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+od AS (SELECT src_actor, COUNT(*) AS od FROM edges GROUP BY src_actor),
+pr0 AS MATERIALIZED (
+  SELECT actor, 1.0/(SELECT n FROM n) AS pr FROM verts
+)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+pr{k} AS MATERIALIZED (
+  SELECT v.actor,
+         0.15/(SELECT n FROM n) + 0.85*COALESCE(c.s, 0.0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.dst_actor AS actor, SUM(p.pr/od.od) AS s
+    FROM edges e
+    JOIN pr{k-1} p ON e.src_actor = p.actor
+    JOIN od ON e.src_actor = od.src_actor
+    GROUP BY e.dst_actor) c
+  ON v.actor = c.actor
+)""")
+    parts.append(f"""
+SELECT actor, ROUND(pr, 9) AS pagerank FROM pr{steps}
+""")
+    return _SQL_EDGES + "".join(parts)
+
+
+SQL_PAGERANK_STEP8 = _sql_pagerank_steps(8)
+
+
+def _sql_lpa_steps(steps: int) -> str:
+    """k-step unrolled sync-LPA oracle: per step, per-(dst, label)
+    weight sums over the symmetric edges, argmax with the pinned
+    smallest-label tie-break, keep-own-label when no messages."""
+    parts = ["""
+, l0 AS MATERIALIZED (
+  SELECT s AS actor, s AS label FROM (SELECT DISTINCT s FROM symw)
+)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+win{k} AS MATERIALIZED (
+  SELECT actor, label FROM (
+    SELECT s.d AS actor, p.label AS label,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.d
+             ORDER BY SUM(s.weight) DESC, p.label ASC) AS rn
+    FROM symw s JOIN l{k-1} p ON s.s = p.actor
+    GROUP BY s.d, p.label)
+  WHERE rn = 1
+),
+l{k} AS MATERIALIZED (
+  SELECT p.actor, COALESCE(w.label, p.label) AS label
+  FROM l{k-1} p LEFT JOIN win{k} w ON w.actor = p.actor
+)""")
+    parts.append(f"""
+SELECT actor, label FROM l{steps}
+""")
+    return _SQL_EDGES + "".join(parts)
+
+
+SQL_LPA_STEP3 = _sql_lpa_steps(3)
+
+
+def _lpa_query(n_steps: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        labels, _run = label_propagation(
+            spark, _graph_edges(spark, sf_dir), max_supersteps=n_steps,
+            edge_partitions=8,
+        )
+        return labels.select(F.col("id").alias("actor"), "label")
+    return q
+
+
 def q_pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full PageRank to 1e-6 convergence on the events actor graph —
     the iterative fixpoint isn't SQL-expressible, so the driver records
@@ -431,10 +507,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degrees": q_degrees,
     "pagerank_step": _pr_query(1),
     "pagerank_step2": _pr_query(2),
+    "pagerank_step8": _pr_query(8),
     "pagerank_full": q_pagerank_full,
     "cc_step": q_cc_step,
     "cc_full": q_cc_full,
     "lpa_step": q_lpa_step,
+    "lpa_step3": _lpa_query(3),
     "lpa_full": q_lpa_full,
     "sssp": q_sssp,
     "triangles_per_vertex": q_triangles_per_vertex,
@@ -450,9 +528,11 @@ ORACLE_SQL: dict[str, str] = {
     "degrees": SQL_DEGREES,
     "pagerank_step": SQL_PAGERANK_STEP,
     "pagerank_step2": SQL_PAGERANK_STEP2,
+    "pagerank_step8": SQL_PAGERANK_STEP8,
     "cc_step": SQL_CC_STEP,
     "cc_full": SQL_CC_FULL,
     "lpa_step": SQL_LPA_STEP,
+    "lpa_step3": SQL_LPA_STEP3,
     "sssp": SQL_SSSP,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,

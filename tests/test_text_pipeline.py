@@ -181,6 +181,44 @@ def test_real_decode_is_explicit_stub():
         real_decode(b"\x00", "image")
 
 
+def test_minhash_xxhash64_variant_finds_planted_dups(spark):
+    """The scale-variant minhash (native 64-bit xxhash64 instead of md5
+    hex strings) preserves the dedup contract: identical docs have
+    identical signatures (always candidates) and planted near-dups
+    verify at the same exact Jaccard as the md5 parity variant."""
+    from mesos_pregel_spark.functions.dedup import near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (0, base), (1, base),                 # exact dup pair
+        (2, base[:-20] + "and naps afterwards"),  # near dup
+        (3, "completely different content about spark and pregel " * 4),
+    ]
+    # r = k/bands = 2: the planted pair's jaccard is 0.694, so
+    # P(candidate) = 1-(1-j^2)^8 = 0.995 — the test pins the planted
+    # recall, not the banding-probability tradeoff (r=8 is the bench's
+    # scale setting and would legitimately skip a 0.69-jaccard pair).
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for hash_fn in ("md5", "xxhash64"):
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in near_duplicates(
+                   docs, k=16, bands=8, threshold=0.5, hash_fn=hash_fn
+               ).collect()}
+        assert got[(0, 1)] == 1.0, hash_fn
+        assert (0, 2) in got and got[(0, 2)] > 0.5, hash_fn
+        assert all(3 not in pair for pair in got), hash_fn
+    # exact Jaccard values are hash-family-independent (verification is
+    # exact) — both variants must agree wherever both report a pair
+    md5_pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                 for r in near_duplicates(docs, k=16, bands=8,
+                                          threshold=0.5).collect()}
+    xx_pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in near_duplicates(docs, k=16, bands=8, threshold=0.5,
+                                         hash_fn="xxhash64").collect()}
+    for pair in md5_pairs.keys() & xx_pairs.keys():
+        assert md5_pairs[pair] == xx_pairs[pair]
+
+
 def test_embedding_near_dups_planted(spark):
     """Default (self-contained LSH-bucket) blocking: identical vectors
     always share a bucket, so exact dups have recall 1.0 regardless of
