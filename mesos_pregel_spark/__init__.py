@@ -24,6 +24,7 @@ from mesos_pregel_spark.functions.edges import (
 from mesos_pregel_spark.plans.pregel import PregelRun
 from mesos_pregel_spark.plans.program import VertexProgram, pregel
 from mesos_pregel_spark.algos.pagerank import pagerank
+from mesos_pregel_spark.algos.ppr import personalized_pagerank
 from mesos_pregel_spark.algos.cc import connected_components
 from mesos_pregel_spark.algos.lpa import label_propagation
 from mesos_pregel_spark.algos.triangles import triangle_count
@@ -56,6 +57,7 @@ __all__ = [
     "VertexProgram",
     "pregel",
     "pagerank",
+    "personalized_pagerank",
     "connected_components",
     "label_propagation",
     "triangle_count",

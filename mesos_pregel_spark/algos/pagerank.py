@@ -65,8 +65,14 @@ def pagerank(
     salt_hot_k: int = 0,
     edge_partitions: int | None = None,
     kernel: str = "join",
+    broadcast_threshold: int | None = None,
 ) -> tuple[DataFrame, PregelRun]:
-    """Run PageRank to convergence.  Returns (ranks(id, pagerank), run)."""
+    """Run PageRank to convergence.  Returns (ranks(id, pagerank), run).
+
+    ``broadcast_threshold``: when set and the vertex count stays under
+    it, the scatter join broadcasts the state side instead of shuffling
+    it (PageRank has no shrinking frontier, so this is a static |V|
+    decision, unlike CC/SSSP's per-superstep swap)."""
 
     def init(e: DataFrame, ctx: dict) -> DataFrame:
         state, n = init_state(e)
@@ -148,6 +154,7 @@ def pagerank(
             F.count(F.lit(1)).alias("n_vertices"),
         ],
         halt=lambda aggs: aggs["max_delta"] < tol,
+        frontier_agg="n_vertices",
         finalize=lambda s: s.select("id", F.col("pr").alias("pagerank")),
         custom_gather=custom_gather,
         params={"damping": damping, "tol": tol},
@@ -157,6 +164,7 @@ def pagerank(
         max_supersteps=max_supersteps,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
         n_salt=n_salt, salt_hot_k=salt_hot_k,
+        broadcast_threshold=broadcast_threshold,
         edge_partitions=edge_partitions,
     )
     if "edges" in packed:

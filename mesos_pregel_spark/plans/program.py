@@ -130,6 +130,43 @@ def pregel(
     if run.resumed_final:
         return resumed, run
 
+    # Pregel's partitioner is FIXED across supersteps [P §4.1] — the
+    # scatter join reuses the edges' src-partitioning every superstep,
+    # and the combine/apply shuffles land on the pinned partition
+    # count.  AQE would re-plan and re-coalesce each superstep's tiny
+    # stages differently (defeating co-partition reuse) and its
+    # per-job planning latency dominates the loop at small state:
+    # A/B at 1M edges / 18 supersteps: 31.7s AQE-on vs 11.5s AQE-off
+    # (same results).  Skew is handled by explicit salting (S1), which
+    # is deterministic — exactly why Pregel-era engines pre-planned.
+    # Non-iterative operators (triangles, dedup, extraction) keep AQE.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pregel_loop(
+            spark, edges, program, run, resumed,
+            max_supersteps=max_supersteps,
+            n_salt=n_salt, salt_hot_k=salt_hot_k,
+            broadcast_threshold=broadcast_threshold,
+            edge_partitions=edge_partitions,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _pregel_loop(
+    spark: SparkSession,
+    edges: DataFrame,
+    program: VertexProgram,
+    run: PregelRun,
+    resumed: DataFrame | None,
+    max_supersteps: int,
+    n_salt: int,
+    salt_hot_k: int,
+    broadcast_threshold: int | None,
+    edge_partitions: int | None,
+) -> tuple[DataFrame, PregelRun]:
+
     nparts = edge_partitions or spark.sparkContext.defaultParallelism
     if edge_partitions == 0:
         e = edges.select(*[c for c in program.edge_cols if c in edges.columns])

@@ -216,6 +216,53 @@ SELECT actor, ROUND(pr, 9) AS pagerank FROM pr{steps}
 SQL_PAGERANK_STEP8 = _sql_pagerank_steps(8)
 
 
+def _sql_ppr_steps(steps: int) -> str:
+    """k-step unrolled personalized PageRank from the smallest actor:
+    teleport vector e concentrated on the source instead of uniform."""
+    parts = ["""
+, od AS (SELECT src_actor, COUNT(*) AS od FROM edges GROUP BY src_actor),
+pprsrc AS (SELECT MIN(actor) AS s FROM verts),
+ev AS MATERIALIZED (
+  SELECT actor,
+         CASE WHEN actor = (SELECT s FROM pprsrc) THEN 1.0 ELSE 0.0 END AS e
+  FROM verts
+),
+pp0 AS MATERIALIZED (SELECT actor, e AS pr FROM ev)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+pp{k} AS MATERIALIZED (
+  SELECT v.actor,
+         0.15*v.e + 0.85*COALESCE(c.s, 0.0) AS pr
+  FROM ev v LEFT JOIN (
+    SELECT e.dst_actor AS actor, SUM(p.pr/od.od) AS s
+    FROM edges e
+    JOIN pp{k-1} p ON e.src_actor = p.actor
+    JOIN od ON e.src_actor = od.src_actor
+    GROUP BY e.dst_actor) c
+  ON v.actor = c.actor
+)""")
+    parts.append(f"""
+SELECT actor, ROUND(pr, 9) AS ppr FROM pp{steps}
+""")
+    return _SQL_EDGES + "".join(parts)
+
+
+SQL_PPR_STEP4 = _sql_ppr_steps(4)
+
+
+def q_ppr_step4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mesos_pregel_spark.algos.ppr import personalized_pagerank
+
+    e = _graph_edges(spark, sf_dir)
+    source = e.agg(F.min("src")).collect()[0][0]
+    ranks, _run = personalized_pagerank(
+        spark, e, [source], tol=0.0, max_supersteps=4, edge_partitions=8
+    )
+    return ranks.select(
+        F.col("id").alias("actor"), F.round("ppr", 9).alias("ppr")
+    )
+
+
 def _sql_lpa_steps(steps: int) -> str:
     """k-step unrolled sync-LPA oracle: per step, per-(dst, label)
     weight sums over the symmetric edges, argmax with the pinned
@@ -509,6 +556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_step2": _pr_query(2),
     "pagerank_step8": _pr_query(8),
     "pagerank_full": q_pagerank_full,
+    "ppr_step4": q_ppr_step4,
     "cc_step": q_cc_step,
     "cc_full": q_cc_full,
     "lpa_step": q_lpa_step,
@@ -529,6 +577,7 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank_step": SQL_PAGERANK_STEP,
     "pagerank_step2": SQL_PAGERANK_STEP2,
     "pagerank_step8": SQL_PAGERANK_STEP8,
+    "ppr_step4": SQL_PPR_STEP4,
     "cc_step": SQL_CC_STEP,
     "cc_full": SQL_CC_FULL,
     "lpa_step": SQL_LPA_STEP,
