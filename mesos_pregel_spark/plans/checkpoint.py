@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,10 +42,21 @@ class CheckpointManager:
 
     def write(self, vertices: DataFrame, superstep: int, meta: dict) -> DataFrame:
         """Write vertex state + manifest; return the re-read (lineage-
-        truncated) DataFrame so the caller continues from storage."""
+        truncated) DataFrame so the caller continues from storage.
+
+        The write lands in a temp dir and is swapped in afterwards:
+        ``vertices``' own lineage may read THIS superstep's previous
+        files (re-checkpoint of the same step), and a direct
+        mode=overwrite deletes the target before the job runs — a
+        write-into-own-input failure that AQE masks (its shuffle map
+        stages drain the input first) but plain execution hits."""
         path = self._step_dir(superstep)
         data_path = os.path.join(path, "vertices")
-        vertices.write.mode("overwrite").parquet(data_path)
+        tmp_path = os.path.join(path, "_vertices.tmp")
+        vertices.write.mode("overwrite").parquet(tmp_path)
+        if os.path.exists(data_path):
+            shutil.rmtree(data_path)
+        os.replace(tmp_path, data_path)
         reread = self.spark.read.parquet(data_path)
         # Per-partition lineage: row count per physical partition of the
         # state as stored (BASELINE.json:6 "per-partition lineage").

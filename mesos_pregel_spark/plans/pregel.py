@@ -84,7 +84,10 @@ class PregelRun:
         return run, vertices
 
     # ---- state rotation / lineage (S3) -------------------------------
-    def materialize(self, vertices: DataFrame, meta: dict | None = None) -> DataFrame:
+    def materialize(
+        self, vertices: DataFrame, meta: dict | None = None,
+        durable: bool = True,
+    ) -> DataFrame:
         """Materialize the new state with a HARD plan truncation and
         checkpoint on schedule.  Returns the DataFrame the next
         superstep must build on.
@@ -100,7 +103,7 @@ class PregelRun:
         tolerance.  Superseded state RDDs are dropped by Spark's
         ContextCleaner once unreferenced."""
         s = self.superstep
-        if self.ckpt is not None and s % self.checkpoint_every == 0:
+        if durable and self.ckpt is not None and s % self.checkpoint_every == 0:
             new = self.ckpt.write(
                 vertices, s,
                 {"algorithm": self.algorithm, "params": self.params, **(meta or {})},

@@ -181,7 +181,12 @@ def _pregel_loop(
         if program.restore_ctx is not None:
             program.restore_ctx(state, ctx)
     else:
-        state = run.materialize(program.init(e, ctx))
+        # durable=False: the init state is "after superstep -1" — a
+        # durable write here would target the same superstep=0 dir the
+        # first post-apply checkpoint writes, making that write read
+        # its own (deleted) input.  Resume semantics want the POST-
+        # apply state of superstep s anyway.
+        state = run.materialize(program.init(e, ctx), durable=False)
 
     hot = None
     if n_salt > 0 and salt_hot_k > 0:
