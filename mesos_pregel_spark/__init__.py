@@ -38,6 +38,8 @@ from mesos_pregel_spark.functions.similarity import (
     ann_lsh_topk,
     cosine_scores,
     cosine_topk,
+    embedding_near_dups,
+    ivf_topk,
 )
 from mesos_pregel_spark.functions.text import (
     fingerprint,
@@ -66,6 +68,8 @@ __all__ = [
     "near_duplicates",
     "simhash",
     "ann_lsh_topk",
+    "ivf_topk",
+    "embedding_near_dups",
     "cosine_scores",
     "cosine_topk",
     "fingerprint",

@@ -66,6 +66,7 @@ def pagerank(
     edge_partitions: int | None = None,
     kernel: str = "join",
     broadcast_threshold: int | None = None,
+    adaptive: bool | None = None,
 ) -> tuple[DataFrame, PregelRun]:
     """Run PageRank to convergence.  Returns (ranks(id, pagerank), run).
 
@@ -166,6 +167,7 @@ def pagerank(
         n_salt=n_salt, salt_hot_k=salt_hot_k,
         broadcast_threshold=broadcast_threshold,
         edge_partitions=edge_partitions,
+        adaptive=adaptive,
     )
     if "edges" in packed:
         packed["edges"].unpersist()

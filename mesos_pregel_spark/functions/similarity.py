@@ -148,6 +148,90 @@ def _bucket_expr(planes: list[list[float]]):
     )
 
 
+def ivf_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer of ``n_cells``
+    centroids partitions the corpus into inverted lists; each query
+    scores only its ``n_probe`` nearest cells — the classic
+    sub-linear ANN structure complementing the hyperplane-LSH variant
+    (recall degrades near cell boundaries; n_probe trades scan cost
+    back for recall).
+
+    Centroids are the ``n_cells`` lowest vec_ids (deterministic
+    sampling — no k-means loop; a production index would train them,
+    which changes recall, not the plan shape).  Physical plan: corpus
+    × broadcast(centroids) argmax assignment (one scan, no shuffle),
+    then an equi-join on cell id — both sides hash-partitioned by the
+    cell key, uniform by construction for random data.
+
+    Returns (query_id, vec_id, cosine@6dp, rank).
+    """
+    emb = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    cents = (
+        emb.orderBy("vec_id").limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("e").alias("c"))
+    )
+    ccos = _dot(F.col("c"), F.col("e")) / (
+        F.sqrt(_dot(F.col("c"), F.col("c"))) * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    scored_cells = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "e", "cell", ccos.alias("ccos")
+    )
+    cell_rank = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cell")
+    )
+    ranked_cells = scored_cells.withColumn("crank", F.row_number().over(cell_rank))
+    # inverted lists: every vector lives in exactly its nearest cell
+    assigned = ranked_cells.where(F.col("crank") == 1).select(
+        "vec_id", "e", "cell"
+    )
+    # queries probe their n_probe nearest cells
+    queries = (
+        emb.orderBy("vec_id").limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("q"))
+    )
+    qcells = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "q", "cell",
+            (
+                _dot(F.col("c"), F.col("q")) / (
+                    F.sqrt(_dot(F.col("c"), F.col("c")))
+                    * F.sqrt(_dot(F.col("q"), F.col("q")))
+                )
+            ).alias("qcos"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cell"))
+            ),
+        )
+        .where(F.col("crank") <= n_probe)
+        .select("query_id", "q", "cell")
+    )
+    joined = assigned.join(F.broadcast(qcells), "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("q"), F.col("e")) / (
+        F.sqrt(_dot(F.col("q"), F.col("q"))) * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ann_lsh_topk(
     spark: SparkSession,
     embeddings: DataFrame,

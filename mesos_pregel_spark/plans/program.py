@@ -109,6 +109,7 @@ def pregel(
     salt_hot_k: int = 0,
     broadcast_threshold: int | None = None,
     edge_partitions: int | None = None,
+    adaptive: bool | None = None,
 ) -> tuple[DataFrame, PregelRun]:
     """Run ``program`` to its halt condition (or the superstep cap).
     Returns (result DataFrame, run bookkeeping).
@@ -130,18 +131,21 @@ def pregel(
     if run.resumed_final:
         return resumed, run
 
-    # Pregel's partitioner is FIXED across supersteps [P §4.1] — the
-    # scatter join reuses the edges' src-partitioning every superstep,
-    # and the combine/apply shuffles land on the pinned partition
-    # count.  AQE would re-plan and re-coalesce each superstep's tiny
-    # stages differently (defeating co-partition reuse) and its
-    # per-job planning latency dominates the loop at small state:
-    # A/B at 1M edges / 18 supersteps: 31.7s AQE-on vs 11.5s AQE-off
-    # (same results).  Skew is handled by explicit salting (S1), which
-    # is deterministic — exactly why Pregel-era engines pre-planned.
-    # Non-iterative operators (triangles, dedup, extraction) keep AQE.
+    # AQE policy for the superstep loop — regime-dependent, A/B-measured:
+    #
+    # * SMALL graphs (latency-bound loop): AQE's per-job re-planning
+    #   dominates — 31.7s AQE-on vs 11.5s AQE-off at 1M edges /
+    #   18 supersteps.  Its re-coalescing also re-plans each
+    #   superstep's tiny stages against the FIXED Pregel partitioner
+    #   [P §4.1].  → disable.
+    # * LARGE graphs (throughput-bound shuffles): AQE's coalescing and
+    #   local shuffle readers pay for themselves — 9.5M edges/s
+    #   AQE-off vs 33.7M AQE-on at 512M edges on this box.  → keep.
+    #
+    # ``adaptive=None`` picks by edge count at AQE_EDGE_THRESHOLD
+    # (crossover measured between those two points; see BENCH notes).
+    # Skew remains handled by explicit salting (S1) in both regimes.
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _pregel_loop(
             spark, edges, program, run, resumed,
@@ -149,9 +153,19 @@ def pregel(
             n_salt=n_salt, salt_hot_k=salt_hot_k,
             broadcast_threshold=broadcast_threshold,
             edge_partitions=edge_partitions,
+            adaptive=adaptive,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+# Loop-AQE auto crossover: below this edge count the superstep loop is
+# latency-bound and AQE planning overhead loses; above, shuffle
+# throughput dominates and AQE's coalescing/local-readers win.
+# Calibrated warm at local[8], 4 supersteps, hub regime (edges : off vs
+# on, sec): 1M 11.5/14.3 · 4M 3.8/3.9 · 16M 10.5/6.7 · 64M 18.5/8.0 ·
+# 512M 9.5M vs 33.7M edges/s.  Crossover sits between 4M and 16M.
+AQE_EDGE_THRESHOLD = 8_000_000
 
 
 def _pregel_loop(
@@ -165,17 +179,23 @@ def _pregel_loop(
     salt_hot_k: int,
     broadcast_threshold: int | None,
     edge_partitions: int | None,
+    adaptive: bool | None,
 ) -> tuple[DataFrame, PregelRun]:
 
     nparts = edge_partitions or spark.sparkContext.defaultParallelism
     if edge_partitions == 0:
         e = edges.select(*[c for c in program.edge_cols if c in edges.columns])
+        n_edges = e.count()  # cheap: contract says caller persisted
     else:
         e = program.prep_edges(edges) if program.prep_edges else edges
         e = e.repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
-        e.count()
+        n_edges = e.count()
 
-    ctx: dict = {"aggs": {}, "nparts": nparts}
+    if adaptive is None:
+        adaptive = n_edges > AQE_EDGE_THRESHOLD
+    spark.conf.set("spark.sql.adaptive.enabled", "true" if adaptive else "false")
+
+    ctx: dict = {"aggs": {}, "nparts": nparts, "n_edges": n_edges}
     if resumed is not None:
         state = resumed
         if program.restore_ctx is not None:

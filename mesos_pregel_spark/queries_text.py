@@ -28,6 +28,7 @@ from mesos_pregel_spark.functions.similarity import (
     cosine_scores,
     cosine_topk,
     embedding_near_dups,
+    ivf_topk,
 )
 from mesos_pregel_spark.functions.text import (
     LANG_STOPWORDS,
@@ -348,6 +349,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only (no SQL-expressible oracle): approximate ANN + the
     # Arrow/mapInPandas multimodal feature plumbing
     "ann_lsh_topk": lambda s, d: ann_lsh_topk(s, _emb(s, d)),
+    "ivf_topk": lambda s, d: ivf_topk(s, _emb(s, d)),
     "multimodal_features": lambda s, d: _multimodal_features(s, d),
 }
 

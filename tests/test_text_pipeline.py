@@ -174,6 +174,40 @@ def test_multimodal_feature_plumbing(spark, docs):
     assert a == b
 
 
+def test_resize_and_frame_sample_plumbing(spark, docs):
+    from mesos_pregel_spark.sources.multimodal import (
+        resize_images,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(docs)
+    n_img = media.where("kind = 'image'").count()
+    n_vid = media.where("kind = 'video'").count()
+    assert n_img > 0 and n_vid > 0
+
+    resized = resize_images(media, width=4, height=4, partitions=3).collect()
+    assert len(resized) == n_img
+    for r in resized:
+        assert (r["width"], r["height"]) == (4, 4)
+        assert len(r["pixels"]) == 16  # height*width samples
+    # deterministic across partitionings
+    again = resize_images(media, width=4, height=4, partitions=2).collect()
+    assert sorted((r["media_id"], bytes(r["pixels"])) for r in resized) == \
+        sorted((r["media_id"], bytes(r["pixels"])) for r in again)
+
+    frames = sample_frames(media, n_frames=4, frame_bytes=8, partitions=3).collect()
+    # payload = 32 bytes -> 4 frames of 8; every video yields exactly 4
+    assert len(frames) == n_vid * 4
+    by_media: dict[int, list] = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+        assert all(len(r["frame"]) == 8 for r in rows)
+        assert all(r["n_frames"] == 4 for r in rows)
+
+
 def test_real_decode_is_explicit_stub():
     from mesos_pregel_spark.sources.multimodal import real_decode
 
