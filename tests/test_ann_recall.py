@@ -55,7 +55,10 @@ def test_ann_recall_at_10(spark, corpus):
     assert planted_found / 5 >= PLANTED_BOUND, planted_found
 
 
-IVF_RECALL_BOUND = 0.5  # calibrated on this corpus (n_cells=16, n_probe=4)
+# n_probe trades scan fraction for recall: on this corpus probe=4
+# (25% of cells) measures [0.5, 0.7, 0.4]; probe=6 (37.5%) reaches
+# 1.0 everywhere.  Pin the probe=6 config with slack.
+IVF_RECALL_BOUND = 0.8
 
 
 def test_ivf_recall_at_10(spark, corpus):
@@ -65,7 +68,7 @@ def test_ivf_recall_at_10(spark, corpus):
         [(int(i), [float(x) for x in corpus[i]]) for i in range(N)],
         "vec_id long, embedding array<float>",
     )
-    got = ivf_topk(spark, emb, n_queries=3, k=K, n_cells=16, n_probe=4).collect()
+    got = ivf_topk(spark, emb, n_queries=3, k=K, n_cells=16, n_probe=6).collect()
     by_q: dict[int, set[int]] = {}
     for r in got:
         by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
@@ -73,7 +76,7 @@ def test_ivf_recall_at_10(spark, corpus):
     for q in range(3):
         exact = _exact_topk(corpus.copy(), q, K)
         recalls.append(len(by_q.get(q, set()) & exact) / K)
-    print(f"\nivf recall@{K} (cells=16, probe=4): {recalls}")
+    print(f"\nivf recall@{K} (cells=16, probe=6): {recalls}")
     assert all(r >= IVF_RECALL_BOUND for r in recalls), recalls
     # planted near-dups of query 0 land in the query's own cell
     planted_found = len(by_q.get(0, set()) & {1, 2, 3, 4, 5})
