@@ -295,6 +295,12 @@ SELECT actor, label FROM l{steps}
 
 SQL_LPA_STEP3 = _sql_lpa_steps(3)
 
+# lpa_full runs bounded sync-LPA (20 supersteps, early-halt when no
+# label changes).  The 20-step unroll is EXACT either way: if the
+# engine halted early at a fixpoint, later oracle steps change
+# nothing; if it oscillated to the cap, both sides stop at step 20.
+SQL_LPA_FULL = _sql_lpa_steps(20)
+
 
 def _lpa_query(n_steps: int):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,8 +326,9 @@ def q_pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lpa_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded sync-LPA (20 supersteps) — oscillation-bounded fixpoint,
-    rows-only for the driver; exactness pytest'd vs the oracle."""
+    """Bounded sync-LPA (20 supersteps).  Exact-checked against the
+    20-step unrolled DuckDB oracle (SQL_LPA_FULL) — equal whether the
+    engine early-halts at a fixpoint or runs to the cap."""
     labels, _run = label_propagation(
         spark, _graph_edges(spark, sf_dir), max_supersteps=20, edge_partitions=8
     )
@@ -582,6 +589,7 @@ ORACLE_SQL: dict[str, str] = {
     "cc_full": SQL_CC_FULL,
     "lpa_step": SQL_LPA_STEP,
     "lpa_step3": SQL_LPA_STEP3,
+    "lpa_full": SQL_LPA_FULL,
     "sssp": SQL_SSSP,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
