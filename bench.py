@@ -117,9 +117,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     spark = get_spark(
         app_name=f"bench-{cpus}", cores=cpus,
-        shuffle_partitions=int(SHUFFLE) if SHUFFLE else None,
+        # Iterative-loop A/B at 1M edges / 18 supersteps: partitions =
+        # cores (32/32) ran 16.4s vs 26.4s at 2x cores (64/64) — fewer,
+        # matched partitions cut fixed per-superstep latency; AQE
+        # coalesces the non-iterative operators either way.
+        shuffle_partitions=int(SHUFFLE) if SHUFFLE else cpus,
     )
-    nparts = int(SHUFFLE) if SHUFFLE else cpus * 2
+    nparts = int(SHUFFLE) if SHUFFLE else cpus
     queries: dict[str, float] = {}
     throughput: dict[str, float] = {}
     detail: dict = {}

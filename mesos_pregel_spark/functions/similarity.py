@@ -6,11 +6,13 @@
   DuckDB oracle twins (``list_cosine_similarity`` over DOUBLE[]);
   ranking ties are broken on (rounded cosine desc, vec_id asc) so the
   top-k is deterministic across engines.
-- ``ann_lsh_topk``: the scale path — random-hyperplane LSH buckets the
-  corpus so each query only scores its own bucket (sub-linear work,
-  approximate recall).  The hyperplanes are derived deterministically
-  from md5 bits, broadcast as a tiny table; no oracle twin (the driver
-  records the weaker rows-only check) but recall-vs-exact is pytest'd.
+- ``ann_lsh_topk`` / ``ivf_topk``: the scale paths — random-hyperplane
+  LSH buckets (or IVF inverted lists) so each query only scores its own
+  bucket / probed cells (sub-linear work, approximate recall).  Both
+  structures are derived deterministically (md5-bit hyperplanes,
+  lowest-vec_id centroids), so both have EXACT DuckDB oracle twins
+  (queries_text.SQL_ANN_LSH_TOPK / SQL_IVF_TOPK) in addition to the
+  pytest'd recall-vs-exact bounds.
 
 Scale notes: brute force is a broadcast (queries) × scan (corpus) —
 embarrassingly parallel, no shuffle; LSH adds one groupBy on
@@ -182,8 +184,11 @@ def ivf_topk(
     ccos = _dot(F.col("c"), F.col("e")) / (
         F.sqrt(_dot(F.col("c"), F.col("c"))) * F.sqrt(_dot(F.col("e"), F.col("e")))
     )
+    # cell ranking uses ROUNDED cosine (6dp) + cell-asc tie-break so the
+    # assignment is deterministic across engines (the DuckDB oracle twin
+    # ranks the same way; unrounded doubles could flip near-ties).
     scored_cells = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "e", "cell", ccos.alias("ccos")
+        "vec_id", "e", "cell", F.round(ccos, 6).alias("ccos")
     )
     cell_rank = Window.partitionBy("vec_id").orderBy(
         F.desc("ccos"), F.asc("cell")
@@ -202,11 +207,12 @@ def ivf_topk(
         queries.crossJoin(F.broadcast(cents))
         .select(
             "query_id", "q", "cell",
-            (
+            F.round(
                 _dot(F.col("c"), F.col("q")) / (
                     F.sqrt(_dot(F.col("c"), F.col("c")))
                     * F.sqrt(_dot(F.col("q"), F.col("q")))
-                )
+                ),
+                6,
             ).alias("qcos"),
         )
         .withColumn(
@@ -227,7 +233,7 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         joined.select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
 
@@ -267,6 +273,6 @@ def ann_lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         joined.select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )

@@ -308,6 +308,104 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _sql_ann_lsh_topk(
+    dim: int = _EMBED_DIM, n_planes: int = _EMBED_PLANES, k: int = 10
+) -> str:
+    """Exact twin of similarity.ann_lsh_topk: the deterministic ±1
+    hyperplanes are inlined as literals (same md5-bit derivation), the
+    bucket fold uses the same plane-0-is-high-bit weights, and ranking
+    matches (cosine@6dp desc, vec_id asc)."""
+    from mesos_pregel_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    terms = []
+    for p, row in enumerate(planes):
+        lit = "[" + ", ".join(str(v) for v in row) + "]::DOUBLE[]"
+        weight = 2 ** (n_planes - 1 - p)
+        terms.append(
+            f"(CASE WHEN list_dot_product({lit}, v) > 0 "
+            f"THEN {weight} ELSE 0 END)"
+        )
+    bucket = "\n       + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         {bucket} AS blk
+  FROM e
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, blk AS qblk
+  FROM b ORDER BY vec_id LIMIT 3
+),
+scores AS (
+  SELECT q.query_id, b.vec_id,
+         ROUND(list_cosine_similarity(q.qv, b.v), 6) AS cosine
+  FROM q JOIN b ON b.blk = q.qblk AND b.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
+
+# IVF twin: centroids = the 16 lowest vec_ids; every vector is assigned
+# to its nearest centroid by (cosine@6dp desc, cell asc) — the SAME
+# rounded ranking the engine uses, so near-tie assignments cannot flip
+# across engines; queries probe their 2 nearest cells.
+SQL_IVF_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16
+),
+scored AS (
+  SELECT e.vec_id, e.v, c.cell,
+         ROUND(list_cosine_similarity(c.cv, e.v), 6) AS ccos
+  FROM e, cents c
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS crank
+    FROM scored
+  ) WHERE crank = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 3),
+qcells AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(list_cosine_similarity(c.cv, q.qv), 6) DESC,
+                      c.cell ASC) AS crank
+    FROM q, cents c
+  ) WHERE crank <= 2
+),
+scores AS (
+  SELECT qc.query_id, a.vec_id,
+         ROUND(list_cosine_similarity(qc.qv, a.v), 6) AS cosine
+  FROM qcells qc JOIN assigned a ON a.cell = qc.cell
+  WHERE a.vec_id <> qc.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only driver query for the multimodal Arrow plumbing.  The
     driver canonicalizes rows with a pandas sort, which cannot hash an
@@ -346,10 +444,10 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": lambda s, d: embedding_near_dups(
         s, _emb(s, d), threshold=EMBED_NEAR_DUP_THRESHOLD,
         n_planes=_EMBED_PLANES),
-    # rows-only (no SQL-expressible oracle): approximate ANN + the
-    # Arrow/mapInPandas multimodal feature plumbing
     "ann_lsh_topk": lambda s, d: ann_lsh_topk(s, _emb(s, d)),
     "ivf_topk": lambda s, d: ivf_topk(s, _emb(s, d)),
+    # rows-only (no SQL-expressible oracle): the Arrow/mapInPandas
+    # multimodal feature plumbing
     "multimodal_features": lambda s, d: _multimodal_features(s, d),
 }
 
@@ -365,4 +463,6 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "cosine_scores": SQL_COSINE_SCORES,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ivf_topk": SQL_IVF_TOPK,
 }
