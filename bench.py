@@ -16,6 +16,9 @@ Workloads (all seed-deterministic, no external data):
                 sf0.1, 100k vertices) — hub skew exercises S1/AQE
   cc          — A2 to fixpoint on the same graph
   lpa         — A3, 5 bounded supersteps
+  hits        — A6 hubs/authorities, 5 bounded supersteps (the
+                generic-API dual-direction scatter: each superstep
+                joins the 2|E| dir-tagged edge union)
   triangles   — A4 exact count on the same graph
   events_e2e  — events.parquet → edges → PageRank convergence (the
                 driver-testdata path; small graph, loop-overhead bound)
@@ -187,6 +190,20 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             spark, g, max_supersteps=5, edge_partitions=nparts
         )
         queries["lpa"] = round(time.monotonic() - t, 3)
+
+    if on("hits"):
+        from mesos_pregel_spark.algos.hits import hits as run_hits_algo
+
+        t = time.monotonic()
+        _scores, run_h = run_hits_algo(
+            spark, g, max_supersteps=5, edge_partitions=nparts
+        )
+        h_sec = time.monotonic() - t
+        queries["hits"] = round(h_sec, 3)
+        # every superstep scatters the full 2|E| dir-tagged union
+        throughput["hits_edges_per_sec"] = round(
+            2 * g_edges * len(run_h.metrics) / h_sec)
+        detail["hits_supersteps"] = len(run_h.metrics)
 
     if on("triangles"):
         t = time.monotonic()

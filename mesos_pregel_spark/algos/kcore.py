@@ -1,0 +1,100 @@
+"""k-core decomposition (membership for a fixed k) on the generic
+vertex-program API — iterative peeling: repeatedly remove vertices
+whose surviving degree falls below k until none do.  The classic
+link-graph robustness filter (spam farms and weakly attached pages
+fall out of high cores).
+
+Pinned semantics (mirrored by the unrolled DuckDB oracle,
+queries.SQL_KCORE, and the python peeling oracle in tests):
+
+- UNDIRECTED: edges symmetrized, self-loops dropped, parallel edges
+  collapsed; degree = number of distinct surviving neighbors.
+- init: every vertex alive.  Superstep: each alive vertex sends 1 to
+  its neighbors; a vertex stays alive iff its alive-neighbor count
+  ≥ k.  Halt when a round removes nothing.  Peeling is MONOTONE
+  (alive sets only shrink), so a run capped at S supersteps equals an
+  S-step unrolled oracle exactly — early halt just means later steps
+  are no-ops.
+- Returns EVERY vertex with an ``in_core`` flag (stable row count for
+  the driver's hash compare; filter in_core for the members).
+
+Execution shape (design-for-100×): identical plan to CC — one scatter
+join over src-partitioned persisted edges plus one sum combine per
+superstep, with the shrinking ``alive`` frontier as the scatter's
+``active_filter`` (late rounds touch only the contested margin, the
+same vote-to-halt economics as CC/SSSP [P §3]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mesos_pregel_spark.functions.edges import symmetrize
+from mesos_pregel_spark.plans.pregel import PregelRun
+from mesos_pregel_spark.plans.program import VertexProgram, pregel
+
+
+def k_core(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 2,
+    max_supersteps: int = 50,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    n_salt: int = 0,
+    salt_hot_k: int = 0,
+    broadcast_threshold: int | None = None,
+    edge_partitions: int | None = None,
+) -> tuple[DataFrame, PregelRun]:
+    """Peel to the k-core.  Returns (membership(id, in_core), run)."""
+
+    def init(e: DataFrame, ctx: dict) -> DataFrame:
+        # symmetrized: src covers every non-isolated vertex
+        return (
+            e.select(F.col("src").alias("id")).distinct()
+            .select("id", F.lit(True).alias("alive"))
+        )
+
+    def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:
+        deg = F.coalesce(combined["deg"], F.lit(0))
+        return (
+            state.join(combined, state["id"] == combined["dst"], "left_outer")
+            .select(
+                state["id"],
+                (state["alive"] & (deg >= k)).alias("alive"),
+                (state["alive"] & (deg < k)).alias("removed"),
+            )
+        )
+
+    program = VertexProgram(
+        name="kcore",
+        init=init,
+        prep_edges=lambda e: symmetrize(e.select("src", "dst", "weight"))
+        .select("src", "dst"),
+        edge_cols=("src", "dst"),
+        msg_cols=[F.lit(1).cast("long").alias("m")],
+        active_filter=F.col("alive"),
+        combiner={"deg": ("m", "sum")},
+        apply=apply,
+        aggregators=[
+            F.sum(F.col("removed").cast("long")).alias("removed"),
+            F.sum(F.col("alive").cast("long")).alias("core_size"),
+        ],
+        halt=lambda aggs: aggs["removed"] == 0,
+        # a capped run is still exact for the steps it ran (monotone
+        # peeling) — don't report it as interrupted
+        converged_at_cap=True,
+        finalize=lambda s: s.select("id", "alive").withColumnRenamed(
+            "alive", "in_core"
+        ),
+        params={"k": k},
+    )
+    return pregel(
+        spark, edges, program,
+        max_supersteps=max_supersteps,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        n_salt=n_salt, salt_hot_k=salt_hot_k,
+        broadcast_threshold=broadcast_threshold,
+        edge_partitions=edge_partitions,
+    )

@@ -438,6 +438,210 @@ FROM d{steps}
 SQL_SSSP = _sql_sssp()
 
 
+def _bip_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer↔supplier graph with disambiguating key
+    prefixes — the non-trivial power-iteration substrate (the events
+    actor graph is a near-clique whose PageRank fixes in one step)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return e.unionByName(
+        e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+
+
+def q_pagerank_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank run TO CONVERGENCE (tol=1e-6, ~57-71 supersteps at the
+    driver's scale factors) on the symmetrized bipartite graph — the
+    full-fixpoint driver check the step-k queries can't give.  The
+    oracle unrolls 100 steps AND reproduces the halting rule: it
+    selects the state at the first step whose max |Δpr| < tol, so the
+    two engines must agree on both the values and the stopping step."""
+    ranks, _run = pagerank(
+        spark, _bip_sym_edges(spark, sf_dir), tol=1e-6, max_supersteps=100,
+        edge_partitions=8,
+    )
+    return ranks.select(
+        F.col("id").alias("actor"), F.round("pagerank", 9).alias("pagerank")
+    )
+
+
+def _sql_pagerank_conv(steps: int = 100, tol: float = 1e-6) -> str:
+    """Unrolled-with-halting PageRank oracle: p1..p{steps} MATERIALIZED,
+    per-step max-delta scalars, result = state at the first step below
+    ``tol`` (or the cap — same as the engine's superstep cap)."""
+    parts = ["""
+WITH e AS (
+  SELECT 'c:' || o_custkey AS s, 's:' || l_suppkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+verts AS (SELECT DISTINCT s AS actor FROM sym),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+od AS (SELECT s, COUNT(*) AS od FROM sym GROUP BY s),
+p0 AS MATERIALIZED (SELECT actor, 1.0/(SELECT n FROM n) AS pr FROM verts)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT v.actor,
+         0.15/(SELECT n FROM n) + 0.85*COALESCE(c.m, 0.0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT sym.d AS actor, SUM(p.pr/od.od) AS m
+    FROM sym JOIN p{k-1} p ON sym.s = p.actor
+    JOIN od ON sym.s = od.s
+    GROUP BY sym.d) c
+  ON v.actor = c.actor
+),
+md{k} AS MATERIALIZED (
+  SELECT MAX(ABS(a.pr - b.pr)) AS d
+  FROM p{k} a JOIN p{k-1} b ON a.actor = b.actor
+)""")
+    vals = ", ".join(f"({k}, (SELECT d FROM md{k}))" for k in range(1, steps + 1))
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, actor, pr FROM p{k}" for k in range(1, steps + 1)
+    )
+    parts.append(f""",
+ks AS (SELECT * FROM (VALUES {vals}) t(k, d)),
+firstk AS (SELECT COALESCE(MIN(k), {steps}) AS k FROM ks WHERE d < {tol}),
+allsteps AS (
+  {unions}
+)
+SELECT actor, ROUND(pr, 9) AS pagerank
+FROM allsteps WHERE k = (SELECT k FROM firstk)
+""")
+    return "".join(parts)
+
+
+SQL_PAGERANK_CONV = _sql_pagerank_conv()
+
+
+def q_hits_step4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-superstep HITS on the events actor graph (bounded-iteration
+    semantics; the oracle unrolls the same 4 normalize-before-use
+    steps and the final L2 normalization)."""
+    from mesos_pregel_spark.algos.hits import hits
+
+    scores, _run = hits(
+        spark, _graph_edges(spark, sf_dir), tol=0.0, max_supersteps=4,
+        edge_partitions=8,
+    )
+    return scores.select(
+        F.col("id").alias("actor"),
+        F.round("authority", 9).alias("authority"),
+        F.round("hub", 9).alias("hub"),
+    )
+
+
+def _sql_hits_steps(steps: int) -> str:
+    """k-step unrolled HITS oracle: per step, auth sums of hub over
+    forward edges / hub sums of auth over reversed edges, each divided
+    by the previous vector's L2 norm (normalize-before-use — exactly
+    algos/hits.py), then one final L2 normalization."""
+    parts = ["""
+, h0 AS MATERIALIZED (SELECT actor, 1.0 AS auth, 1.0 AS hub FROM verts)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+nn{k} AS (
+  SELECT SQRT(GREATEST(SUM(auth*auth), 1e-300)) AS na,
+         SQRT(GREATEST(SUM(hub*hub), 1e-300)) AS nh
+  FROM h{k-1}
+),
+h{k} AS MATERIALIZED (
+  SELECT v.actor,
+         COALESCE(am.s, 0.0) / (SELECT nh FROM nn{k}) AS auth,
+         COALESCE(hm.s, 0.0) / (SELECT na FROM nn{k}) AS hub
+  FROM verts v
+  LEFT JOIN (SELECT e.dst_actor AS actor, SUM(p.hub) AS s
+             FROM edges e JOIN h{k-1} p ON e.src_actor = p.actor
+             GROUP BY e.dst_actor) am ON am.actor = v.actor
+  LEFT JOIN (SELECT e.src_actor AS actor, SUM(p.auth) AS s
+             FROM edges e JOIN h{k-1} p ON e.dst_actor = p.actor
+             GROUP BY e.src_actor) hm ON hm.actor = v.actor
+)""")
+    parts.append(f""",
+fn AS (
+  SELECT SQRT(GREATEST(SUM(auth*auth), 1e-300)) AS na,
+         SQRT(GREATEST(SUM(hub*hub), 1e-300)) AS nh
+  FROM h{steps}
+)
+SELECT actor,
+       ROUND(auth / (SELECT na FROM fn), 9) AS authority,
+       ROUND(hub / (SELECT nh FROM fn), 9) AS hub
+FROM h{steps}
+""")
+    return _SQL_EDGES + "".join(parts)
+
+
+SQL_HITS_STEP4 = _sql_hits_steps(4)
+
+
+# k-core on the bipartite customer↔supplier graph (the events actor
+# graph is a near-clique at every sf — nothing to peel); k=10 peels a
+# non-trivial margin at sf0.001 AND sf0.01 (inspected: 129/160 and
+# 1590/1600 in-core).  Peeling is monotone, so engine-at-cap ==
+# oracle-at-same-unroll exactly (see algos/kcore.py docstring).
+_KCORE_K = 10
+_KCORE_STEPS = 12
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mesos_pregel_spark.algos.kcore import k_core
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    membership, _run = k_core(
+        spark, e, k=_KCORE_K, max_supersteps=_KCORE_STEPS, edge_partitions=8
+    )
+    return membership.select(
+        F.col("id").alias("actor"), F.col("in_core").cast("long").alias("in_core")
+    )
+
+
+def _sql_kcore(k: int = _KCORE_K, steps: int = _KCORE_STEPS) -> str:
+    parts = ["""
+WITH e AS (
+  SELECT 'c:' || o_custkey AS s, 's:' || l_suppkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+a0 AS MATERIALIZED (SELECT DISTINCT s AS actor, TRUE AS alive FROM sym)"""]
+    for i in range(1, steps + 1):
+        parts.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT p.actor, (p.alive AND COALESCE(dg.c, 0) >= {k}) AS alive
+  FROM a{i-1} p LEFT JOIN (
+    SELECT sym.d AS actor, COUNT(*) AS c
+    FROM sym JOIN a{i-1} q ON q.actor = sym.s AND q.alive
+    GROUP BY sym.d) dg ON dg.actor = p.actor
+)""")
+    parts.append(f"""
+SELECT actor, CAST(alive AS BIGINT) AS in_core FROM a{steps}
+""")
+    return "".join(parts)
+
+
+SQL_KCORE = _sql_kcore()
+
+
 def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_vertex, _total = triangle_count(spark, _graph_edges(spark, sf_dir))
     return per_vertex.select(F.col("id").alias("actor"), "triangles")
@@ -563,6 +767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_step2": _pr_query(2),
     "pagerank_step8": _pr_query(8),
     "pagerank_full": q_pagerank_full,
+    "pagerank_conv": q_pagerank_conv,
     "ppr_step4": q_ppr_step4,
     "cc_step": q_cc_step,
     "cc_full": q_cc_full,
@@ -570,6 +775,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lpa_step3": _lpa_query(3),
     "lpa_full": q_lpa_full,
     "sssp": q_sssp,
+    "hits_step4": q_hits_step4,
+    "kcore": q_kcore,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "graph_summary": q_graph_summary,
@@ -584,6 +791,7 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank_step": SQL_PAGERANK_STEP,
     "pagerank_step2": SQL_PAGERANK_STEP2,
     "pagerank_step8": SQL_PAGERANK_STEP8,
+    "pagerank_conv": SQL_PAGERANK_CONV,
     "ppr_step4": SQL_PPR_STEP4,
     "cc_step": SQL_CC_STEP,
     "cc_full": SQL_CC_FULL,
@@ -591,6 +799,8 @@ ORACLE_SQL: dict[str, str] = {
     "lpa_step3": SQL_LPA_STEP3,
     "lpa_full": SQL_LPA_FULL,
     "sssp": SQL_SSSP,
+    "hits_step4": SQL_HITS_STEP4,
+    "kcore": SQL_KCORE,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "graph_summary": SQL_GRAPH_SUMMARY,

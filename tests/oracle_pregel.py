@@ -191,3 +191,45 @@ def oracle_sssp(edges: list[Edge], source, max_iter: int = 10_000) -> dict:
         if not changed:
             break
     return {v: (None if d == INF else d) for v, d in dist.items()}
+
+
+def oracle_hits(edges: list[Edge], steps: int) -> dict:
+    """HITS, simultaneous update with normalize-before-use (the exact
+    semantics paragraph of algos/hits.py), final L2 normalization.
+    Returns {v: (authority, hub)}."""
+    import math
+
+    directed = _dedupe_directed(edges)
+    vs = sorted(_vertices(edges), key=_key)
+    auth = {v: 1.0 for v in vs}
+    hub = {v: 1.0 for v in vs}
+    for _ in range(steps):
+        na = math.sqrt(max(sum(x * x for x in auth.values()), 1e-300))
+        nh = math.sqrt(max(sum(x * x for x in hub.values()), 1e-300))
+        new_auth = {v: 0.0 for v in vs}
+        new_hub = {v: 0.0 for v in vs}
+        for (s, d) in directed:
+            new_auth[d] += hub[s] / nh
+            new_hub[s] += auth[d] / na
+        auth, hub = new_auth, new_hub
+    na = math.sqrt(max(sum(x * x for x in auth.values()), 1e-300))
+    nh = math.sqrt(max(sum(x * x for x in hub.values()), 1e-300))
+    return {v: (auth[v] / na, hub[v] / nh) for v in vs}
+
+
+def oracle_kcore(edges: list[Edge], k: int, max_iter: int = 10_000) -> dict:
+    """Synchronous k-core peeling on the symmetrized simple graph:
+    each round removes every vertex whose alive-neighbor count < k.
+    Returns {v: in_core_bool}."""
+    sym = _symmetrize(edges)
+    nbrs: dict = defaultdict(set)
+    for (s, d) in sym:
+        nbrs[s].add(d)
+    alive = set(nbrs)
+    for _ in range(max_iter):
+        rm = {v for v in alive
+              if sum(1 for u in nbrs[v] if u in alive) < k}
+        if not rm:
+            break
+        alive -= rm
+    return {v: (v in alive) for v in nbrs}
