@@ -91,6 +91,21 @@ class VertexProgram:
     custom_gather: (
         Callable[[SparkSession, DataFrame, DataFrame, dict], DataFrame] | None
     ) = None
+    # Topology mutation [P §3.4]: called after each superstep's apply
+    # with (edges, new state, ctx); returns the edge table for the NEXT
+    # superstep (or None = unchanged).  Pregel exposes per-vertex
+    # mutation requests with handler-based conflict resolution; the
+    # DataFrame-native translation is one declarative transform over
+    # the whole edge table — additions are unions, removals are
+    # (anti-)joins, and conflict resolution is whatever the transform
+    # says, applied at the same point in the superstep cycle (between
+    # supersteps, after apply).  The loop repartitions/persists the new
+    # table and refreshes ctx["n_edges"].  Mutation makes topology part
+    # of the run's state, which checkpointing does not capture — the
+    # runner rejects mutate_edges + checkpoint_dir.
+    mutate_edges: (
+        Callable[[DataFrame, DataFrame, dict], DataFrame | None] | None
+    ) = None
     # Bounded-iteration programs (sync-LPA) treat hitting the superstep
     # cap as normal completion, not interruption.
     converged_at_cap: bool = False
@@ -120,6 +135,12 @@ def pregel(
     here so every superstep's scatter join reuses the partitioning and
     only the small vertex-state side shuffles.
     """
+    if program.mutate_edges is not None and checkpoint_dir is not None:
+        raise ValueError(
+            "mutate_edges makes topology part of the run state, which "
+            "checkpoints do not capture — resume would replay against "
+            "the ORIGINAL edges; run without checkpoint_dir"
+        )
     run, resumed = (
         PregelRun.resume(
             spark, program.name, checkpoint_dir,
@@ -183,6 +204,7 @@ def _pregel_loop(
 ) -> tuple[DataFrame, PregelRun]:
 
     nparts = edge_partitions or spark.sparkContext.defaultParallelism
+    owned_edges = edge_partitions != 0  # we persisted it, we unpersist it
     if edge_partitions == 0:
         e = edges.select(*[c for c in program.edge_cols if c in edges.columns])
         n_edges = e.count()  # cheap: contract says caller persisted
@@ -252,10 +274,25 @@ def _pregel_loop(
             converged = True
             break
 
+        if program.mutate_edges is not None:
+            new_e = program.mutate_edges(e, state, ctx)
+            if new_e is not None:
+                # materialize the mutated table fully (persist + count)
+                # BEFORE dropping the old one its lineage reads
+                new_e = new_e.repartition(nparts, "src").persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                n_edges = new_e.count()
+                if owned_edges:
+                    e.unpersist()
+                e, owned_edges = new_e, True
+                ctx["n_edges"] = n_edges
+                run.metrics[-1]["edges_after_mutation"] = n_edges
+
     result = run.finish(
         program.finalize(state) if program.finalize else state,
         converged=converged or program.converged_at_cap,
     )
-    if edge_partitions != 0:
+    if owned_edges:
         e.unpersist()
     return result, run
