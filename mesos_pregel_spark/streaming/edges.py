@@ -16,9 +16,10 @@ reusing exact batch logic on a stream):
   Iceberg runtime — the same seam as sources/catalog.py).
 - Assumption (documented, asserted in tests): a conversation's turns
   arrive within one micro-batch (transcripts are logged per finished
-  conversation).  Cross-batch turn pairs would need
+  conversation).  When turns DO span batches, use the stateful variant
+  — ``streaming/stateful.py`` links across micro-batch boundaries with
   ``applyInPandasWithState`` keyed by conv_id; the delta/snapshot
-  contract here wouldn't change.
+  contract is the same.
 
 ``windowed_actor_activity`` is the pure-streaming operator: per-actor
 turn counts in event-time tumbling windows with a watermark for late
