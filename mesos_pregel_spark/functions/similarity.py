@@ -124,15 +124,19 @@ def embedding_near_dups(
     ).where(F.col("cosine") >= threshold)
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+def _hyperplanes(dim: int, n_planes: int, salt: int = 0) -> list[list[float]]:
     """Deterministic ±1 hyperplanes: sign p,d from a bit of
-    md5(f"{p}:{d}").  No RNG, reproducible everywhere (the DuckDB
-    oracle twin inlines the same constants)."""
+    md5(f"{p}:{d}") — or md5(f"t{salt}:{p}:{d}") for the extra tables
+    of the multi-table index (salt 0 keeps the original derivation so
+    every existing bucket/oracle constant is unchanged).  No RNG,
+    reproducible everywhere (the DuckDB oracle twins inline the same
+    constants)."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"{p}:{d}".encode()).digest()[0]
+            key = f"{p}:{d}" if salt == 0 else f"t{salt}:{p}:{d}"
+            h = hashlib.md5(key.encode()).digest()[0]
             row.append(1.0 if h & 1 else -1.0)
         planes.append(row)
     return planes
@@ -233,6 +237,69 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         joined.select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ann_lsh_multitable_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 3,
+) -> DataFrame:
+    """Multi-table hyperplane LSH — the standard recall lever: L
+    independent plane sets each bucket the corpus; a query's candidate
+    set is the UNION of its L buckets (a true neighbor is missed only
+    if every table splits the pair, so miss probability decays
+    exponentially in L at L× the scan/memory cost).
+
+    Physical plan: buckets are computed in one projection per side
+    (posexplode to (table, bucket) rows), candidates found by a
+    broadcast join against the tiny exploded query side, deduped with
+    one distinct, then scored against the corpus via an equi-join on
+    vec_id.  Returns (query_id, vec_id, cosine@6dp, rank)."""
+    dim = embeddings.select(F.size("embedding").alias("d")).first()["d"]
+    tables = [_hyperplanes(dim, n_planes, salt=t) for t in range(n_tables)]
+
+    emb = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("bks", F.array(*[_bucket_expr(p) for p in tables]))
+    queries = (
+        emb.orderBy("vec_id").limit(n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("q"),
+            F.col("bks").alias("qbks"),
+        )
+    )
+    flat = emb.select(
+        "vec_id", F.posexplode("bks").alias("tbl", "bucket")
+    )
+    qflat = queries.select(
+        "query_id", F.posexplode("qbks").alias("qtbl", "qbucket")
+    )
+    pairs = (
+        flat.join(
+            F.broadcast(qflat),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = pairs.join(emb.select("vec_id", "e"), "vec_id").join(
+        F.broadcast(queries.select("query_id", "q")), "query_id"
+    )
+    cos = _dot(F.col("q"), F.col("e")) / (
+        F.sqrt(_dot(F.col("q"), F.col("q"))) * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )

@@ -24,6 +24,7 @@ from mesos_pregel_spark.functions.dedup import (
     simhash,
 )
 from mesos_pregel_spark.functions.similarity import (
+    ann_lsh_multitable_topk,
     ann_lsh_topk,
     cosine_scores,
     cosine_topk,
@@ -356,6 +357,69 @@ FROM ranked WHERE rank <= {k}
 
 SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
+
+def _sql_ann_multitable_topk(
+    dim: int = _EMBED_DIM, n_planes: int = _EMBED_PLANES,
+    n_tables: int = 3, k: int = 10,
+) -> str:
+    """Exact twin of similarity.ann_lsh_multitable_topk: one inlined
+    bucket fold per table (salted plane derivations), candidates =
+    DISTINCT matches on ANY table (the OR-join is the union of the L
+    bucket probes), same (cosine@6dp desc, vec_id asc) ranking."""
+    from mesos_pregel_spark.functions.similarity import _hyperplanes
+
+    def fold(planes):
+        terms = []
+        for p, row in enumerate(planes):
+            lit = "[" + ", ".join(str(v) for v in row) + "]::DOUBLE[]"
+            weight = 2 ** (n_planes - 1 - p)
+            terms.append(
+                f"(CASE WHEN list_dot_product({lit}, v) > 0 "
+                f"THEN {weight} ELSE 0 END)"
+            )
+        return "\n       + ".join(terms)
+
+    cols = ",\n         ".join(
+        f"{fold(_hyperplanes(dim, n_planes, salt=t))} AS b{t}"
+        for t in range(n_tables)
+    )
+    qcols = ", ".join(f"b{t} AS q{t}" for t in range(n_tables))
+    anymatch = " OR ".join(f"b.b{t} = q.q{t}" for t in range(n_tables))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         {cols}
+  FROM e
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, {qcols}
+  FROM b ORDER BY vec_id LIMIT 3
+),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id
+  FROM q JOIN b ON b.vec_id <> q.query_id AND ({anymatch})
+),
+scores AS (
+  SELECT c.query_id, c.vec_id,
+         ROUND(list_cosine_similarity(q.qv, b.v), 6) AS cosine
+  FROM cand c
+  JOIN b ON b.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_ANN_MULTITABLE_TOPK = _sql_ann_multitable_topk()
+
 # IVF twin: centroids = the 16 lowest vec_ids; every vector is assigned
 # to its nearest centroid by (cosine@6dp desc, cell asc) — the SAME
 # rounded ranking the engine uses, so near-tie assignments cannot flip
@@ -445,6 +509,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         s, _emb(s, d), threshold=EMBED_NEAR_DUP_THRESHOLD,
         n_planes=_EMBED_PLANES),
     "ann_lsh_topk": lambda s, d: ann_lsh_topk(s, _emb(s, d)),
+    "ann_multitable_topk": lambda s, d: ann_lsh_multitable_topk(s, _emb(s, d)),
     "ivf_topk": lambda s, d: ivf_topk(s, _emb(s, d)),
     # rows-only (no SQL-expressible oracle): the Arrow/mapInPandas
     # multimodal feature plumbing
@@ -464,5 +529,6 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_multitable_topk": SQL_ANN_MULTITABLE_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
 }

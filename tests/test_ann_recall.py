@@ -81,3 +81,42 @@ def test_ivf_recall_at_10(spark, corpus):
     # planted near-dups of query 0 land in the query's own cell
     planted_found = len(by_q.get(0, set()) & {1, 2, 3, 4, 5})
     assert planted_found / 5 >= PLANTED_BOUND, planted_found
+
+
+# L independent tables: a true neighbor is missed only if EVERY table
+# splits the pair, so recall rises steeply with L at L x the probe
+# cost.  Measured 0.8 on every query of this corpus (vs 0.6
+# single-table); pinned with slack.
+MULTI_RECALL_BOUND = 0.75
+
+
+def test_ann_multitable_recall_at_10(spark, corpus):
+    from mesos_pregel_spark.functions.similarity import (
+        ann_lsh_multitable_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in corpus[i]]) for i in range(N)],
+        "vec_id long, embedding array<float>",
+    )
+    single = ann_lsh_topk(
+        spark, emb, n_queries=3, k=K, n_planes=N_PLANES
+    ).collect()
+    multi = ann_lsh_multitable_topk(
+        spark, emb, n_queries=3, k=K, n_planes=N_PLANES, n_tables=3
+    ).collect()
+
+    def recalls(rows):
+        by_q: dict[int, set[int]] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return [
+            len(by_q.get(q, set()) & _exact_topk(corpus.copy(), q, K)) / K
+            for q in range(3)
+        ]
+
+    r1, rl = recalls(single), recalls(multi)
+    print(f"\nann recall@{K}: single-table {r1} vs 3-table {rl}")
+    # more tables can only widen each query's candidate set
+    assert all(b >= a for a, b in zip(r1, rl)), (r1, rl)
+    assert all(r >= MULTI_RECALL_BOUND for r in rl), rl
