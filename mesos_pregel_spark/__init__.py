@@ -25,11 +25,15 @@ from mesos_pregel_spark.plans.pregel import PregelRun
 from mesos_pregel_spark.plans.program import VertexProgram, pregel
 from mesos_pregel_spark.algos.pagerank import pagerank
 from mesos_pregel_spark.algos.ppr import personalized_pagerank
-from mesos_pregel_spark.algos.cc import connected_components
+from mesos_pregel_spark.algos.cc import (
+    connected_components,
+    connected_components_jump,
+)
 from mesos_pregel_spark.algos.lpa import label_propagation
 from mesos_pregel_spark.algos.triangles import triangle_count
 from mesos_pregel_spark.algos.hits import hits
 from mesos_pregel_spark.algos.kcore import k_core
+from mesos_pregel_spark.algos.msbfs import multi_source_bfs
 from mesos_pregel_spark.functions.dedup import (
     exact_duplicates,
     lsh_candidates,

@@ -1,4 +1,5 @@
-"""A2 — Connected components via hash-min label propagation.
+"""A2 — Connected components via hash-min label propagation, plus a
+pointer-jumping kernel for high-diameter graphs.
 
 Pinned semantics (SURVEY §2.2 A2; CC is the canonical "min" combiner
 example [P §3.2]):
@@ -13,6 +14,18 @@ example [P §3.2]):
 - Terminate when no vertex changed.  EXACT match required.
 
 Expressed as a :class:`VertexProgram` on plans/program.py.
+
+``connected_components_jump`` computes the same labels with
+**pointer jumping** interleaved into every round: after the neighbor-
+min step, ``comp_v ← comp[comp_v]`` (a self-join of the label table)
+doubles the distance a label has travelled, so convergence takes
+O(log diameter) rounds instead of O(diameter).  Hash-min needs
+``diameter`` supersteps — fatal for a 100-TB web crawl whose longest
+path is 10⁴+ hops; the jump kernel's extra per-round self-join buys
+an exponential round reduction (measured in
+tests/test_cc_jump.py::test_chain_round_counts: 1000-vertex chain,
+12 rounds vs the 999 hash-min would need).  Labels are component
+MINIMA in both kernels, so results are interchangeable.
 """
 
 from __future__ import annotations
@@ -84,3 +97,80 @@ def connected_components(
         broadcast_threshold=broadcast_threshold,
         edge_partitions=edge_partitions,
     )
+
+
+def connected_components_jump(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 60,
+    edge_partitions: int | None = None,
+) -> tuple[DataFrame, "PregelRun"]:
+    """CC with pointer jumping (see module docstring): per round, the
+    neighbor-min step then ``comp ← comp[comp]``; O(log diameter)
+    rounds.  Returns (components(id, component), run) — identical
+    labels to ``connected_components``.
+
+    Plan shape per round: one scatter over the persisted symmetric
+    edge table + one min-combine (as hash-min), plus one self-join of
+    the label table on ``comp = id`` (the jump).  The label table is
+    |V| rows — the self-join shuffles vertex state only, never edges,
+    so the extra cost per round is small next to the edge scatter and
+    buys exponentially fewer rounds on long-diameter graphs.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from mesos_pregel_spark.operators.combine import combine
+    from mesos_pregel_spark.operators.scatter import scatter
+
+    nparts = edge_partitions or spark.sparkContext.defaultParallelism
+    e = (
+        symmetrize(edges.select("src", "dst", "weight")).select("src", "dst")
+        .repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e.count()
+    run = PregelRun(spark, "cc_jump")
+    state = run.materialize(
+        e.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("comp"), F.lit(True).alias("changed")),
+        durable=False,
+    )
+    while run.superstep < max_rounds:
+        msgs = scatter(
+            e, state, [F.col("comp").alias("msg"), F.col("src").alias("msrc")],
+            active_filter=F.col("changed"),
+        )
+        combined = combine(msgs, ["dst"], {"msg_min": ("msg", "min")})
+        s1 = (
+            state.join(combined, state["id"] == combined["dst"], "left_outer")
+            .select(
+                state["id"],
+                F.least(
+                    state["comp"],
+                    F.coalesce(combined["msg_min"], state["comp"]),
+                ).alias("comp1"),
+                state["comp"].alias("comp_old"),
+            )
+        )
+        # pointer jump: comp ← comp[comp].  comp1 is always a live
+        # vertex id (labels are vertex ids), so the inner join is total.
+        a, b = s1.alias("a"), s1.alias("b")
+        jumped = a.join(b, F.col("a.comp1") == F.col("b.id")).select(
+            F.col("a.id").alias("id"),
+            F.col("b.comp1").alias("comp"),
+            (F.col("b.comp1") != F.col("a.comp_old")).alias("changed"),
+        )
+        state = run.materialize(jumped)
+        aggs = run.aggregators(
+            state,
+            [
+                F.sum(F.col("changed").cast("long")).alias("active"),
+                F.count(F.lit(1)).alias("n_vertices"),
+            ],
+        )
+        run.record(**aggs)
+        run.next_superstep()
+        if aggs["active"] == 0:
+            break
+    result = run.finish(state.select("id", F.col("comp").alias("component")))
+    e.unpersist()
+    return result, run

@@ -23,8 +23,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Aggregates that are commutative+associative and therefore legal as
-# Pregel combiners (two-stage-safe: agg(agg(x)) == agg(x)).
-_MERGEABLE = {"sum", "min", "max"}
+# Pregel combiners (two-stage-safe: agg(agg(x)) == agg(x)).  bit_or /
+# bit_and serve bit-packed states (multi-source BFS reachability
+# masks); count is deliberately absent — count∘count ≠ count, so it is
+# NOT mergeable (send 1s and sum instead).
+_MERGEABLE = {"sum", "min", "max", "bit_or", "bit_and"}
 
 
 def combine(

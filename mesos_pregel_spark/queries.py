@@ -372,6 +372,18 @@ SELECT actor, MIN(c) AS component FROM reach GROUP BY actor
 """
 
 
+def q_cc_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-jumping CC kernel — same component-minimum labels as
+    hash-min, O(log diameter) rounds; shares cc_full's recursive-CTE
+    oracle because the two kernels are result-identical."""
+    from mesos_pregel_spark.algos.cc import connected_components_jump
+
+    comps, _run = connected_components_jump(
+        spark, _graph_edges(spark, sf_dir), edge_partitions=8
+    )
+    return comps.select(F.col("id").alias("actor"), "component")
+
+
 def q_lpa_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, _run = label_propagation(
         spark, _graph_edges(spark, sf_dir), max_supersteps=1, edge_partitions=8
@@ -642,6 +654,62 @@ SELECT actor, CAST(alive AS BIGINT) AS in_core FROM a{steps}
 SQL_KCORE = _sql_kcore()
 
 
+def q_msbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS reachability masks from the 4 smallest
+    customer actors over the DIRECTED bipartite graph (customers →
+    suppliers): suppliers collect the OR of the source-customers
+    linking to them, non-source customers stay 0 — non-trivial masks,
+    unlike the all-reach-all events clique."""
+    from mesos_pregel_spark.algos.msbfs import multi_source_bfs
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    sources = [
+        r["src"] for r in e.select("src").distinct().orderBy("src").limit(4).collect()
+    ]
+    reach, _run = multi_source_bfs(
+        spark, e, sources, edge_partitions=8
+    )
+    return reach.select(F.col("id").alias("actor"), "mask")
+
+
+SQL_MSBFS = """
+WITH RECURSIVE e AS (
+  SELECT 'c:' || o_custkey AS s, 's:' || l_suppkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+verts AS (
+  SELECT DISTINCT a AS actor FROM (
+    SELECT s AS a FROM e UNION ALL SELECT d FROM e)
+),
+srcs AS (
+  SELECT a AS actor, CAST(ROW_NUMBER() OVER (ORDER BY a) - 1 AS BIGINT) AS bit
+  FROM (SELECT DISTINCT s AS a FROM e ORDER BY a LIMIT 4)
+),
+reach AS (
+  SELECT bit, actor FROM srcs
+  UNION
+  SELECT r.bit, e.d AS actor
+  FROM reach r JOIN e ON e.s = r.actor
+),
+masks AS (
+  SELECT actor, SUM(1::BIGINT << bit) AS mask
+  FROM (SELECT DISTINCT actor, bit FROM reach) GROUP BY actor
+)
+SELECT v.actor, CAST(COALESCE(m.mask, 0) AS BIGINT) AS mask
+FROM verts v LEFT JOIN masks m ON m.actor = v.actor
+"""
+
+
 def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_vertex, _total = triangle_count(spark, _graph_edges(spark, sf_dir))
     return per_vertex.select(F.col("id").alias("actor"), "triangles")
@@ -771,12 +839,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppr_step4": q_ppr_step4,
     "cc_step": q_cc_step,
     "cc_full": q_cc_full,
+    "cc_jump": q_cc_jump,
     "lpa_step": q_lpa_step,
     "lpa_step3": _lpa_query(3),
     "lpa_full": q_lpa_full,
     "sssp": q_sssp,
     "hits_step4": q_hits_step4,
     "kcore": q_kcore,
+    "msbfs": q_msbfs,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "graph_summary": q_graph_summary,
@@ -795,12 +865,14 @@ ORACLE_SQL: dict[str, str] = {
     "ppr_step4": SQL_PPR_STEP4,
     "cc_step": SQL_CC_STEP,
     "cc_full": SQL_CC_FULL,
+    "cc_jump": SQL_CC_FULL,
     "lpa_step": SQL_LPA_STEP,
     "lpa_step3": SQL_LPA_STEP3,
     "lpa_full": SQL_LPA_FULL,
     "sssp": SQL_SSSP,
     "hits_step4": SQL_HITS_STEP4,
     "kcore": SQL_KCORE,
+    "msbfs": SQL_MSBFS,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "graph_summary": SQL_GRAPH_SUMMARY,

@@ -233,3 +233,30 @@ def oracle_kcore(edges: list[Edge], k: int, max_iter: int = 10_000) -> dict:
             break
         alive -= rm
     return {v: (v in alive) for v in nbrs}
+
+
+def oracle_msbfs(edges: list[Edge], sources: list) -> dict:
+    """Directed multi-source reachability: bit i of a vertex's mask is
+    set iff sorted-order source i reaches it (sources reach
+    themselves)."""
+    directed = _dedupe_directed(edges)
+    vs = _vertices(edges)
+    out: dict = defaultdict(list)
+    for (s, d) in directed:
+        out[s].append(d)
+    srcs = sorted(set(sources))
+    mask = {v: 0 for v in vs}
+    for i, s in enumerate(srcs):
+        if s not in vs:
+            continue
+        seen = {s}
+        stack = [s]
+        while stack:
+            u = stack.pop()
+            for v in out[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        for v in seen:
+            mask[v] |= 1 << i
+    return mask
