@@ -31,6 +31,7 @@ from mesos_pregel_spark.functions.similarity import (
     embedding_near_dups,
     ivf_topk,
 )
+from mesos_pregel_spark.functions.pipeline import clean_corpus
 from mesos_pregel_spark.functions.text import (
     LANG_STOPWORDS,
     fingerprint,
@@ -470,6 +471,28 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# Composed cleaning pipeline (functions/pipeline.py): thresholds
+# picked by inspection at sf0.01 so every stage filters non-trivially
+# (en 382/500 docs, quality spread 0.4-0.8, 25 near-dup pairs).
+CLEAN_LANG = "en"
+CLEAN_QUALITY_MIN = 0.55
+CLEAN_JACCARD_MIN = 0.8
+
+SQL_CORPUS_CLEAN = f"""
+SELECT q.doc_id, l.lang_pred, q.quality
+FROM ({SQL_QUALITY}) q
+JOIN ({SQL_LANG_ID}) l ON l.doc_id = q.doc_id
+JOIN (SELECT doc_id FROM ({SQL_DEDUP_EXACT}) WHERE NOT is_duplicate) c
+  ON c.doc_id = q.doc_id
+LEFT JOIN (SELECT DISTINCT doc_b FROM ({SQL_NEAR_DUPLICATES})
+           WHERE jaccard >= {CLEAN_JACCARD_MIN}) d
+  ON d.doc_b = q.doc_id
+WHERE d.doc_b IS NULL
+  AND l.lang_pred = '{CLEAN_LANG}'
+  AND q.quality >= {CLEAN_QUALITY_MIN}
+"""
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only driver query for the multimodal Arrow plumbing.  The
     driver canonicalizes rows with a pandas sort, which cannot hash an
@@ -503,6 +526,10 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_candidates": lambda s, d: lsh_candidates(_docs(s, d)),
     "near_duplicates": lambda s, d: near_duplicates(_docs(s, d)),
     "simhash": lambda s, d: simhash(_docs(s, d)),
+    "corpus_clean": lambda s, d: clean_corpus(
+        _docs(s, d), lang=CLEAN_LANG, quality_min=CLEAN_QUALITY_MIN,
+        jaccard_min=CLEAN_JACCARD_MIN,
+    ),
     "cosine_scores": lambda s, d: cosine_scores(s, _emb(s, d)),
     "cosine_topk": lambda s, d: cosine_topk(s, _emb(s, d)),
     "embedding_near_dups": lambda s, d: embedding_near_dups(
@@ -525,6 +552,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_candidates": SQL_LSH_CANDIDATES,
     "near_duplicates": SQL_NEAR_DUPLICATES,
     "simhash": SQL_SIMHASH,
+    "corpus_clean": SQL_CORPUS_CLEAN,
     "cosine_scores": SQL_COSINE_SCORES,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
