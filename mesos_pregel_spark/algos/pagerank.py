@@ -67,15 +67,48 @@ def pagerank(
     kernel: str = "join",
     broadcast_threshold: int | None = None,
     adaptive: bool | None = None,
+    weighted: bool = False,
 ) -> tuple[DataFrame, PregelRun]:
     """Run PageRank to convergence.  Returns (ranks(id, pagerank), run).
 
     ``broadcast_threshold``: when set and the vertex count stays under
     it, the scatter join broadcasts the state side instead of shuffling
     it (PageRank has no shrinking frontier, so this is a static |V|
-    decision, unlike CC/SSSP's per-superstep swap)."""
+    decision, unlike CC/SSSP's per-superstep swap).
+
+    ``weighted=True`` distributes a vertex's rank proportionally to
+    edge weight instead of uniformly:
+
+        pr'_v = (1-d)/N + d * Σ_{u→v} pr_u * w_uv / W_u
+
+    with W_u = Σ of u's out-edge weights and parallel (src,dst) rows
+    collapsed by weight-sum in prep — the transcript graphs carry
+    interaction counts, and the weighted walk follows them.  Same
+    plan shape (the msg expression changes, nothing else); the CSR
+    kernel is unweighted-only."""
+    if weighted and kernel == "csr":
+        raise ValueError("kernel='csr' supports unweighted PageRank only")
 
     def init(e: DataFrame, ctx: dict) -> DataFrame:
+        if weighted:
+            vertices = (
+                e.select(F.col("src").alias("id"))
+                .unionByName(e.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            wsum = e.groupBy(F.col("src").alias("id")).agg(
+                F.sum("weight").alias("w_out")
+            )
+            n = vertices.count()
+            ctx["n"] = n
+            return (
+                vertices.join(wsum, "id", "left_outer")
+                .select(
+                    "id",
+                    F.coalesce("w_out", F.lit(0.0)).alias("outdeg"),
+                    (F.lit(1.0) / F.lit(float(n))).alias("pr"),
+                )
+            )
         state, n = init_state(e)
         ctx["n"] = n
         return state
@@ -136,16 +169,28 @@ def pagerank(
                 ctx["csr_fallback"] = True
                 return join_gather(e, state)
 
+    if weighted:
+        # collapse parallel edges by weight-sum; outdeg carries W_u
+        prep = lambda e: (  # noqa: E731
+            e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+        )
+        edge_cols = ("src", "dst", "weight")
+        msg = (F.col("pr") * F.col("weight") / F.col("outdeg")).alias("msg")
+    else:
+        prep = lambda e: e.select("src", "dst").distinct()  # noqa: E731
+        edge_cols = ("src", "dst")
+        msg = (F.col("pr") / F.col("outdeg")).alias("msg")
+
     program = VertexProgram(
-        name="pagerank",
+        name="pagerank_w" if weighted else "pagerank",
         init=init,
         restore_ctx=restore_ctx,
         # Collapse parallel edges: outdeg counts DISTINCT out-neighbors
-        # (pinned semantics above), so duplicate (src,dst) rows must not
-        # double-send mass.  edge_partitions=0 callers guarantee this.
-        prep_edges=lambda e: e.select("src", "dst").distinct(),
-        edge_cols=("src", "dst"),
-        msg_cols=[(F.col("pr") / F.col("outdeg")).alias("msg")],
+        # (unweighted pinned semantics above) or sums their weights
+        # (weighted), so duplicate (src,dst) rows never double-send.
+        prep_edges=prep,
+        edge_cols=edge_cols,
+        msg_cols=[msg],
         active_filter=F.col("outdeg") > 0,
         combiner={"msg_sum": ("msg", "sum")},
         apply=apply,
@@ -158,7 +203,7 @@ def pagerank(
         frontier_agg="n_vertices",
         finalize=lambda s: s.select("id", F.col("pr").alias("pagerank")),
         custom_gather=custom_gather,
-        params={"damping": damping, "tol": tol},
+        params={"damping": damping, "tol": tol, "weighted": weighted},
     )
     result, run = pregel(
         spark, edges, program,

@@ -183,6 +183,46 @@ SELECT actor, ROUND(pr, 9) AS pagerank FROM pr2
 """
 
 
+def q_pagerank_weighted_step2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-step weighted PageRank: rank flows proportionally to the
+    interaction-count edge weights instead of uniformly."""
+    ranks, _run = pagerank(
+        spark, _graph_edges(spark, sf_dir), tol=0.0, max_supersteps=2,
+        edge_partitions=8, weighted=True,
+    )
+    return ranks.select(
+        F.col("id").alias("actor"), F.round("pagerank", 9).alias("pagerank")
+    )
+
+
+SQL_PAGERANK_WEIGHTED_STEP2 = _SQL_EDGES + """
+, n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+wd AS (SELECT src_actor, SUM(weight) AS w FROM edges GROUP BY src_actor),
+wp1 AS MATERIALIZED (
+  SELECT v.actor,
+         0.15/(SELECT n FROM n) + 0.85*COALESCE(c.s, 0.0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.dst_actor AS actor,
+           SUM((1.0/(SELECT n FROM n)) * e.weight / wd.w) AS s
+    FROM edges e JOIN wd ON e.src_actor = wd.src_actor
+    GROUP BY e.dst_actor) c
+  ON v.actor = c.actor
+),
+wp2 AS MATERIALIZED (
+  SELECT v.actor,
+         0.15/(SELECT n FROM n) + 0.85*COALESCE(c.s, 0.0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.dst_actor AS actor, SUM(p.pr * e.weight / wd.w) AS s
+    FROM edges e
+    JOIN wp1 p ON e.src_actor = p.actor
+    JOIN wd ON e.src_actor = wd.src_actor
+    GROUP BY e.dst_actor) c
+  ON v.actor = c.actor
+)
+SELECT actor, ROUND(pr, 9) AS pagerank FROM wp2
+"""
+
+
 def _sql_pagerank_steps(steps: int) -> str:
     """k-step unrolled PageRank oracle — MATERIALIZED CTE per superstep
     (the SSSP oracle's technique; keeps DuckDB cost linear in steps).
@@ -834,6 +874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_step": _pr_query(1),
     "pagerank_step2": _pr_query(2),
     "pagerank_step8": _pr_query(8),
+    "pagerank_weighted_step2": q_pagerank_weighted_step2,
     "pagerank_full": q_pagerank_full,
     "pagerank_conv": q_pagerank_conv,
     "ppr_step4": q_ppr_step4,
@@ -861,6 +902,7 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank_step": SQL_PAGERANK_STEP,
     "pagerank_step2": SQL_PAGERANK_STEP2,
     "pagerank_step8": SQL_PAGERANK_STEP8,
+    "pagerank_weighted_step2": SQL_PAGERANK_WEIGHTED_STEP2,
     "pagerank_conv": SQL_PAGERANK_CONV,
     "ppr_step4": SQL_PPR_STEP4,
     "cc_step": SQL_CC_STEP,

@@ -260,3 +260,36 @@ def oracle_msbfs(edges: list[Edge], sources: list) -> dict:
         for v in seen:
             mask[v] |= 1 << i
     return mask
+
+
+def oracle_pagerank_weighted(
+    edges: list[Edge],
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+) -> dict:
+    """Weighted A1 variant: pr' = (1-d)/N + d·Σ pr_u·w_uv/W_u with
+    parallel edges collapsed by weight-sum; same init/halt rules."""
+    agg: dict = defaultdict(float)
+    for s, d, w in edges:
+        if s != d:
+            agg[(s, d)] += w
+    vs = _vertices(edges)
+    n = len(vs)
+    out: dict = defaultdict(list)
+    wsum: dict = defaultdict(float)
+    for (s, d), w in agg.items():
+        out[s].append((d, w))
+        wsum[s] += w
+    pr = {v: 1.0 / n for v in vs}
+    for _ in range(max_iter):
+        sums: dict = defaultdict(float)
+        for u, nbrs in out.items():
+            for v, w in nbrs:
+                sums[v] += pr[u] * w / wsum[u]
+        new = {v: (1.0 - damping) / n + damping * sums.get(v, 0.0) for v in vs}
+        max_delta = max(abs(new[v] - pr[v]) for v in vs)
+        pr = new
+        if max_delta < tol:
+            break
+    return pr

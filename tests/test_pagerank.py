@@ -105,3 +105,43 @@ def test_hot_key_salting_equivalence(spark):
     ids_df, edges, _ = id_space(spark, micro_graph_df(spark, "star_hub"))
     _run_and_compare(spark, ids_df, edges, tol=0.0, max_supersteps=6,
                      n_salt=4, salt_hot_k=2)
+
+
+def test_weighted_matches_oracle(spark):
+    from tests.oracle_pregel import oracle_pagerank_weighted
+
+    t = generate_transcripts(spark, n_conv=300, seed=42)
+    ids_df = edges_with_ids(build_edges(t))
+    edges = [(r["src"], r["dst"], r["weight"]) for r in ids_df.collect()]
+    got, _run = pagerank(spark, ids_df, weighted=True)
+    expected = oracle_pagerank_weighted(edges)
+    got_map = {r["id"]: r["pagerank"] for r in got.collect()}
+    assert got_map.keys() == expected.keys()
+    for v, p in expected.items():
+        assert abs(got_map[v] - p) < 1e-9
+
+
+def test_weighted_equals_unweighted_on_uniform_weights(spark):
+    """With every weight equal, the weighted walk IS the uniform walk."""
+    from pyspark.sql import functions as F
+
+    t = generate_transcripts(spark, n_conv=200, seed=7)
+    ids_df = edges_with_ids(build_edges(t)).select(
+        "src", "dst", F.lit(1.0).alias("weight")
+    )
+    w, _ = pagerank(spark, ids_df, weighted=True, max_supersteps=5, tol=0.0)
+    u, _ = pagerank(spark, ids_df, weighted=False, max_supersteps=5, tol=0.0)
+    wm = {r["id"]: r["pagerank"] for r in w.collect()}
+    um = {r["id"]: r["pagerank"] for r in u.collect()}
+    assert wm.keys() == um.keys()
+    for v in wm:
+        assert abs(wm[v] - um[v]) < 1e-12
+
+
+def test_weighted_csr_rejected(spark):
+    import pytest as _pytest
+
+    t = generate_transcripts(spark, n_conv=50, seed=7)
+    ids_df = edges_with_ids(build_edges(t))
+    with _pytest.raises(ValueError, match="unweighted"):
+        pagerank(spark, ids_df, weighted=True, kernel="csr")
