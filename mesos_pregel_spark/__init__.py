@@ -34,6 +34,7 @@ from mesos_pregel_spark.algos.triangles import triangle_count
 from mesos_pregel_spark.algos.hits import hits
 from mesos_pregel_spark.algos.kcore import k_core
 from mesos_pregel_spark.algos.msbfs import multi_source_bfs
+from mesos_pregel_spark.algos.landmarks import landmark_distances
 from mesos_pregel_spark.functions.pipeline import clean_corpus
 from mesos_pregel_spark.functions.dedup import (
     exact_duplicates,

@@ -694,6 +694,63 @@ SELECT actor, CAST(alive AS BIGINT) AS in_core FROM a{steps}
 SQL_KCORE = _sql_kcore()
 
 
+def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-lane Bellman-Ford: weighted distances from the 3 smallest
+    actors in one run (lane i = sorted landmark i)."""
+    from mesos_pregel_spark.algos.landmarks import landmark_distances
+
+    e = _graph_edges(spark, sf_dir)
+    lms = [r["src"] for r in e.select("src").distinct().orderBy("src").limit(3).collect()]
+    dists, _run = landmark_distances(spark, e, lms, edge_partitions=8)
+    return dists.select(
+        F.col("id").alias("actor"),
+        *[F.round(f"d{i}", 9).alias(f"d{i}") for i in range(3)],
+    )
+
+
+def _sql_landmarks(k: int = 3, steps: int = 15) -> str:
+    """Per-lane unrolled Bellman-Ford (the SQL_SSSP pattern × k),
+    joined into one row per actor at the end."""
+    inf = "1e18"
+    parts = [f""",
+lms AS (SELECT src_actor AS a,
+               CAST(ROW_NUMBER() OVER (ORDER BY src_actor) - 1 AS BIGINT) AS i
+        FROM (SELECT DISTINCT src_actor FROM edges ORDER BY 1 LIMIT {k}))"""]
+    for i in range(k):
+        parts.append(f""",
+l{i}d0 AS MATERIALIZED (
+  SELECT actor,
+         CASE WHEN actor = (SELECT a FROM lms WHERE i = {i})
+              THEN 0.0 ELSE {inf} END AS dist
+  FROM verts
+)""")
+        for s in range(1, steps + 1):
+            parts.append(f""",
+l{i}d{s} AS MATERIALIZED (
+  SELECT p.actor, LEAST(p.dist, COALESCE(m.md, {inf})) AS dist
+  FROM l{i}d{s-1} p LEFT JOIN (
+    SELECT e.dst_actor AS actor, MIN(pp.dist + e.weight) AS md
+    FROM l{i}d{s-1} pp JOIN edges e ON e.src_actor = pp.actor
+    WHERE pp.dist < 1e17 GROUP BY e.dst_actor) m
+  ON m.actor = p.actor
+)""")
+    selects = ", ".join(
+        f"CASE WHEN l{i}.dist >= 1e17 THEN NULL "
+        f"ELSE ROUND(l{i}.dist, 9) END AS d{i}"
+        for i in range(k)
+    )
+    joins = " ".join(
+        f"JOIN l{i}d{steps} l{i} ON l{i}.actor = v.actor" for i in range(k)
+    )
+    return _SQL_EDGES + "".join(parts) + f"""
+SELECT v.actor, {selects}
+FROM verts v {joins}
+"""
+
+
+SQL_LANDMARKS = _sql_landmarks()
+
+
 def q_msbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS reachability masks from the 4 smallest
     customer actors over the DIRECTED bipartite graph (customers →
@@ -888,6 +945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits_step4": q_hits_step4,
     "kcore": q_kcore,
     "msbfs": q_msbfs,
+    "landmark_distances": q_landmark_distances,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "graph_summary": q_graph_summary,
@@ -915,6 +973,7 @@ ORACLE_SQL: dict[str, str] = {
     "hits_step4": SQL_HITS_STEP4,
     "kcore": SQL_KCORE,
     "msbfs": SQL_MSBFS,
+    "landmark_distances": SQL_LANDMARKS,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "graph_summary": SQL_GRAPH_SUMMARY,
