@@ -694,6 +694,32 @@ SELECT actor, CAST(alive AS BIGINT) AS in_core FROM a{steps}
 SQL_KCORE = _sql_kcore()
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (coloring algorithm) on the
+    directed events actor graph; labels = SCC-minimum actor."""
+    from mesos_pregel_spark.algos.scc import strongly_connected_components
+
+    labels, _run = strongly_connected_components(
+        spark, _graph_edges(spark, sf_dir), edge_partitions=8
+    )
+    return labels.select(F.col("id").alias("actor"), "scc")
+
+
+# Pairwise-reachability oracle: v's SCC = MIN u with reach(v,u) AND
+# reach(u,v).  Quadratic — fine at driver scale (the events actor set
+# is tiny); the engine path is the scalable one.
+SQL_SCC = _SQL_EDGES + """
+, reach AS (
+  SELECT actor AS a, actor AS b FROM verts
+  UNION
+  SELECT r.a, e.dst_actor AS b FROM reach r JOIN edges e ON e.src_actor = r.b
+)
+SELECT r1.a AS actor, MIN(r1.b) AS scc
+FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+GROUP BY r1.a
+"""
+
+
 def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-lane Bellman-Ford: weighted distances from the 3 smallest
     actors in one run (lane i = sorted landmark i)."""
@@ -946,6 +972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore": q_kcore,
     "msbfs": q_msbfs,
     "landmark_distances": q_landmark_distances,
+    "scc": q_scc,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "graph_summary": q_graph_summary,
@@ -974,6 +1001,7 @@ ORACLE_SQL: dict[str, str] = {
     "kcore": SQL_KCORE,
     "msbfs": SQL_MSBFS,
     "landmark_distances": SQL_LANDMARKS,
+    "scc": SQL_SCC,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "graph_summary": SQL_GRAPH_SUMMARY,

@@ -293,3 +293,55 @@ def oracle_pagerank_weighted(
         if max_delta < tol:
             break
     return pr
+
+
+def oracle_scc(edges: list[Edge]) -> dict:
+    """Strongly connected components (Kosaraju, iterative): vertex →
+    MIN id of its SCC.  Self-loops dropped; vertices exist only via
+    non-self-loop edges (the engine's convention)."""
+    directed = {k for k in _dedupe_directed(edges)}
+    vs = sorted({v for p in directed for v in p}, key=_key)
+    out: dict = defaultdict(list)
+    rev: dict = defaultdict(list)
+    for (s, d) in directed:
+        out[s].append(d)
+        rev[d].append(s)
+    # pass 1: finish order on the forward graph
+    seen: set = set()
+    order: list = []
+    for v0 in vs:
+        if v0 in seen:
+            continue
+        stack = [(v0, iter(out[v0]))]
+        seen.add(v0)
+        while stack:
+            v, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, iter(out[w])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(v)
+                stack.pop()
+    # pass 2: reverse graph in reverse finish order
+    comp: dict = {}
+    for v0 in reversed(order):
+        if v0 in comp:
+            continue
+        members = [v0]
+        comp[v0] = v0
+        stack = [v0]
+        while stack:
+            v = stack.pop()
+            for w in rev[v]:
+                if w not in comp:
+                    comp[w] = v0
+                    members.append(w)
+                    stack.append(w)
+        m = min(members, key=_key)
+        for u in members:
+            comp[u] = m
+    return comp
