@@ -28,8 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mesos_pregel_spark.functions.dedup import exact_duplicates, near_duplicates
-from mesos_pregel_spark.functions.text import language_id, quality_score
+from pyspark.sql import Window
+
+from mesos_pregel_spark.functions.dedup import near_duplicates
+from mesos_pregel_spark.functions.text import profile_documents
 
 
 def clean_corpus(
@@ -38,10 +40,22 @@ def clean_corpus(
     quality_min: float = 0.55,
     jaccard_min: float = 0.8,
 ) -> DataFrame:
-    """Run the composed cleaning pipeline (see module docstring)."""
-    q = quality_score(docs)
-    l = language_id(docs)
-    canon = exact_duplicates(docs).where(~F.col("is_duplicate")).select("doc_id")
+    """Run the composed cleaning pipeline (see module docstring).
+
+    Plan shape (scan-count-asserted in tests): TWO scans of the
+    documents table total — one fused profile pass
+    (text.profile_documents: quality + language + fingerprint in a
+    single projection; composing the three operators naively costs a
+    scan each) and one shingle pass for the MinHash near-dup stage.
+    The exact-dedup canonical is a min-over-fingerprint WINDOW on the
+    profile branch (one shuffle, no self-join, branch referenced
+    once)."""
+    prof = profile_documents(docs)
+    canonical = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    survivors = (
+        prof.withColumn("canonical_id", canonical)
+        .where(F.col("doc_id") == F.col("canonical_id"))
+    )
     near_drop = (
         near_duplicates(docs)
         .where(F.col("jaccard") >= jaccard_min)
@@ -49,9 +63,7 @@ def clean_corpus(
         .distinct()
     )
     return (
-        q.join(l, "doc_id")
-        .join(canon, "doc_id")
-        .join(near_drop, "doc_id", "left_anti")
+        survivors.join(near_drop, "doc_id", "left_anti")
         .where((F.col("lang_pred") == lang) & (F.col("quality") >= quality_min))
         .select("doc_id", "lang_pred", "quality")
     )

@@ -118,3 +118,43 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(normalize_text(F.col("text"))).alias("fingerprint")
     )
+
+
+def profile_documents(docs: DataFrame) -> DataFrame:
+    """Fused single-pass profile: (doc_id, quality, lang_pred,
+    fingerprint) computed in ONE projection over ONE scan.
+
+    quality_score / language_id / fingerprint are all pure projections
+    sharing the normalized text and token split; calling them
+    separately (as a naive pipeline composition would) scans the
+    documents table once EACH — at 100 TB that is two redundant full
+    scans.  The expressions here are the same pinned formulas, so
+    results are bitwise-identical to the individual operators
+    (pytest-asserted)."""
+    toks = tokens_col(F.col("text"))
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    stop_counts = {
+        lang: F.size(F.filter(toks, (lambda s: lambda t: t.isin(*s))(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    stop_ratio = F.round(
+        stop_counts["en"].cast("double") / F.greatest(n_tokens, F.lit(1)), 9
+    )
+    punct_ratio = F.round(
+        n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 9
+    )
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5.0)
+    best = F.greatest(*stop_counts.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_STOPWORDS:  # first match wins => pinned tie-break
+        pred = pred.when(stop_counts[lang] == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        F.round((len_score + stop_score + punct_pen) / 3.0, 9).alias("quality"),
+        pred.alias("lang_pred"),
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+    )

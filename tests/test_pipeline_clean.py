@@ -38,3 +38,63 @@ def test_near_dup_drop_keeps_lower_id(spark):
     got = clean_corpus(_docs(spark), lang="en", quality_min=0.5,
                        jaccard_min=1.1)
     assert set(r["doc_id"] for r in got.collect()) == {1, 3, 6}
+
+
+def test_fused_profile_equals_individual_operators(spark):
+    """profile_documents must be bitwise-identical to the three
+    operators it fuses (same pinned expressions, one scan)."""
+    from mesos_pregel_spark.functions.text import (
+        fingerprint,
+        language_id,
+        profile_documents,
+        quality_score,
+    )
+
+    docs = _docs(spark)
+    prof = {r["doc_id"]: r for r in profile_documents(docs).collect()}
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    l = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    f = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert {k: v["quality"] for k, v in prof.items()} == q
+    assert {k: v["lang_pred"] for k, v in prof.items()} == l
+    assert {k: v["fingerprint"] for k, v in prof.items()} == f
+
+
+def test_fused_profile_is_single_scan(spark, tmp_path):
+    """The 100x-scale property: the pipeline's scalar stages (quality
+    + language + fingerprint/canonical) read the documents table ONCE
+    via the fused profile, where composing the individual operators
+    costs one scan each (asserted on the physical plans)."""
+    from pyspark.sql import functions as F
+
+    from mesos_pregel_spark.functions.dedup import exact_duplicates
+    from mesos_pregel_spark.functions.text import (
+        language_id,
+        profile_documents,
+        quality_score,
+    )
+
+    path = str(tmp_path / "docs")
+    _docs(spark).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+
+    def scans(df):
+        return (
+            df._jdf.queryExecution().executedPlan().toString()
+            .count("Scan parquet")
+        )
+
+    assert scans(profile_documents(docs)) == 1
+    naive = (
+        quality_score(docs)
+        .join(language_id(docs), "doc_id")
+        .join(
+            exact_duplicates(docs).where(~F.col("is_duplicate"))
+            .select("doc_id"),
+            "doc_id",
+        )
+    )
+    # 4: quality + language + the two branches of exact_duplicates'
+    # fingerprint⋈canonical self-join — all folded into 1 by the fused
+    # profile + window
+    assert scans(naive) == 4
