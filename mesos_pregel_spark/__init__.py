@@ -36,6 +36,7 @@ from mesos_pregel_spark.algos.kcore import k_core
 from mesos_pregel_spark.algos.msbfs import multi_source_bfs
 from mesos_pregel_spark.algos.landmarks import landmark_distances
 from mesos_pregel_spark.algos.scc import strongly_connected_components
+from mesos_pregel_spark.algos.ktruss import k_truss
 from mesos_pregel_spark.functions.pipeline import clean_corpus
 from mesos_pregel_spark.functions.dedup import (
     exact_duplicates,

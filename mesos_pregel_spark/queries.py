@@ -876,6 +876,60 @@ SQL_TRIANGLE_TOTAL = _SQL_TRI + \
     "SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles FROM tri"
 
 
+_KTRUSS_K = 5
+_KTRUSS_ROUNDS = 6
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-truss of the events actor graph (every edge in ≥ 3 surviving
+    triangles).  Monotone peel, so engine-at-cap == oracle-at-same-
+    unroll exactly (see algos/ktruss.py)."""
+    from mesos_pregel_spark.algos.ktruss import k_truss
+
+    truss, _run = k_truss(
+        spark, _graph_edges(spark, sf_dir), k=_KTRUSS_K,
+        max_rounds=_KTRUSS_ROUNDS, edge_partitions=8,
+    )
+    return truss.select(F.col("lo").alias("actor_a"), F.col("hi").alias("actor_b"))
+
+
+def _sql_ktruss(k: int = _KTRUSS_K, rounds: int = _KTRUSS_ROUNDS) -> str:
+    need = k - 2
+    parts = ["""
+, t0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src_actor, dst_actor) AS lo,
+                  GREATEST(src_actor, dst_actor) AS hi
+  FROM edges WHERE src_actor <> dst_actor
+)"""]
+    for r in range(rounds):
+        parts.append(f""",
+tri{r} AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM t{r} e1
+  JOIN t{r} e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+  JOIN t{r} e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+sup{r} AS (
+  SELECT lo, hi, COUNT(*) AS s FROM (
+    SELECT a AS lo, b AS hi FROM tri{r}
+    UNION ALL SELECT a, c FROM tri{r}
+    UNION ALL SELECT b, c FROM tri{r}) u
+  GROUP BY lo, hi
+),
+t{r + 1} AS MATERIALIZED (
+  SELECT t.lo, t.hi
+  FROM t{r} t LEFT JOIN sup{r} s ON s.lo = t.lo AND s.hi = t.hi
+  WHERE COALESCE(s.s, 0) >= {need}
+)""")
+    parts.append(f"""
+SELECT lo AS actor_a, hi AS actor_b FROM t{rounds}
+""")
+    return _SQL_EDGES + "".join(parts)
+
+
+SQL_KTRUSS = _sql_ktruss()
+
+
 def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 aggregator parity: global scalars over the graph."""
     e = events_edges(spark, sf_dir)
@@ -975,6 +1029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scc": q_scc,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
+    "ktruss": q_ktruss,
     "graph_summary": q_graph_summary,
     "bipartite_edges": q_bipartite_edges,
     "bipartite_degrees": q_bipartite_degrees,
@@ -1004,6 +1059,7 @@ ORACLE_SQL: dict[str, str] = {
     "scc": SQL_SCC,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
+    "ktruss": SQL_KTRUSS,
     "graph_summary": SQL_GRAPH_SUMMARY,
     "bipartite_edges": SQL_BIPARTITE_EDGES,
     "bipartite_degrees": SQL_BIPARTITE_DEGREES,

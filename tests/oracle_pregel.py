@@ -345,3 +345,32 @@ def oracle_scc(edges: list[Edge]) -> dict:
         for u in members:
             comp[u] = m
     return comp
+
+
+def oracle_ktruss(edges: list[Edge], k: int, max_iter: int = 10_000) -> set:
+    """k-truss edge set on the canonical simple undirected graph:
+    synchronously remove every edge in < k-2 surviving triangles until
+    stable.  Returns the set of (lo, hi) pairs."""
+    es = set()
+    for s, d, _w in edges:
+        if s != d:
+            es.add((min(s, d, key=_key), max(s, d, key=_key)))
+    need = k - 2
+    for _ in range(max_iter):
+        sup: dict = defaultdict(int)
+        e_sorted = sorted(es, key=lambda p: (_key(p[0]), _key(p[1])))
+        nbrs: dict = defaultdict(set)
+        for (a, b) in es:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+        for (a, b) in e_sorted:
+            for c in nbrs[a] & nbrs[b]:
+                sup[(a, b)] += 1
+        # each triangle counted twice per edge (c ranges over both
+        # common neighbors' sides? no — common nbrs of a,b counted
+        # once each); support = |N(a) ∩ N(b)|
+        new = {e for e in es if sup.get(e, 0) >= need}
+        if new == es:
+            return es
+        es = new
+    return es

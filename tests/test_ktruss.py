@@ -1,0 +1,74 @@
+"""k-truss: engine vs python peel oracle + closed forms."""
+
+import pytest
+
+from pyspark.sql import types as T
+
+from tests.conftest import id_space
+from tests.oracle_pregel import oracle_ktruss
+
+from mesos_pregel_spark.algos.ktruss import k_truss
+from mesos_pregel_spark.fixtures import generate_transcripts, micro_graph_df
+from mesos_pregel_spark.functions.edges import build_edges, edges_with_ids
+
+
+def _df(spark, rows):
+    schema = T.StructType([
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+        T.StructField("weight", T.DoubleType(), False),
+    ])
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def _edges(df):
+    return {(r["lo"], r["hi"]) for r in df.collect()}
+
+
+def _compare(spark, edges_df, oracle_edges, k, **kw):
+    got, _run = k_truss(spark, edges_df, k=k, **kw)
+    assert _edges(got) == oracle_ktruss(oracle_edges, k)
+
+
+def test_triangle_with_tail(spark):
+    """3-truss of triangle+tail = the triangle; the tail edges are in
+    no triangle and peel in round 1."""
+    rows = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 1.0), (4, 5, 1.0)]
+    got, run = k_truss(spark, _df(spark, rows), k=3)
+    assert _edges(got) == {(1, 2), (1, 3), (2, 3)}
+    assert run.metrics[0]["removed"] == 2
+
+
+def test_diamond_cascade(spark):
+    """Diamond (4-cycle + one diagonal): every edge is in >= 1
+    triangle, but 4-truss needs support 2 — only the diagonal has it,
+    and removing the others starves the diagonal: 4-truss is EMPTY and
+    takes a multi-round cascade."""
+    rows = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 1, 1.0), (1, 3, 1.0)]
+    got3, _ = k_truss(spark, _df(spark, rows), k=3)
+    assert _edges(got3) == {(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)}
+    got4, run4 = k_truss(spark, _df(spark, rows), k=4)
+    assert _edges(got4) == set()
+    assert run4.superstep >= 2  # the diagonal only dies in round 2
+
+
+@pytest.mark.parametrize("name,k", [
+    ("k4", 3), ("k4", 4), ("k4", 5),
+    ("two_islands", 3), ("star_hub", 3), ("bipartite6", 3),
+])
+def test_micro_graphs(spark, name, k):
+    ids_df, edges, _names = id_space(spark, micro_graph_df(spark, name))
+    _compare(spark, ids_df, edges, k)
+
+
+@pytest.mark.parametrize("k", [3, 4])
+def test_transcript_graph(spark, k):
+    t = generate_transcripts(spark, n_conv=300, seed=42)
+    ids_df = edges_with_ids(build_edges(t))
+    edges = [(r["src"], r["dst"], r["weight"]) for r in ids_df.collect()]
+    _compare(spark, ids_df, edges, k)
+
+
+def test_k_below_2_rejected(spark):
+    with pytest.raises(ValueError, match="k >= 2"):
+        k_truss(spark, _df(spark, [(1, 2, 1.0)]), k=1)
