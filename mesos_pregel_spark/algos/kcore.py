@@ -27,7 +27,7 @@ same vote-to-halt economics as CC/SSSP [P §3]).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mesos_pregel_spark.functions.edges import symmetrize
@@ -116,5 +116,113 @@ def k_core(
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
         n_salt=n_salt, salt_hot_k=salt_hot_k,
         broadcast_threshold=broadcast_threshold,
+        edge_partitions=edge_partitions,
+    )
+
+
+def core_number(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_supersteps: int = 50,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    n_salt: int = 0,
+    salt_hot_k: int = 0,
+    edge_partitions: int | None = None,
+) -> tuple[DataFrame, PregelRun]:
+    """Full k-core decomposition in ONE run: ``core(v)`` = the largest
+    k such that v belongs to the k-core — no fixed-k sweep.
+
+    Algorithm: the distributed H-index fixpoint (the published
+    coreness characterization — Lü et al., "The H-index of a network
+    node and its relation to degree and coreness", Nat. Commun. 2016;
+    the vertex-centric formulation is Montresor et al.'s distributed
+    k-core decomposition):
+
+        c_0(v)     = deg(v)
+        c_{t+1}(v) = H({c_t(u) : u ~ v})
+
+    where H(S) is the largest h with >= h members of S that are >= h.
+    The sequence is MONOTONE non-increasing and converges to the core
+    number, so (like k-core's peel) a run capped at S supersteps
+    equals an S-step unrolled oracle exactly — the driver parity check
+    (queries.SQL_CORE_NUMBER) unrolls the identical schedule, and the
+    python peel oracle (tests/oracle_pregel.oracle_core_number) pins
+    the converged values at fixture scale.
+
+    Execution shape (design-for-100×): per superstep, estimates ride
+    ONE scatter join over the src-partitioned symmetrized edges; the
+    combiner collapses them to per-(dst, value) COUNTS map-side (the
+    LPA pattern — shuffle volume is distinct estimate values per
+    vertex, not messages); the H-index is then a window over those
+    tiny per-vertex count rows (cumulative count of neighbors with
+    estimate >= m, h = max of least(m, cum)) — never a window over raw
+    messages.
+    """
+
+    def init(e: DataFrame, ctx: dict) -> DataFrame:
+        # symmetrized distinct edges: degree = out-row count per src
+        return (
+            e.groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .select("id", "c", F.lit(True).alias("changed"))
+        )
+
+    def hindex(per_val: DataFrame) -> DataFrame:
+        # per_val: (dst, m, cnt) — cnt neighbors currently estimating m.
+        # cum over m DESC = #neighbors with estimate >= m; H = max of
+        # least(m, cum) over the distinct values (the step function
+        # #>=t only changes at neighbor values, so that max IS the
+        # H-index).
+        w = Window.partitionBy("dst").orderBy(F.desc("m"))
+        return (
+            per_val.withColumn("cum", F.sum("cnt").over(w))
+            .groupBy("dst")
+            .agg(F.max(F.least(F.col("m"), F.col("cum"))).alias("h"))
+        )
+
+    def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:
+        new_c = F.least(
+            state["c"], F.coalesce(combined["h"], state["c"])
+        )
+        return (
+            state.join(combined, state["id"] == combined["dst"], "left_outer")
+            .select(
+                state["id"],
+                new_c.alias("c"),
+                (new_c < state["c"]).alias("changed"),
+            )
+        )
+
+    program = VertexProgram(
+        name="core_number",
+        init=init,
+        prep_edges=lambda e: symmetrize(e.select("src", "dst", "weight"))
+        .select("src", "dst"),
+        edge_cols=("src", "dst"),
+        # every vertex re-broadcasts its estimate every superstep: H
+        # needs the full neighbor multiset, not a delta
+        msg_cols=[
+            F.col("c").alias("m"),
+            F.lit(1).cast("long").alias("one"),
+        ],
+        combine_keys=("dst", "m"),
+        combiner={"cnt": ("one", "sum")},
+        post_combine=hindex,
+        apply=apply,
+        aggregators=[
+            F.sum(F.col("changed").cast("long")).alias("changed_count"),
+            F.max("c").alias("max_core"),
+        ],
+        halt=lambda aggs: aggs["changed_count"] == 0,
+        finalize=lambda s: s.select("id", F.col("c").alias("core")),
+        # monotone non-increasing: capped run == capped unroll, exact
+        converged_at_cap=True,
+    )
+    return pregel(
+        spark, edges, program,
+        max_supersteps=max_supersteps,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        n_salt=n_salt, salt_hot_k=salt_hot_k,
         edge_partitions=edge_partitions,
     )

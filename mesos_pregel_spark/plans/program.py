@@ -141,13 +141,21 @@ def pregel(
             "checkpoints do not capture — resume would replay against "
             "the ORIGINAL edges; run without checkpoint_dir"
         )
+    # converged_at_cap programs (sync-LPA, peeling) treat the superstep
+    # cap as part of their SEMANTICS — a capped run is a final answer
+    # for that cap.  Record the cap in the checkpoint params so a
+    # resume under a different cap is rejected instead of returning the
+    # old cap's final state as if it were this run's answer.
+    ckpt_params = dict(program.params)
+    if program.converged_at_cap:
+        ckpt_params["max_supersteps"] = max_supersteps
     run, resumed = (
         PregelRun.resume(
             spark, program.name, checkpoint_dir,
-            checkpoint_every=checkpoint_every, params=program.params,
+            checkpoint_every=checkpoint_every, params=ckpt_params,
         )
         if checkpoint_dir
-        else (PregelRun(spark, program.name, params=program.params), None)
+        else (PregelRun(spark, program.name, params=ckpt_params), None)
     )
     if run.resumed_final:
         return resumed, run
@@ -206,7 +214,24 @@ def _pregel_loop(
     nparts = edge_partitions or spark.sparkContext.defaultParallelism
     owned_edges = edge_partitions != 0  # we persisted it, we unpersist it
     if edge_partitions == 0:
-        e = edges.select(*[c for c in program.edge_cols if c in edges.columns])
+        # Pre-partitioned fast path: the caller took over edge prep.
+        # Round-2 prep became SEMANTIC (symmetrize for cc/lpa/kcore,
+        # distinct/weight collapse for pagerank), so the handover is
+        # validated loudly: every edge_col must be present, and the
+        # caller must have applied ``program.prep_edges`` (see
+        # ``prepare_edges`` below, which does both and persists).
+        missing = [c for c in program.edge_cols if c not in edges.columns]
+        if missing:
+            raise ValueError(
+                f"edge_partitions=0 hands over a prepared edge table, but "
+                f"columns {missing} are missing (have {edges.columns}). "
+                f"This path SKIPS program.prep_edges — symmetrization / "
+                f"parallel-edge collapse included; pass the output of "
+                f"prepare_edges(spark, raw_edges, program) instead of raw "
+                f"edges, or use edge_partitions=None to let the runner "
+                f"prep."
+            )
+        e = edges.select(*program.edge_cols)
         n_edges = e.count()  # cheap: contract says caller persisted
     else:
         e = program.prep_edges(edges) if program.prep_edges else edges
@@ -296,3 +321,24 @@ def _pregel_loop(
     if owned_edges:
         e.unpersist()
     return result, run
+
+
+def prepare_edges(
+    spark: SparkSession,
+    edges: DataFrame,
+    program: VertexProgram,
+    edge_partitions: int | None = None,
+) -> DataFrame:
+    """One-time semantic edge prep for the ``edge_partitions=0`` fast
+    path: applies ``program.prep_edges`` (symmetrize / parallel-edge
+    collapse — part of each program's pinned semantics), repartitions
+    by ``src`` and persists.  The returned table is what a caller may
+    legally hand to :func:`pregel` with ``edge_partitions=0``,
+    amortizing the prep across many runs; the caller unpersists it when
+    done."""
+    nparts = edge_partitions or spark.sparkContext.defaultParallelism
+    e = program.prep_edges(edges) if program.prep_edges else edges
+    e = e.select(*program.edge_cols)
+    e = e.repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    return e

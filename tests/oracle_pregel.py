@@ -374,3 +374,60 @@ def oracle_ktruss(edges: list[Edge], k: int, max_iter: int = 10_000) -> set:
             return es
         es = new
     return es
+
+
+def oracle_core_number(edges: list[Edge]) -> dict:
+    """Exact core numbers via the sequential min-degree peel
+    (Batagelj–Zaveršnik): repeatedly remove a minimum-degree vertex;
+    core(v) = running max of the degree at removal time."""
+    nbrs: dict = defaultdict(set)
+    for s, d, _w in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    core: dict = {}
+    k = 0
+    remaining = set(deg)
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], _key(x)))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.discard(v)
+        for u in nbrs[v]:
+            if u in remaining:
+                deg[u] -= 1
+    return core
+
+
+def oracle_trussness(edges: list[Edge], max_k: int = 50) -> dict:
+    """Exact trussness per canonical edge via strata peeling: for
+    k = 3, 4, ... peel the survivors to the k-truss (synchronous
+    rounds, same semantics as oracle_ktruss); edges removed at level k
+    get trussness k-1; edges never in a triangle get the definitional
+    floor 2."""
+    es = set()
+    for s, d, _w in edges:
+        if s != d:
+            es.add((min(s, d, key=_key), max(s, d, key=_key)))
+    truss = {}
+    surviving = set(es)
+    for k in range(3, max_k + 1):
+        need = k - 2
+        while surviving:
+            nbrs: dict = defaultdict(set)
+            for (a, b) in surviving:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+            sup = {e: len(nbrs[e[0]] & nbrs[e[1]]) for e in surviving}
+            new = {e for e in surviving if sup[e] >= need}
+            if new == surviving:
+                break
+            for e in surviving - new:
+                truss[e] = k - 1
+            surviving = new
+        if not surviving:
+            break
+    for e in surviving:
+        truss[e] = max_k
+    return truss

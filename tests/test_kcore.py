@@ -79,3 +79,68 @@ def test_capped_run_equals_unrolled_prefix(spark):
     got_map = {r["id"]: r["in_core"] for r in got.collect()}
     # after exactly one sweep only vertex 5 (degree 1) is out
     assert got_map == {1: True, 2: True, 3: True, 4: True, 5: False}
+
+
+# ---------------------------------------------------------------------------
+# core_number — the full decomposition (H-index fixpoint)
+# ---------------------------------------------------------------------------
+
+from tests.oracle_pregel import oracle_core_number  # noqa: E402
+
+from mesos_pregel_spark.algos.kcore import core_number  # noqa: E402
+
+
+def _compare_core_number(spark, ids_df, oracle_edges, **kw):
+    got, run = core_number(spark, ids_df, **kw)
+    expected = oracle_core_number(oracle_edges)
+    got_map = {r["id"]: r["core"] for r in got.collect()}
+    assert got_map == expected
+    return run
+
+
+def test_core_number_triangle_with_tail(spark):
+    """Triangle = core 2, tail vertices = core 1."""
+    rows = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 1.0), (4, 5, 1.0)]
+    got, _run = core_number(spark, _df(spark, rows))
+    assert {r["id"]: r["core"] for r in got.collect()} == {
+        1: 2, 2: 2, 3: 2, 4: 1, 5: 1,
+    }
+
+
+@pytest.mark.parametrize("name", ["k4", "two_islands", "star_hub", "bipartite6"])
+def test_core_number_micro(spark, name):
+    ids_df, edges, _names = id_space(spark, micro_graph_df(spark, name))
+    _compare_core_number(spark, ids_df, edges)
+
+
+def test_core_number_transcripts(spark):
+    t = generate_transcripts(spark, n_conv=300, seed=42)
+    ids_df = edges_with_ids(build_edges(t))
+    edges = [(r["src"], r["dst"], r["weight"]) for r in ids_df.collect()]
+    run = _compare_core_number(spark, ids_df, edges)
+    assert run.metrics[-1]["changed_count"] == 0  # true fixpoint inside cap
+
+
+def test_core_number_agrees_with_kcore_membership(spark):
+    """Cross-check the two entry points: in_core(k) == (core >= k)."""
+    rows = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 1.0), (4, 5, 1.0),
+            (4, 6, 1.0), (5, 6, 1.0), (4, 5, 1.0)]
+    cn, _ = core_number(spark, _df(spark, rows))
+    cores = {r["id"]: r["core"] for r in cn.collect()}
+    for k in (1, 2, 3):
+        member, _ = k_core(spark, _df(spark, rows), k=k)
+        for r in member.collect():
+            assert r["in_core"] == (cores[r["id"]] >= k), (k, r)
+
+
+def test_core_number_capped_equals_unrolled_prefix(spark):
+    """Monotone H-index iteration: a 1-superstep cap equals one
+    unrolled step (c1 = H over initial degrees) exactly."""
+    rows = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 1.0), (4, 5, 1.0)]
+    got, _run = core_number(spark, _df(spark, rows), max_supersteps=1)
+    # hand-unrolled step 1: degrees {1:2, 2:2, 3:3, 4:2, 5:1};
+    # H(nbr degs): 1<-{2,3}: H{2,3}=2; 2<-{1,3}: H{2,3}=2;
+    # 3<-{1,2,4}: H{2,2,2}=2; 4<-{3,5}: H{3,1}=1; 5<-{4}: H{2}=1
+    assert {r["id"]: r["core"] for r in got.collect()} == {
+        1: 2, 2: 2, 3: 2, 4: 1, 5: 1,
+    }

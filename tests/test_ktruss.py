@@ -72,3 +72,66 @@ def test_transcript_graph(spark, k):
 def test_k_below_2_rejected(spark):
     with pytest.raises(ValueError, match="k >= 2"):
         k_truss(spark, _df(spark, [(1, 2, 1.0)]), k=1)
+
+
+# ---------------------------------------------------------------------------
+# trussness — the full decomposition (strata peel)
+# ---------------------------------------------------------------------------
+
+from tests.oracle_pregel import oracle_trussness  # noqa: E402
+
+from mesos_pregel_spark.algos.ktruss import trussness  # noqa: E402
+
+
+def _compare_trussness(spark, edges_df, oracle_edges, **kw):
+    got, run = trussness(spark, edges_df, **kw)
+    got_map = {(r["lo"], r["hi"]): r["trussness"] for r in got.collect()}
+    assert got_map == oracle_trussness(oracle_edges)
+    return run
+
+
+def test_trussness_triangle_with_tail(spark):
+    """Triangle edges have trussness 3; tail edges (no triangle) 2."""
+    rows = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 1.0), (4, 5, 1.0)]
+    got, _run = trussness(spark, _df(spark, rows))
+    assert {(r["lo"], r["hi"]): r["trussness"] for r in got.collect()} == {
+        (1, 2): 3, (1, 3): 3, (2, 3): 3, (3, 4): 2, (4, 5): 2,
+    }
+
+
+def test_trussness_k4(spark):
+    """K4: every edge sits in 2 triangles of K4 — trussness 4."""
+    ids_df, edges, _names = id_space(spark, micro_graph_df(spark, "k4"))
+    got, _run = trussness(spark, ids_df)
+    assert {r["trussness"] for r in got.collect()} == {4}
+
+
+@pytest.mark.parametrize("name", ["two_islands", "star_hub", "bipartite6"])
+def test_trussness_micro(spark, name):
+    ids_df, edges, _names = id_space(spark, micro_graph_df(spark, name))
+    _compare_trussness(spark, ids_df, edges)
+
+
+def test_trussness_transcripts(spark):
+    t = generate_transcripts(spark, n_conv=300, seed=42)
+    ids_df = edges_with_ids(build_edges(t))
+    edges = [(r["src"], r["dst"], r["weight"]) for r in ids_df.collect()]
+    _compare_trussness(spark, ids_df, edges)
+
+
+def test_ktruss_zipf_hub_small_id(spark):
+    """The round-2 wedge enumeration built wedges on the id-canonical
+    `lo` endpoint, so a hub with a SMALL vertex id generated O(deg^2)
+    wedge rows.  This fixture plants exactly that adversary — vertex 0
+    is a high-degree hub — and pins exactness of the degree-ordered
+    kernel on it (the bench ktruss row evidences the runtime bound at
+    1M-edge scale)."""
+    rows = []
+    # hub 0 connected to 1..60; triangles only among (0, 2i, 2i+1) pairs
+    for i in range(1, 61):
+        rows.append((0, i, 1.0))
+    for i in range(1, 60, 2):
+        rows.append((i, i + 1, 1.0))
+    df = _df(spark, rows)
+    _compare(spark, df, rows, 3)
+    _compare_trussness(spark, df, rows)
