@@ -294,7 +294,11 @@ def q_ppr_step4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mesos_pregel_spark.algos.ppr import personalized_pagerank
 
     e = _graph_edges(spark, sf_dir)
-    source = e.agg(F.min("src")).collect()[0][0]
+    # Source = MIN over the FULL vertex set (src ∪ dst) — the same set
+    # the oracle's pprsrc draws from (MIN(actor) over verts).  MIN over
+    # src alone would diverge if the smallest actor only ever appears
+    # as a destination.
+    source = e.agg(F.least(F.min("src"), F.min("dst"))).collect()[0][0]
     ranks, _run = personalized_pagerank(
         spark, e, [source], tol=0.0, max_supersteps=4, edge_partitions=8
     )
@@ -353,9 +357,12 @@ def _lpa_query(n_steps: int):
 
 
 def q_pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full PageRank to 1e-6 convergence on the events actor graph —
-    the iterative fixpoint isn't SQL-expressible, so the driver records
-    the rows-only check; pytest matches it against the numpy oracle."""
+    """Full PageRank to 1e-6 convergence on the events actor graph.
+    Exact-checked since round 3: the oracle (SQL_PAGERANK_FULL) unrolls
+    the directed-graph power iteration WITH the halting rule — it
+    selects the state at the first step whose max |Δpr| < tol, exactly
+    pagerank_conv's technique — so values AND stopping step must
+    agree."""
     ranks, _run = pagerank(
         spark, _graph_edges(spark, sf_dir), tol=1e-6, max_supersteps=120,
         edge_partitions=8,
@@ -363,6 +370,62 @@ def q_pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("id").alias("actor"), F.round("pagerank", 9).alias("pagerank")
     )
+
+
+def _sql_pagerank_full(steps: int = 120, tol: float = 1e-6) -> str:
+    """Unrolled-with-halting PageRank oracle on the DIRECTED events
+    actor graph: the per-step CTEs of _sql_pagerank_steps plus
+    per-step max-delta scalars and first-step-below-tol selection
+    (the SQL_PAGERANK_CONV pattern ported to the events substrate —
+    closes the last graph-side rows-only gap).
+
+    The shared substrate CTEs are re-declared MATERIALIZED here:
+    DuckDB inlines plain CTEs, so without this every one of the
+    ``steps`` step-CTEs would re-run the events LEAD-window scan
+    (measured 102s -> seconds at sf0.001)."""
+    parts = ["""
+, edg AS MATERIALIZED (SELECT src_actor, dst_actor FROM edges),
+vm AS MATERIALIZED (SELECT actor FROM verts),
+n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vm),
+od AS MATERIALIZED (
+  SELECT src_actor, COUNT(*) AS od FROM edg GROUP BY src_actor),
+pr0 AS MATERIALIZED (
+  SELECT actor, 1.0/(SELECT n FROM n) AS pr FROM vm
+)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+pr{k} AS MATERIALIZED (
+  SELECT v.actor,
+         0.15/(SELECT n FROM n) + 0.85*COALESCE(c.s, 0.0) AS pr
+  FROM vm v LEFT JOIN (
+    SELECT e.dst_actor AS actor, SUM(p.pr/od.od) AS s
+    FROM edg e
+    JOIN pr{k-1} p ON e.src_actor = p.actor
+    JOIN od ON e.src_actor = od.src_actor
+    GROUP BY e.dst_actor) c
+  ON v.actor = c.actor
+),
+md{k} AS MATERIALIZED (
+  SELECT MAX(ABS(a.pr - b.pr)) AS d
+  FROM pr{k} a JOIN pr{k-1} b ON a.actor = b.actor
+)""")
+    vals = ", ".join(f"({k}, (SELECT d FROM md{k}))" for k in range(1, steps + 1))
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, actor, pr FROM pr{k}" for k in range(1, steps + 1)
+    )
+    parts.append(f""",
+ks AS (SELECT * FROM (VALUES {vals}) t(k, d)),
+firstk AS (SELECT COALESCE(MIN(k), {steps}) AS k FROM ks WHERE d < {tol}),
+allsteps AS (
+  {unions}
+)
+SELECT actor, ROUND(pr, 9) AS pagerank
+FROM allsteps WHERE k = (SELECT k FROM firstk)
+""")
+    return _SQL_EDGES + "".join(parts)
+
+
+SQL_PAGERANK_FULL = _sql_pagerank_full()
 
 
 def q_lpa_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,6 +993,154 @@ SELECT lo AS actor_a, hi AS actor_b FROM t{rounds}
 SQL_KTRUSS = _sql_ktruss()
 
 
+# core_number H-index fixpoint cap: the engine halts early at the true
+# fixpoint; the oracle unrolls the same number of steps (monotone
+# non-increasing => capped == unrolled, no-op tail either way).
+_CORE_NUMBER_STEPS = 30
+
+
+def q_core_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition (H-index fixpoint) on the bipartite
+    customer↔supplier graph — one run, core number per vertex."""
+    from mesos_pregel_spark.algos.kcore import core_number
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    cores, _run = core_number(
+        spark, e, max_supersteps=_CORE_NUMBER_STEPS, edge_partitions=8
+    )
+    return cores.select(F.col("id").alias("actor"), "core")
+
+
+def _sql_core_number(steps: int = _CORE_NUMBER_STEPS) -> str:
+    """Unrolled H-index iteration: c0 = degree; per step, per-(vertex,
+    estimate) neighbor counts, cumulative count over estimates DESC,
+    h = max(least(m, cum)), c = least(previous, h) — the exact
+    algos/kcore.core_number schedule."""
+    parts = ["""
+WITH e AS (
+  SELECT 'c:' || o_custkey AS s, 's:' || l_suppkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+c0 AS MATERIALIZED (
+  SELECT s AS actor, CAST(COUNT(*) AS BIGINT) AS c FROM sym GROUP BY s
+)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+c{k} AS MATERIALIZED (
+  SELECT p.actor, LEAST(p.c, h.h) AS c
+  FROM c{k-1} p JOIN (
+    SELECT actor, MAX(LEAST(m, cum)) AS h FROM (
+      SELECT sub.actor, sub.m,
+             CAST(SUM(sub.cnt) OVER (
+               PARTITION BY sub.actor ORDER BY sub.m DESC) AS BIGINT) AS cum
+      FROM (
+        SELECT sym.d AS actor, q.c AS m, COUNT(*) AS cnt
+        FROM sym JOIN c{k-1} q ON q.actor = sym.s
+        GROUP BY sym.d, q.c) sub
+    ) ranked GROUP BY actor) h ON h.actor = p.actor
+)""")
+    parts.append(f"""
+SELECT actor, CAST(c AS BIGINT) AS core FROM c{steps}
+""")
+    return "".join(parts)
+
+
+SQL_CORE_NUMBER = _sql_core_number()
+
+
+# trussness strata-peel schedule (part of the pinned semantics: the
+# oracle unrolls the IDENTICAL (level, round) grid; monotone peeling
+# makes no-op rounds free on both sides).
+_TRUSSNESS_MAX_K = 6
+_TRUSSNESS_ROUNDS = 6
+
+
+def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full truss decomposition of the events actor graph — trussness
+    per canonical edge in one strata-peel run."""
+    from mesos_pregel_spark.algos.ktruss import trussness
+
+    decomp, _run = trussness(
+        spark, _graph_edges(spark, sf_dir), max_k=_TRUSSNESS_MAX_K,
+        max_rounds_per_level=_TRUSSNESS_ROUNDS, edge_partitions=8,
+    )
+    return decomp.select(
+        F.col("lo").alias("actor_a"), F.col("hi").alias("actor_b"), "trussness"
+    )
+
+
+def _sql_trussness(
+    max_k: int = _TRUSSNESS_MAX_K, rounds: int = _TRUSSNESS_ROUNDS
+) -> str:
+    """Nested unroll of the strata peel: for each level k, ``rounds``
+    peel rounds (SQL_KTRUSS's round CTE); edges removed at level k get
+    trussness k-1; level-``max_k`` survivors get ``max_k``."""
+    parts = ["""
+, s2 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src_actor, dst_actor) AS lo,
+                  GREATEST(src_actor, dst_actor) AS hi
+  FROM edges WHERE src_actor <> dst_actor
+)"""]
+    prev = "s2"
+    finals = {2: "s2"}
+    for k in range(3, max_k + 1):
+        need = k - 2
+        cur = prev
+        for r in range(rounds):
+            tag = f"k{k}r{r}"
+            parts.append(f""",
+tri{tag} AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM {cur} e1
+  JOIN {cur} e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+  JOIN {cur} e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+sup{tag} AS (
+  SELECT lo, hi, COUNT(*) AS s FROM (
+    SELECT a AS lo, b AS hi FROM tri{tag}
+    UNION ALL SELECT a, c FROM tri{tag}
+    UNION ALL SELECT b, c FROM tri{tag}) u
+  GROUP BY lo, hi
+),
+t{tag} AS MATERIALIZED (
+  SELECT t.lo, t.hi
+  FROM {cur} t LEFT JOIN sup{tag} s ON s.lo = t.lo AND s.hi = t.hi
+  WHERE COALESCE(s.s, 0) >= {need}
+)""")
+            cur = f"t{tag}"
+        finals[k] = cur
+        prev = cur
+    # removed at level k => trussness k-1; survivors of max_k => max_k
+    pieces = []
+    for k in range(3, max_k + 1):
+        pieces.append(f"""
+SELECT p.lo, p.hi, CAST({k - 1} AS BIGINT) AS trussness
+FROM {finals[k - 1]} p LEFT JOIN {finals[k]} s
+  ON s.lo = p.lo AND s.hi = p.hi
+WHERE s.lo IS NULL""")
+    pieces.append(f"""
+SELECT lo, hi, CAST({max_k} AS BIGINT) AS trussness FROM {finals[max_k]}""")
+    union = "\nUNION ALL".join(pieces)
+    parts.append(f"""
+SELECT lo AS actor_a, hi AS actor_b, trussness FROM ({union})
+""")
+    return _SQL_EDGES + "".join(parts)
+
+
+SQL_TRUSSNESS = _sql_trussness()
+
+
 def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 aggregator parity: global scalars over the graph."""
     e = events_edges(spark, sf_dir)
@@ -1030,6 +1241,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "ktruss": q_ktruss,
+    "core_number": q_core_number,
+    "trussness": q_trussness,
     "graph_summary": q_graph_summary,
     "bipartite_edges": q_bipartite_edges,
     "bipartite_degrees": q_bipartite_degrees,
@@ -1043,6 +1256,7 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank_step2": SQL_PAGERANK_STEP2,
     "pagerank_step8": SQL_PAGERANK_STEP8,
     "pagerank_weighted_step2": SQL_PAGERANK_WEIGHTED_STEP2,
+    "pagerank_full": SQL_PAGERANK_FULL,
     "pagerank_conv": SQL_PAGERANK_CONV,
     "ppr_step4": SQL_PPR_STEP4,
     "cc_step": SQL_CC_STEP,
@@ -1060,6 +1274,8 @@ ORACLE_SQL: dict[str, str] = {
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "ktruss": SQL_KTRUSS,
+    "core_number": SQL_CORE_NUMBER,
+    "trussness": SQL_TRUSSNESS,
     "graph_summary": SQL_GRAPH_SUMMARY,
     "bipartite_edges": SQL_BIPARTITE_EDGES,
     "bipartite_degrees": SQL_BIPARTITE_DEGREES,
