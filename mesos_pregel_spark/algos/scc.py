@@ -71,12 +71,14 @@ def strongly_connected_components(
     )
     run = PregelRun(spark, "scc")
     remaining = verts
-    labeled: DataFrame | None = None  # (id, root)
+    # (id, root) pieces APPENDED per phase and unioned once at the end:
+    # each piece is (a plan over) checkpointed state, so accumulating
+    # the list costs zero jobs — the round-2 shape re-checkpointed the
+    # whole union every add, rewriting all labels O(rounds) times.
+    labeled_parts: list[DataFrame] = []
 
     def add_labels(new: DataFrame) -> None:
-        nonlocal labeled
-        labeled = new if labeled is None else labeled.unionByName(new)
-        labeled = _ckpt(labeled)
+        labeled_parts.append(new)
 
     rounds = 0
     while True:
@@ -100,20 +102,35 @@ def strongly_connected_components(
         )
 
         # -- 1. Trim: peel zero-in/out-degree vertices iteratively ----
+        # ONE degree aggregate per iteration (both directions in a
+        # single groupBy over the dir-tagged endpoint union) instead of
+        # the round-2 shape's two distinct scans + three semi-joins —
+        # a deep DAG tail costs O(depth) iterations, so per-iteration
+        # driver jobs matter.
         trimmed = 0
         for _ in range(max_inner):
-            has_out = e.select(F.col("src").alias("id")).distinct()
-            has_in = e.select(F.col("dst").alias("id")).distinct()
-            keep = remaining.join(has_out, "id", "left_semi").join(
-                has_in, "id", "left_semi"
+            keep_ids = (
+                e.select(F.col("src").alias("id"),
+                         F.lit(1).alias("o"), F.lit(0).alias("i"))
+                .unionByName(
+                    e.select(F.col("dst").alias("id"),
+                             F.lit(0).alias("o"), F.lit(1).alias("i")))
+                .groupBy("id")
+                .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
+                .where((F.col("has_out") == 1) & (F.col("has_in") == 1))
+                .select("id")
             )
-            trivial = _ckpt(remaining.join(keep, "id", "left_anti"))
+            # keep_ids ⊆ remaining (e's endpoints live in remaining),
+            # so it IS the next remaining; everything else is trivial
+            # (zero in- or out-degree, or fully isolated).
+            keep_ids = _ckpt(keep_ids)
+            trivial = _ckpt(remaining.join(keep_ids, "id", "left_anti"))
             n_trivial = trivial.count()
             if n_trivial == 0:
                 break
             trimmed += n_trivial
             add_labels(trivial.select("id", F.col("id").alias("root")))
-            remaining = _ckpt(keep)
+            remaining = keep_ids
             e = _ckpt(
                 e.join(remaining.withColumnRenamed("id", "src"), "src",
                        "left_semi")
@@ -130,7 +147,16 @@ def strongly_connected_components(
         color = _ckpt(remaining.select(
             "id", F.col("id").alias("color"), F.lit(True).alias("changed")
         ))
-        for _ in range(max_inner):
+        # Inner fixpoints RAISE on non-convergence (like the outer
+        # round cap): an unconverged color table would let the backward
+        # flood label only part of an SCC — silently splitting it.
+        for _inner in range(max_inner + 1):
+            if _inner == max_inner:
+                raise RuntimeError(
+                    f"SCC color propagation did not converge in "
+                    f"{max_inner} iterations (remaining-subgraph "
+                    f"diameter exceeds max_inner; raise max_inner)"
+                )
             msgs = scatter(
                 e, color, [F.col("color").alias("msg")],
                 active_filter=F.col("changed"),
@@ -170,7 +196,12 @@ def strongly_connected_components(
             "id", "color", (F.col("id") == F.col("color")).alias("in_scc"),
             (F.col("id") == F.col("color")).alias("changed"),
         ))
-        for _ in range(max_inner):
+        for _inner in range(max_inner + 1):
+            if _inner == max_inner:
+                raise RuntimeError(
+                    f"SCC backward reach did not converge in "
+                    f"{max_inner} iterations (raise max_inner)"
+                )
             msgs = scatter(
                 ce, member, [F.lit(1).alias("msg")],
                 active_filter=F.col("changed") & F.col("in_scc"),
@@ -203,6 +234,11 @@ def strongly_connected_components(
         run.next_superstep()
 
     # relabel: scc = MIN member id of each root group (oracle contract)
+    if not labeled_parts:  # edgeless input: verts is empty
+        labeled_parts.append(verts.select("id", F.col("id").alias("root")))
+    labeled = labeled_parts[0]
+    for part in labeled_parts[1:]:
+        labeled = labeled.unionByName(part)
     mins = labeled.groupBy("root").agg(F.min("id").alias("scc"))
     result = run.finish(
         labeled.join(mins, "root").select("id", "scc")
