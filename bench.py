@@ -26,6 +26,16 @@ Workloads (all seed-deterministic, no external data):
                 LSH candidates + Jaccard verify (the training-data
                 dedup stack at sf-scale, reporting docs/sec and
                 candidate-pair counts)
+  ktruss      — 5-truss peel on the zipf graph (degree-ordered round
+                kernel; VERDICT r2 done-bar: <= ~2x triangles time)
+  scc         — strongly connected components (coloring) on the
+                directed zipf graph
+  msbfs       — 16-source bit-packed BFS, one run
+  landmarks   — 8-lane weighted landmark distances, one run
+  dedup_scale — synthetic corpora (planted near-dup families) at n/2
+                and n docs (n = 50k at sf0.1): docs/sec + candidate
+                growth factor (sub-quadratic evidence: ~2x for 2x
+                docs; all-pairs would be 4x)
 
 Scaling mode (``--scaling``): re-runs the same workloads at
 ``local[8]`` and ``local[32]`` (the sandbox stand-in for N vs 4N
@@ -162,18 +172,33 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     detail["synthetic_vertices"] = n_vertices
 
     if on("pagerank"):
+        # The engine's pinned PageRank semantics collapse parallel
+        # (src,dst) rows (outdeg = distinct out-neighbors).  Hand the
+        # runner a table prepared through the program's OWN prep path
+        # (prepare_edges) — benching on the raw multigraph with
+        # edge_partitions=0 silently skipped that collapse (and the
+        # runner now rejects semantically unprepared handovers).  Prep
+        # runs untimed like the graph load: at cluster scale it is a
+        # one-time cost amortized over all supersteps/algorithms.
+        from mesos_pregel_spark.algos.pagerank import pagerank_program
+        from mesos_pregel_spark.plans.program import prepare_edges
+
+        gp = prepare_edges(spark, g, pagerank_program(), edge_partitions=nparts)
+        pr_edges = gp.count()
+        detail["pagerank_distinct_edges"] = pr_edges
         t = time.monotonic()
         _ranks, run = pagerank(
-            spark, g, tol=1e-6, max_supersteps=PR_SUPERSTEPS,
+            spark, gp, tol=1e-6, max_supersteps=PR_SUPERSTEPS,
             edge_partitions=0,
         )
         pr_sec = time.monotonic() - t
         pr_steps = len(run.metrics)
         queries["pagerank"] = round(pr_sec, 3)
         throughput["pagerank_supersteps_per_hour"] = round(pr_steps / pr_sec * 3600)
-        throughput["pagerank_edges_per_sec"] = round(g_edges * pr_steps / pr_sec)
+        throughput["pagerank_edges_per_sec"] = round(pr_edges * pr_steps / pr_sec)
         detail["pagerank_supersteps"] = pr_steps
         detail["pagerank_final_max_delta"] = run.metrics[-1]["max_delta"]
+        gp.unpersist()
 
     if on("cc"):
         t = time.monotonic()
@@ -216,6 +241,75 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         queries["triangles"] = round(time.monotonic() - t, 3)
         detail["triangles_total"] = total_tri
         detail["triangles_kernel"] = tri_kernel
+
+    if on("ktruss"):
+        from mesos_pregel_spark.algos.ktruss import k_truss
+
+        # Degree-ordered peel on the SAME zipf hub graph as triangles —
+        # the kernel whose round-2 id-canonical shape was the one
+        # remaining O(deg^2) scale risk; VERDICT's done-bar is ktruss
+        # time <= ~2x triangles time here.
+        t = time.monotonic()
+        truss_edges, run_kt = k_truss(
+            spark, g, k=5, max_rounds=10, edge_partitions=nparts
+        )
+        n_truss = truss_edges.count()
+        kt_sec = time.monotonic() - t
+        queries["ktruss"] = round(kt_sec, 3)
+        kt_rounds = len(run_kt.metrics)
+        throughput["ktruss_rounds_per_hour"] = round(kt_rounds / kt_sec * 3600)
+        throughput["ktruss_edges_per_sec"] = round(
+            sum(m["edges"] for m in run_kt.metrics) / kt_sec)
+        detail["ktruss_rounds"] = kt_rounds
+        detail["ktruss_surviving_edges"] = n_truss
+
+    if on("scc"):
+        from mesos_pregel_spark.algos.scc import strongly_connected_components
+
+        t = time.monotonic()
+        labels, run_scc = strongly_connected_components(
+            spark, g, edge_partitions=nparts
+        )
+        n_sccs = labels.select("scc").distinct().count()
+        scc_sec = time.monotonic() - t
+        queries["scc"] = round(scc_sec, 3)
+        throughput["scc_phases_per_hour"] = round(
+            len(run_scc.metrics) / scc_sec * 3600)
+        detail["scc_count"] = n_sccs
+        detail["scc_phases"] = len(run_scc.metrics)
+
+    if on("msbfs"):
+        from mesos_pregel_spark.algos.msbfs import multi_source_bfs
+
+        sources = [r["src"] for r in
+                   g.select("src").distinct().orderBy("src").limit(16).collect()]
+        t = time.monotonic()
+        reach, run_mb = multi_source_bfs(
+            spark, g, sources, edge_partitions=nparts
+        )
+        reach.count()
+        mb_sec = time.monotonic() - t
+        queries["msbfs"] = round(mb_sec, 3)
+        # 16 BFS lanes ride ONE edge scan per superstep (bit_or masks)
+        throughput["msbfs_source_edge_scans_per_sec"] = round(
+            len(sources) * g_edges * len(run_mb.metrics) / mb_sec)
+        detail["msbfs_supersteps"] = len(run_mb.metrics)
+        detail["msbfs_sources"] = len(sources)
+
+    if on("landmarks"):
+        from mesos_pregel_spark.algos.landmarks import landmark_distances
+
+        lms = [r["src"] for r in
+               g.select("src").distinct().orderBy("src").limit(8).collect()]
+        t = time.monotonic()
+        dists, run_lm = landmark_distances(spark, g, lms, edge_partitions=nparts)
+        dists.count()
+        lm_sec = time.monotonic() - t
+        queries["landmarks"] = round(lm_sec, 3)
+        throughput["landmarks_lane_edge_scans_per_sec"] = round(
+            len(lms) * g_edges * len(run_lm.metrics) / lm_sec)
+        detail["landmarks_supersteps"] = len(run_lm.metrics)
+        detail["landmarks_lanes"] = len(lms)
 
     if on("events_e2e"):
         t = time.monotonic()
@@ -260,6 +354,39 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         detail["dedup_lsh_candidates"] = n_cand
         detail["dedup_near_dups_j08"] = n_near
         docs.unpersist()
+        from mesos_pregel_spark.functions.dedup import release_dedup_caches
+        release_dedup_caches()
+
+    if on("dedup_scale"):
+        # Sub-quadratic evidence at 10x the driver corpus: the SAME
+        # LSH stack over synthetic corpora with planted near-dup
+        # families at n/2 and n docs — candidate pairs should grow
+        # ~linearly (~2x for 2x docs; all-pairs would grow 4x).
+        from mesos_pregel_spark.fixtures import generate_documents_dist
+        from mesos_pregel_spark.functions.dedup import (
+            lsh_candidates,
+            release_dedup_caches,
+        )
+
+        n_big = max(5_000, int(50_000 * scale))
+        counts = {}
+        for n in (n_big // 2, n_big):
+            sdocs = generate_documents_dist(
+                spark, n, dup_frac=0.2, partitions=nparts
+            ).select("doc_id", "text").persist()
+            sdocs.count()
+            t = time.monotonic()
+            counts[n] = lsh_candidates(
+                sdocs, k=32, bands=4, hash_fn="xxhash64").count()
+            dt = time.monotonic() - t
+            queries[f"dedup_scale_{n}"] = round(dt, 3)
+            throughput[f"dedup_scale_{n}_docs_per_sec"] = round(n / dt)
+            detail[f"dedup_scale_{n}_candidates"] = counts[n]
+            sdocs.unpersist()
+            release_dedup_caches()
+        lo, hi = sorted(counts)
+        detail["dedup_scale_candidate_growth_2x_docs"] = round(
+            counts[hi] / max(counts[lo], 1), 3)
 
     total = round(sum(queries.values()), 3)
     result = {

@@ -89,6 +89,66 @@ def pagerank(
     if weighted and kernel == "csr":
         raise ValueError("kernel='csr' supports unweighted PageRank only")
 
+    program = pagerank_program(damping=damping, tol=tol, weighted=weighted)
+
+    packed: dict = {}  # CSR edge table, lazily packed once per run
+    if kernel == "csr":
+        from mesos_pregel_spark.operators.combine import combine
+        from mesos_pregel_spark.operators.scatter import scatter
+        from mesos_pregel_spark.operators.csr import (
+            CsrStateTooLarge,
+            csr_gather_sums,
+            pack_edges_by_dst,
+        )
+
+        def join_gather(e, state):
+            msgs = scatter(
+                e,
+                state,
+                [(F.col("pr") / F.col("outdeg")).alias("msg")],
+                active_filter=F.col("outdeg") > 0,
+            )
+            return combine(msgs, ["dst"], {"msg_sum": ("msg", "sum")})
+
+        def custom_gather(spark, e, state, ctx):
+            # Guard: CSR broadcasts the whole vertex state — fall back
+            # to the join kernel instead of OOMing the driver when the
+            # graph outgrows the broadcastable regime.
+            if ctx.get("csr_fallback"):
+                return join_gather(e, state)
+            try:
+                if "edges" not in packed:
+                    packed["edges"] = pack_edges_by_dst(e, ctx["nparts"])
+                return csr_gather_sums(
+                    spark, packed["edges"], state, n_vertices=ctx.get("n")
+                )
+            except CsrStateTooLarge:
+                ctx["csr_fallback"] = True
+                return join_gather(e, state)
+
+        program.custom_gather = custom_gather
+
+    result, run = pregel(
+        spark, edges, program,
+        max_supersteps=max_supersteps,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        n_salt=n_salt, salt_hot_k=salt_hot_k,
+        broadcast_threshold=broadcast_threshold,
+        edge_partitions=edge_partitions,
+        adaptive=adaptive,
+    )
+    if "edges" in packed:
+        packed["edges"].unpersist()
+    return result, run
+
+
+def pagerank_program(
+    damping: float = 0.85, tol: float = 1e-6, weighted: bool = False
+) -> VertexProgram:
+    """The PageRank :class:`VertexProgram` (join-kernel gather) — also
+    the prep contract for callers pre-preparing edges via
+    ``plans.program.prepare_edges`` + ``edge_partitions=0``."""
+
     def init(e: DataFrame, ctx: dict) -> DataFrame:
         if weighted:
             vertices = (
@@ -133,42 +193,6 @@ def pagerank(
             .drop("pr_prev")
         )
 
-    custom_gather = None
-    packed: dict = {}  # CSR edge table, lazily packed once per run
-    if kernel == "csr":
-        from mesos_pregel_spark.operators.combine import combine
-        from mesos_pregel_spark.operators.scatter import scatter
-        from mesos_pregel_spark.operators.csr import (
-            CsrStateTooLarge,
-            csr_gather_sums,
-            pack_edges_by_dst,
-        )
-
-        def join_gather(e, state):
-            msgs = scatter(
-                e,
-                state,
-                [(F.col("pr") / F.col("outdeg")).alias("msg")],
-                active_filter=F.col("outdeg") > 0,
-            )
-            return combine(msgs, ["dst"], {"msg_sum": ("msg", "sum")})
-
-        def custom_gather(spark, e, state, ctx):
-            # Guard: CSR broadcasts the whole vertex state — fall back
-            # to the join kernel instead of OOMing the driver when the
-            # graph outgrows the broadcastable regime.
-            if ctx.get("csr_fallback"):
-                return join_gather(e, state)
-            try:
-                if "edges" not in packed:
-                    packed["edges"] = pack_edges_by_dst(e, ctx["nparts"])
-                return csr_gather_sums(
-                    spark, packed["edges"], state, n_vertices=ctx.get("n")
-                )
-            except CsrStateTooLarge:
-                ctx["csr_fallback"] = True
-                return join_gather(e, state)
-
     if weighted:
         # collapse parallel edges by weight-sum; outdeg carries W_u
         prep = lambda e: (  # noqa: E731
@@ -181,7 +205,7 @@ def pagerank(
         edge_cols = ("src", "dst")
         msg = (F.col("pr") / F.col("outdeg")).alias("msg")
 
-    program = VertexProgram(
+    return VertexProgram(
         name="pagerank_w" if weighted else "pagerank",
         init=init,
         restore_ctx=restore_ctx,
@@ -202,18 +226,5 @@ def pagerank(
         halt=lambda aggs: aggs["max_delta"] < tol,
         frontier_agg="n_vertices",
         finalize=lambda s: s.select("id", F.col("pr").alias("pagerank")),
-        custom_gather=custom_gather,
         params={"damping": damping, "tol": tol, "weighted": weighted},
     )
-    result, run = pregel(
-        spark, edges, program,
-        max_supersteps=max_supersteps,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-        n_salt=n_salt, salt_hot_k=salt_hot_k,
-        broadcast_threshold=broadcast_threshold,
-        edge_partitions=edge_partitions,
-        adaptive=adaptive,
-    )
-    if "edges" in packed:
-        packed["edges"].unpersist()
-    return result, run

@@ -29,6 +29,29 @@ DEFAULT_K = 8       # minhash functions
 DEFAULT_BANDS = 4   # LSH bands (rows per band = K // BANDS)
 SIMHASH_BITS = 16
 
+# Intermediates persisted by lsh_candidates / near_duplicates (the
+# signature / candidate / shingle tables are each referenced several
+# times within one returned plan).  They are registered here so callers
+# can release executor memory once the returned plan is materialized —
+# otherwise repeated invocations in one session (bench + clean_corpus)
+# accumulate cached tables forever.
+_CACHES: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    _CACHES.append(df)
+    return df
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every intermediate cached by the dedup operators since
+    the last release.  Call AFTER materializing the returned plans (the
+    plans reference the caches lazily).  Returns the number released."""
+    n = len(_CACHES)
+    while _CACHES:
+        _CACHES.pop().unpersist()
+    return n
+
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Exact dedup via normalized-text fingerprint groups.  Returns one
@@ -103,7 +126,7 @@ def lsh_candidates(
     # self-joins — without materialization the shingle+minhash subplan
     # (k md5-mins over every shingle) re-executes up to 2*bands times.
     # Signatures are k hex strings per doc: tiny relative to shingles.
-    sig = minhash_signatures(docs, n, k, hash_fn).persist()
+    sig = _register_cache(minhash_signatures(docs, n, k, hash_fn).persist())
     banded = None
     for j in range(bands):
         key = F.concat_ws(
@@ -141,8 +164,8 @@ def near_duplicates(
     # cand is referenced twice (intersection + outer join) and sh three
     # times (both join sides + sizes); materialize both so the banded
     # self-join and the shingle explosion run once each.
-    cand = lsh_candidates(docs, n, k, bands, hash_fn).persist()
-    sh = shingles(docs, n).persist()
+    cand = _register_cache(lsh_candidates(docs, n, k, bands, hash_fn).persist())
+    sh = _register_cache(shingles(docs, n).persist())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     sa = sh.withColumnsRenamed({"doc_id": "doc_a"})

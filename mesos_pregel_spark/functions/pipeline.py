@@ -49,7 +49,13 @@ def clean_corpus(
     scan each) and one shingle pass for the MinHash near-dup stage.
     The exact-dedup canonical is a min-over-fingerprint WINDOW on the
     profile branch (one shuffle, no self-join, branch referenced
-    once)."""
+    once).
+
+    The near-dup stage persists shingle/signature/candidate
+    intermediates (they are multiply referenced within the returned
+    plan).  Long-lived sessions should call
+    ``dedup.release_dedup_caches()`` after materializing the result to
+    free executor memory (the bench does)."""
     prof = profile_documents(docs)
     canonical = F.min("doc_id").over(Window.partitionBy("fingerprint"))
     survivors = (
