@@ -39,23 +39,32 @@ _STATE_SCHEMA = "last_idx long, last_actor string"
 def _link_group(key, pdf_iter, state):
     """Per-conversation linker: prepend the remembered last actor,
     emit one row per consecutive-actor transition, remember the new
-    last turn.  Pure pandas — called per group per micro-batch."""
+    last turn.  Vectorized pandas (``shift`` of the sorted actor
+    column seeds row 0 from the cross-batch state) — the only scalar
+    state is the (last_idx, last_actor) pair; no per-row Python in the
+    batch body."""
     import pandas as pd
 
     last_idx, last_actor = state.get if state.exists else (None, None)
-    srcs: list[str] = []
-    dsts: list[str] = []
     chunks = [p for p in pdf_iter if len(p)]
     if chunks:
         pdf = pd.concat(chunks).sort_values("turn_idx")
-        for idx, actor in zip(pdf["turn_idx"], pdf["actor"]):
-            if last_actor is not None and actor != last_actor:
-                srcs.append(last_actor)
-                dsts.append(actor)
-            last_idx, last_actor = int(idx), actor
+        src = pdf["actor"].shift(1)
+        if last_actor is not None:
+            src.iloc[0] = last_actor
+        mask = src.notna() & (src != pdf["actor"])
+        out = pd.DataFrame({
+            "src_actor": src[mask].to_numpy(),
+            "dst_actor": pdf["actor"][mask].to_numpy(),
+        })
+        tail_actor = pdf["actor"].iloc[-1]
+        if tail_actor is not None:
+            last_idx, last_actor = int(pdf["turn_idx"].iloc[-1]), tail_actor
+    else:
+        out = pd.DataFrame({"src_actor": [], "dst_actor": []})
     if last_actor is not None:
         state.update((last_idx, last_actor))
-    yield pd.DataFrame({"src_actor": srcs, "dst_actor": dsts})
+    yield out
 
 
 def stateful_edge_stream(

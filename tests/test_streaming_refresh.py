@@ -1,0 +1,125 @@
+"""Streaming → Pregel warm-start refresh (streaming/refresh.py):
+
+1. warm-start from the previous converged state converges in FEWER
+   supersteps than cold on the same delta'd graph (the point of the
+   glue), and to the same fixpoint (damped power iteration has a
+   unique one);
+2. end-to-end: stateful-linked transitions from two micro-batches feed
+   refresh_pagerank_from_stream; the second refresh warm-starts from
+   the first and reaches the same fixpoint as a cold run on the final
+   snapshot (its delta is large by construction, so the superstep-
+   savings claim lives in the controlled micro test).
+"""
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mesos_pregel_spark.algos.pagerank import pagerank
+from mesos_pregel_spark.streaming.refresh import (
+    refresh_pagerank_from_stream,
+    warm_pagerank,
+)
+
+
+def _df(spark, rows):
+    schema = T.StructType([
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+        T.StructField("weight", T.DoubleType(), False),
+    ])
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def _ranks(df):
+    return {r["id"]: r["pagerank"] for r in df.collect()}
+
+
+def test_warm_start_converges_in_fewer_supersteps(spark):
+    """Asymmetric 500-vertex digraph (non-uniform fixpoint — on a
+    symmetric graph the cold 1/N init coincides with the fixpoint and
+    warm buys nothing) + a 1-edge delta.  The warm init starts ~100x
+    closer to the new fixpoint (measured: first-step max_delta 3.6e-4
+    vs cold 4.1e-2 on this fixture); with the tolerance BETWEEN the
+    perturbation scale and the cold-init error — the production regime
+    for micro-batch deltas on a big graph — warm converges in a
+    fraction of the cold supersteps.  (At tolerances far below the
+    perturbation both runs grind the same spectral tail and warm only
+    saves its head start; the glue's value is the common case where
+    the delta per refresh is tiny relative to the graph.)"""
+    # squaring maps are non-bijective => skewed in-degrees => the
+    # fixpoint sits far from the uniform cold init
+    base = [(i, (i * i + 1) % 500, 1.0) for i in range(500)] + \
+           [(i, (i * i * i + 7) % 500, 1.0) for i in range(500)]
+    base = [e for e in base if e[0] != e[1]]
+    prev, run_prev = pagerank(spark, _df(spark, base), tol=1e-6,
+                              edge_partitions=4)
+    delta = base + [(3, 17, 1.0)]
+    cold, run_cold = pagerank(spark, _df(spark, delta), tol=1e-4,
+                              edge_partitions=4)
+    warm, run_warm = warm_pagerank(spark, _df(spark, delta), prev,
+                                   tol=1e-4, edge_partitions=4)
+    assert len(run_warm.metrics) < len(run_cold.metrics), (
+        len(run_warm.metrics), len(run_cold.metrics))
+    cold_m, warm_m = _ranks(cold), _ranks(warm)
+    assert set(cold_m) == set(warm_m)
+    for v, pr in cold_m.items():
+        assert warm_m[v] == pytest.approx(pr, abs=1e-3)
+
+
+def test_warm_start_handles_new_vertices(spark):
+    """Vertices absent from prev_ranks (arrived with the delta) start
+    cold at 1/N — the run still reaches the unique fixpoint."""
+    base = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)]
+    prev, _ = pagerank(spark, _df(spark, base), tol=1e-6, edge_partitions=4)
+    delta = base + [(3, 4, 1.0), (4, 1, 1.0)]
+    cold, _ = pagerank(spark, _df(spark, delta), tol=1e-6, edge_partitions=4)
+    warm, _ = warm_pagerank(spark, _df(spark, delta), prev, tol=1e-6,
+                            edge_partitions=4)
+    cold_m, warm_m = _ranks(cold), _ranks(warm)
+    assert set(warm_m) == set(cold_m) == {1, 2, 3, 4}
+    for v, pr in cold_m.items():
+        assert warm_m[v] == pytest.approx(pr, abs=2e-5)
+
+
+def test_refresh_from_stream_end_to_end(spark, tmp_path):
+    """Micro-batch 1 lands; refresh (cold).  Micro-batch 2 lands;
+    refresh warm-started from run 1 — identical fixpoint to a cold run
+    on the same final snapshot."""
+    from mesos_pregel_spark.fixtures import generate_transcripts
+    from mesos_pregel_spark.functions.edges import build_edges, edges_with_ids
+    from tests.test_streaming_stateful import _run, _write_file
+
+    t = generate_transcripts(spark, n_conv=60, seed=42).persist()
+    first, second = t.where(F.col("turn_idx") < 3), t.where(F.col("turn_idx") >= 3)
+    input_dir = str(tmp_path / "in")
+    trans_dir = str(tmp_path / "tr")
+    ckpt_dir = str(tmp_path / "ck")
+    now = time.time()
+
+    _write_file(first, input_dir, "f1", now - 60, str(tmp_path))
+    _run(spark, input_dir, trans_dir, ckpt_dir)
+    ranks1, _run1 = refresh_pagerank_from_stream(
+        spark, trans_dir, prev_ranks=None, tol=1e-6, edge_partitions=4)
+    ranks1 = ranks1.persist()
+    ranks1.count()
+
+    _write_file(second, input_dir, "f2", now, str(tmp_path))
+    _run(spark, input_dir, trans_dir, ckpt_dir)
+    warm, run_warm = refresh_pagerank_from_stream(
+        spark, trans_dir, prev_ranks=ranks1, tol=1e-6, edge_partitions=4)
+
+    cold, run_cold = pagerank(
+        spark, edges_with_ids(build_edges(t)), tol=1e-6, edge_partitions=4)
+    # The e2e delta (every conversation's second half) is LARGE, so the
+    # superstep claim lives in the controlled micro test above; here we
+    # pin the glue's correctness: same vertex set, same fixpoint.
+    cold_m, warm_m = _ranks(cold), _ranks(warm)
+    assert set(cold_m) == set(warm_m)
+    for v, pr in cold_m.items():
+        assert warm_m[v] == pytest.approx(pr, abs=2e-5)
+    ranks1.unpersist()
+    t.unpersist()
