@@ -72,14 +72,24 @@ def test_tol_halts_early(spark):
 
 
 def test_resume(spark, tmp_path):
+    """Bounded-iteration semantics (tol=0: the cap IS the job spec):
+    the cap is recorded in checkpoint params, so resume with the SAME
+    cap returns the stored final scores, and a DIFFERENT cap is
+    rejected loudly — the capped result is the final answer for that
+    cap, not a resumable prefix (a silent resume previously returned
+    the old cap's finished state as if it were the new run's)."""
     ids_df, edges, _names = id_space(spark, micro_graph_df(spark, "bipartite6"))
     ck = str(tmp_path / "hits")
     hits(spark, ids_df, max_supersteps=2, checkpoint_dir=ck,
          checkpoint_every=1)
-    resumed, _run = hits(spark, ids_df, max_supersteps=5,
-                         checkpoint_dir=ck, checkpoint_every=1)
-    expected = oracle_hits(edges, 5)
+    resumed, run = hits(spark, ids_df, max_supersteps=2,
+                        checkpoint_dir=ck, checkpoint_every=1)
+    assert run.resumed_final
+    expected = oracle_hits(edges, 2)
     got = {r["id"]: (r["authority"], r["hub"]) for r in resumed.collect()}
     for v, (a, h) in expected.items():
         assert got[v][0] == pytest.approx(a, abs=1e-9)
         assert got[v][1] == pytest.approx(h, abs=1e-9)
+    with pytest.raises(ValueError, match="params"):
+        hits(spark, ids_df, max_supersteps=5, checkpoint_dir=ck,
+             checkpoint_every=1)
