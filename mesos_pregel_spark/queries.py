@@ -1059,6 +1059,73 @@ SELECT actor, CAST(c AS BIGINT) AS core FROM c{steps}
 SQL_CORE_NUMBER = _sql_core_number()
 
 
+# MIS pipelined-Luby cap: parity is exact at ANY shared cap (monotone
+# status lattice), and the run decides everything well inside 25 steps
+# at driver scale.
+_MIS_STEPS = 25
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set (Luby with md5 priorities) on the
+    bipartite customer↔supplier graph."""
+    from mesos_pregel_spark.algos.mis import maximal_independent_set
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    membership, _run = maximal_independent_set(
+        spark, e, max_supersteps=_MIS_STEPS, edge_partitions=8
+    )
+    return membership.select(F.col("id").alias("actor"), "in_mis")
+
+
+def _sql_mis(steps: int = _MIS_STEPS) -> str:
+    """Unrolled pipelined-Luby transitions.  Candidacy comparison uses
+    ``p || '|' || actor`` — p is a fixed-width md5 hex string, so the
+    concat order equals the engine's (p, id) struct order."""
+    parts = ["""
+WITH e AS (
+  SELECT 'c:' || o_custkey AS s, 's:' || l_suppkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+s0 AS MATERIALIZED (
+  SELECT DISTINCT s AS actor, MD5(s) AS p, 0 AS st FROM sym
+)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+m{k} AS (
+  SELECT sym.d AS actor,
+         MAX(CASE WHEN q.st = 1 THEN 1 ELSE 0 END) AS killed,
+         MIN(CASE WHEN q.st = 0 THEN q.p || '|' || q.actor END) AS cand
+  FROM sym JOIN s{k-1} q ON q.actor = sym.s AND q.st <> 2
+  GROUP BY sym.d
+),
+s{k} AS MATERIALIZED (
+  SELECT v.actor, v.p,
+         CASE WHEN v.st <> 0 THEN v.st
+              WHEN COALESCE(m.killed, 0) = 1 THEN 2
+              WHEN m.cand IS NULL OR (v.p || '|' || v.actor) < m.cand THEN 1
+              ELSE 0 END AS st
+  FROM s{k-1} v LEFT JOIN m{k} m ON m.actor = v.actor
+)""")
+    parts.append(f"""
+SELECT actor, (st = 1) AS in_mis FROM s{steps}
+""")
+    return "".join(parts)
+
+
+SQL_MIS = _sql_mis()
+
+
 # trussness strata-peel schedule (part of the pinned semantics: the
 # oracle unrolls the IDENTICAL (level, round) grid; monotone peeling
 # makes no-op rounds free on both sides).
@@ -1139,6 +1206,51 @@ SELECT lo AS actor_a, hi AS actor_b, trussness FROM ({union})
 
 
 SQL_TRUSSNESS = _sql_trussness()
+
+
+_WALK_LEN = 8
+_WALK_SEED = "graft"
+
+
+def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-chosen walks from every actor of the events
+    graph — the reproducible graph-sampling primitive (embedding-
+    corpus generation)."""
+    from mesos_pregel_spark.algos.walks import deterministic_walks
+
+    w = deterministic_walks(
+        spark, _graph_edges(spark, sf_dir), length=_WALK_LEN,
+        seed=_WALK_SEED, edge_partitions=8,
+    )
+    return w.select(F.col("start").alias("actor"), "step", "vertex")
+
+
+def _sql_walks(length: int = _WALK_LEN, seed: str = _WALK_SEED) -> str:
+    """Unrolled walk steps: per step one join + MIN_BY with the same
+    md5 choice key (md5 hex is fixed-width, so the '|dst' suffix is a
+    pure tie-break, identical to the engine's)."""
+    parts = ["""
+, w0 AS MATERIALIZED (SELECT actor AS start, actor AS cur FROM verts)"""]
+    selects = ["SELECT start, 0 AS step, cur AS vertex FROM w0"]
+    for t in range(length):
+        parts.append(f""",
+w{t + 1} AS MATERIALIZED (
+  SELECT w.start,
+         MIN_BY(e.dst_actor,
+                MD5('{seed}:{t}:' || w.cur || ':' || e.dst_actor)
+                || '|' || e.dst_actor) AS cur
+  FROM w{t} w JOIN edges e ON e.src_actor = w.cur
+  GROUP BY w.start
+)""")
+        selects.append(f"SELECT start, {t + 1} AS step, cur AS vertex FROM w{t + 1}")
+    union = "\nUNION ALL ".join(selects)
+    parts.append(f"""
+SELECT start AS actor, step, vertex FROM ({union})
+""")
+    return _SQL_EDGES + "".join(parts)
+
+
+SQL_WALKS = _sql_walks()
 
 
 def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1243,6 +1355,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ktruss": q_ktruss,
     "core_number": q_core_number,
     "trussness": q_trussness,
+    "mis": q_mis,
+    "walks": q_walks,
     "graph_summary": q_graph_summary,
     "bipartite_edges": q_bipartite_edges,
     "bipartite_degrees": q_bipartite_degrees,
@@ -1276,6 +1390,8 @@ ORACLE_SQL: dict[str, str] = {
     "ktruss": SQL_KTRUSS,
     "core_number": SQL_CORE_NUMBER,
     "trussness": SQL_TRUSSNESS,
+    "mis": SQL_MIS,
+    "walks": SQL_WALKS,
     "graph_summary": SQL_GRAPH_SUMMARY,
     "bipartite_edges": SQL_BIPARTITE_EDGES,
     "bipartite_degrees": SQL_BIPARTITE_DEGREES,

@@ -431,3 +431,54 @@ def oracle_trussness(edges: list[Edge], max_k: int = 50) -> dict:
     for e in surviving:
         truss[e] = max_k
     return truss
+
+
+def oracle_mis(edges: list[Edge]) -> dict:
+    """Greedy MIS over (md5(str(v)), v) priority order — with fixed
+    priorities this is exactly what pipelined Luby computes (the
+    lexicographically-first MIS of the priority order)."""
+    import hashlib
+
+    nbrs: dict = defaultdict(set)
+    vs = _vertices(edges)
+    for s, d, _w in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+
+    def prio(v):
+        return (hashlib.md5(str(v).encode()).hexdigest(), _key(v))
+
+    mis: set = set()
+    blocked: set = set()
+    for v in sorted(vs, key=prio):
+        if v not in blocked:
+            mis.add(v)
+            blocked.update(nbrs[v])
+    return {v: v in mis for v in vs}
+
+
+def oracle_walks(edges: list[Edge], length: int, seed: str = "42") -> set:
+    """Deterministic hash-chosen walks (algos/walks.py semantics):
+    returns the set of (start, step, vertex) rows."""
+    import hashlib
+
+    directed = _dedupe_directed(edges)
+    out: dict = defaultdict(list)
+    for (s, d) in directed:
+        out[s].append(d)
+    rows: set = set()
+    for v in _vertices(edges):
+        cur = v
+        rows.add((v, 0, v))
+        for t in range(length):
+            nbrs = out.get(cur)
+            if not nbrs:
+                break
+            def key(d):
+                h = hashlib.md5(
+                    f"{seed}:{t}:{cur}:{d}".encode()).hexdigest()
+                return h + "|" + str(d)
+            cur = min(nbrs, key=key)
+            rows.add((v, t + 1, cur))
+    return rows
