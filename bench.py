@@ -36,6 +36,9 @@ Workloads (all seed-deterministic, no external data):
                 and n docs (n = 50k at sf0.1): docs/sec + candidate
                 growth factor (sub-quadratic evidence: ~2x for 2x
                 docs; all-pairs would be 4x)
+  core_number — full k-core decomposition (H-index fixpoint)
+  mis         — maximal independent set (pipelined Luby)
+  walks       — 8-step deterministic walks from every vertex
 
 Scaling mode (``--scaling``): re-runs the same workloads at
 ``local[8]`` and ``local[32]`` (the sandbox stand-in for N vs 4N
@@ -295,6 +298,42 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             len(sources) * g_edges * len(run_mb.metrics) / mb_sec)
         detail["msbfs_supersteps"] = len(run_mb.metrics)
         detail["msbfs_sources"] = len(sources)
+
+    if on("core_number"):
+        from mesos_pregel_spark.algos.kcore import core_number
+
+        t = time.monotonic()
+        _cores, run_cn = core_number(spark, g, edge_partitions=nparts)
+        cn_sec = time.monotonic() - t
+        queries["core_number"] = round(cn_sec, 3)
+        cn_steps = len(run_cn.metrics)
+        throughput["core_number_edges_per_sec"] = round(
+            2 * g_edges * cn_steps / cn_sec)  # symmetrized scan/superstep
+        detail["core_number_supersteps"] = cn_steps
+        detail["core_number_max_core"] = run_cn.metrics[-1]["max_core"]
+
+    if on("mis"):
+        from mesos_pregel_spark.algos.mis import maximal_independent_set
+
+        t = time.monotonic()
+        _mem, run_mis = maximal_independent_set(spark, g, edge_partitions=nparts)
+        mis_sec = time.monotonic() - t
+        queries["mis"] = round(mis_sec, 3)
+        throughput["mis_edges_per_sec"] = round(
+            2 * g_edges * len(run_mis.metrics) / mis_sec)
+        detail["mis_supersteps"] = len(run_mis.metrics)
+        detail["mis_size"] = run_mis.metrics[-1]["mis_size"]
+
+    if on("walks"):
+        from mesos_pregel_spark.algos.walks import deterministic_walks
+
+        t = time.monotonic()
+        w = deterministic_walks(spark, g, length=8, edge_partitions=nparts)
+        n_walk_rows = w.count()
+        wk_sec = time.monotonic() - t
+        queries["walks"] = round(wk_sec, 3)
+        throughput["walks_rows_per_sec"] = round(n_walk_rows / wk_sec)
+        detail["walk_rows"] = n_walk_rows
 
     if on("landmarks"):
         from mesos_pregel_spark.algos.landmarks import landmark_distances
