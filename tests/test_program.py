@@ -124,3 +124,32 @@ def test_custom_program_sees_previous_aggregators(spark):
     assert ctx_log[0] == {}                      # superstep 0: nothing yet
     assert all("active" in a for a in ctx_log[1:])  # then last step's aggs
     assert len(ctx_log) >= 2
+
+
+def test_prepartitioned_handover_validates_columns(spark):
+    """edge_partitions=0 skips semantic prep (symmetrize/collapse), so
+    a handover missing the program's edge columns must fail loudly
+    instead of silently computing on the wrong graph."""
+    import pytest
+
+    ids_df, _edges, _names = id_space(spark, micro_graph_df(spark, "chain4"))
+    bad = ids_df.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    with pytest.raises(ValueError, match="prepare_edges"):
+        pregel(spark, bad, _max_propagation_program(), edge_partitions=0)
+
+
+def test_prepare_edges_feeds_the_fast_path(spark):
+    """prepare_edges output + edge_partitions=0 must equal the normal
+    path (prep applied, then the loop skips re-prep)."""
+    from mesos_pregel_spark.plans.program import prepare_edges
+
+    ids_df, _edges, _names = id_space(spark, micro_graph_df(spark, "two_islands"))
+    program = _max_propagation_program()
+    normal, _ = pregel(spark, ids_df, program, edge_partitions=4)
+    prepped = prepare_edges(spark, ids_df, _max_propagation_program(),
+                            edge_partitions=4)
+    fast, _ = pregel(spark, prepped, _max_propagation_program(),
+                     edge_partitions=0)
+    prepped.unpersist()
+    assert {tuple(r) for r in normal.collect()} == \
+           {tuple(r) for r in fast.collect()}
