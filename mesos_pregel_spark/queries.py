@@ -1322,6 +1322,28 @@ FROM e GROUP BY dst
 """
 
 
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution of the bipartite link graph — the
+    first diagnostic a link-graph operator runs (skew/power-law check;
+    it is what sizes the S1 salting hot-list).  Two hash aggregations,
+    integer columns only; map-side partials bound each stage's output
+    by the distinct-degree count regardless of |E|."""
+    e = q_bipartite_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+SQL_DEGREE_HISTOGRAM = """
+WITH e AS (
+  SELECT o_custkey AS src, l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, l_suppkey
+),
+deg AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src)
+SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY degree
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1360,6 +1382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_summary": q_graph_summary,
     "bipartite_edges": q_bipartite_edges,
     "bipartite_degrees": q_bipartite_degrees,
+    "degree_histogram": q_degree_histogram,
     **TEXT_QUERIES,
 }
 
@@ -1395,5 +1418,6 @@ ORACLE_SQL: dict[str, str] = {
     "graph_summary": SQL_GRAPH_SUMMARY,
     "bipartite_edges": SQL_BIPARTITE_EDGES,
     "bipartite_degrees": SQL_BIPARTITE_DEGREES,
+    "degree_histogram": SQL_DEGREE_HISTOGRAM,
     **TEXT_ORACLE_SQL,
 }
