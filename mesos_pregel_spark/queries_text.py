@@ -513,6 +513,55 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: verified near-dup pairs (jaccard >= 0.8)
+    become edges, the engine's own connected-components groups them
+    into duplicate CLUSTERS, and each cluster keeps exactly one
+    canonical representative (the lexicographically smallest doc_id —
+    CC's min-label IS the canonical pick, no extra pass).  Covers only
+    docs that appear in a verified pair; everything else is trivially
+    kept.  This is the composition a 100 TB pipeline actually runs:
+    transitive closure matters because near-dup is not transitive
+    (A~B, B~C does not imply A~C passes the threshold) yet A, B, C
+    must land in ONE cluster or two of them survive dedup."""
+    from pyspark.sql import functions as F
+
+    from mesos_pregel_spark.algos.cc import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = near_duplicates(docs).where(F.col("jaccard") >= CLEAN_JACCARD_MIN)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    comps, _run = connected_components(spark, edges, edge_partitions=8)
+    return comps.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_NEAR_DUPLICATES})
+  WHERE jaccard >= {CLEAN_JACCARD_MIN}
+),
+sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT s AS doc_id, s AS c FROM sym
+  UNION
+  SELECT sym.d, r.c FROM reach r JOIN sym ON sym.s = r.doc_id
+)
+SELECT doc_id, MIN(c) AS cluster, doc_id = MIN(c) AS keep
+FROM reach GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -525,6 +574,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": lambda s, d: exact_duplicates(_docs(s, d)),
     "minhash_lsh_candidates": lambda s, d: lsh_candidates(_docs(s, d)),
     "near_duplicates": lambda s, d: near_duplicates(_docs(s, d)),
+    "dedup_clusters": _dedup_clusters,
     "simhash": lambda s, d: simhash(_docs(s, d)),
     "corpus_clean": lambda s, d: clean_corpus(
         _docs(s, d), lang=CLEAN_LANG, quality_min=CLEAN_QUALITY_MIN,
@@ -551,6 +601,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "minhash_lsh_candidates": SQL_LSH_CANDIDATES,
     "near_duplicates": SQL_NEAR_DUPLICATES,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash": SQL_SIMHASH,
     "corpus_clean": SQL_CORPUS_CLEAN,
     "cosine_scores": SQL_COSINE_SCORES,
