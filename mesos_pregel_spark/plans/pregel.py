@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 from mesos_pregel_spark.plans.checkpoint import CheckpointManager
+from mesos_pregel_spark.plans.truncate import truncate_plan
 
 
 class PregelRun:
@@ -114,7 +115,14 @@ class PregelRun:
             # action (the P5 aggregator collect), so each superstep runs
             # ONE Spark job instead of two — measured ~1.7s/superstep of
             # fixed latency, and this removes a full job's worth.
-            new = vertices.localCheckpoint(eager=False)
+            # truncate_plan (NOT bare localCheckpoint): a superstep's
+            # plan references the previous state twice (scatter +
+            # gather), and localCheckpoint carries the origin plan's
+            # ESTIMATED stats, so sizeInBytes doubles its bit-length
+            # every superstep — exponential driver-side BigInt grind by
+            # ~25 supersteps (see plans/truncate.py for the measured
+            # pathology).
+            new = truncate_plan(vertices, eager=False)
         if self._live is not None:
             try:
                 self._live.unpersist()
