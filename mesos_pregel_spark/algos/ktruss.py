@@ -16,28 +16,34 @@ the driver):
 - Like k-core, peeling is MONOTONE, so a run capped at R rounds
   equals an R-round unrolled oracle exactly.
 
-Execution shape (design-for-100×): each round enumerates triangles
-with the SAME degree-ordered orientation as A4 (algos/triangles.py):
-surviving edges are oriented from their lower-(current degree, id)
-endpoint to the higher one, so every vertex's oriented out-degree is
-O(sqrt(m)) even for hubs and the wedge self-join is O(m^1.5)-bounded.
-(Orienting on the id-canonical `lo` endpoint instead — the round-2
-shape — lets a hub with a small vertex id generate O(deg²) wedge rows
-per round; degree orientation exists exactly to prevent that.)
-Support is mapped back from oriented triangles to the canonical
-(lo, hi) edges; state (the edge set) is truncated with an eager
-localCheckpoint per round.  Rounds are usually few (each removes a
-whole support-stratum at once).  Degrees are recomputed per round on
-the SURVIVING subgraph — one cheap groupBy against the wedge join it
-bounds.
+Execution shape (design-for-100×): support is computed ONCE, up
+front, with the same degree-ordered orientation as A4
+(algos/triangles.py) — every vertex's oriented out-degree is
+O(sqrt(m)) even for hubs, so the wedge self-join is O(m^1.5)-bounded.
+Subsequent peel rounds are INCREMENTAL (the standard truss-maintenance
+trick): only triangles touching a just-removed edge can change any
+survivor's support, so each round enumerates exactly those triangles —
+expanding each removed edge from its lower-degree endpoint, closing
+against the current edge set, deduplicating triangles (a triangle with
+two removed edges must decrement its survivor once, not twice) — and
+DECREMENTS the maintained support table.  Per-round cost is
+O(Σ_{removed} min-deg), not a full re-enumeration of all surviving
+triangles (the round-3 shape recounted everything every round: a
+constant-factor redundancy measured at ~2.4× triangles in BENCH_r03).
+Equality with the recount semantics is exact: the support of a
+survivor in G_{t+1} is its support in G_t minus the number of its
+G_t-triangles containing ≥1 removed edge.  State (the support table)
+is truncated with an eager localCheckpoint per round.
 
 ``trussness`` (the full decomposition — trussness(e) = the largest k
 such that e survives in the k-truss) runs the same peel at increasing
 k over the shrinking survivor set: edges peeled out at level k have
-trussness k-1.  One pass over strata, not a user-driven k-sweep;
-capped variants are exact on both sides because each level's peel is
-monotone (the driver oracle unrolls the identical (level, round)
-schedule).
+trussness k-1.  One pass over strata, not a user-driven k-sweep; the
+support table carries over ACROSS levels (raising ``need`` does not
+invalidate it), so the full decomposition pays for exactly one global
+triangle enumeration plus the incremental deltas.  Capped variants
+are exact on both sides because each level's peel is monotone (the
+driver oracle unrolls the identical (level, round) schedule).
 """
 
 from __future__ import annotations
@@ -47,14 +53,16 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from mesos_pregel_spark.plans.pregel import PregelRun
+from mesos_pregel_spark.plans.truncate import truncate_plan
 
 
 def _round_support(e: DataFrame) -> DataFrame:
     """Per-edge triangle support of the canonical edge set ``e(lo, hi)``
-    via degree-ordered wedge joins (A4's plan shape, re-run per peel
-    round on the surviving subgraph).  Returns (support_df(lo, hi,
-    support) covering edges with support >= 1, oriented_df) — the
-    caller unpersists ``oriented_df`` once support is materialized."""
+    via degree-ordered wedge joins (A4's plan shape, run ONCE up front;
+    peel rounds maintain the result incrementally — see
+    :func:`_apply_removals`).  Returns (support_df(lo, hi, support)
+    covering edges with support >= 1, oriented_df) — the caller
+    unpersists ``oriented_df`` once support is materialized."""
     deg = (
         e.select(F.col("lo").alias("id"))
         .unionByName(e.select(F.col("hi").alias("id")))
@@ -74,7 +82,7 @@ def _round_support(e: DataFrame) -> DataFrame:
         F.when(lo_first, F.col("deg_hi")).otherwise(F.col("deg_lo")).alias("deg_v"),
     )
     # Referenced three times (both wedge sides + the closing probe) —
-    # materialize once per round, exactly as triangles.py does.
+    # materialize once, exactly as triangles.py does.
     oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = oriented.alias("a")
@@ -109,6 +117,115 @@ def _round_support(e: DataFrame) -> DataFrame:
     return sup, oriented
 
 
+def _initial_support(e: DataFrame) -> DataFrame:
+    """Support table (lo, hi, support) covering EVERY canonical edge
+    (triangle-free edges get 0), eagerly materialized."""
+    sup_pos, oriented = _round_support(e)
+    sup = truncate_plan(
+        e.join(sup_pos, ["lo", "hi"], "left_outer")
+        .select(
+            "lo", "hi",
+            F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+        )
+    )
+    oriented.unpersist()
+    return sup
+
+
+def _apply_removals(sup: DataFrame, removed: DataFrame) -> DataFrame:
+    """Incremental truss-maintenance step: given the exact support table
+    ``sup(lo, hi, support)`` of the current graph G_t (one row per
+    current edge) and the batch ``removed(lo, hi)`` ⊆ its rows, return
+    the exact support table of G_{t+1} = G_t − removed.
+
+    A survivor loses one support per DISTINCT G_t-triangle it shares
+    with ≥1 removed edge.  Enumeration expands each removed edge from
+    its lower-degree endpoint (the same O(Σ min-deg) bound the
+    degree-ordered full count gives a hub), closes the wedge against
+    G_t's edge set, canonicalizes the triangle and deduplicates — a
+    triangle with two removed edges is found twice but must count
+    once."""
+    e_t = sup.select("lo", "hi")  # G_t: survivors ∪ removed
+    deg = (
+        e_t.select(F.col("lo").alias("id"))
+        .unionByName(e_t.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    rd = (
+        removed
+        .join(deg.withColumnsRenamed({"id": "lo", "deg": "deg_lo"}), "lo")
+        .join(deg.withColumnsRenamed({"id": "hi", "deg": "deg_hi"}), "hi")
+    )
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    rexp = rd.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("x"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("y"),
+    )
+    nbr = (
+        e_t.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .unionByName(e_t.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
+    )
+    wedge = (
+        rexp.join(nbr, rexp["x"] == nbr["a"])
+        .where(F.col("b") != F.col("y"))
+        .select("x", "y", F.col("b").alias("w"))
+    )
+    closed = wedge.join(
+        e_t,
+        (F.least(F.col("y"), F.col("w")) == e_t["lo"])
+        & (F.greatest(F.col("y"), F.col("w")) == e_t["hi"]),
+        "left_semi",
+    )
+    tri = (
+        closed.select(F.array_sort(F.array("x", "y", "w")).alias("t"))
+        .select(
+            F.col("t")[0].alias("a"),
+            F.col("t")[1].alias("b"),
+            F.col("t")[2].alias("c"),
+        )
+        .distinct()
+    )
+
+    def member(x: str, y: str) -> DataFrame:
+        return tri.select(F.col(x).alias("lo"), F.col(y).alias("hi"))
+
+    lost = (
+        member("a", "b")
+        .unionByName(member("a", "c"))
+        .unionByName(member("b", "c"))
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("lost"))
+    )
+    survivors = sup.join(removed, ["lo", "hi"], "left_anti")
+    # truncate_plan, not bare localCheckpoint: the support table is
+    # rebuilt from itself every peel round, the estimated-stats
+    # compounding shape (plans/truncate.py)
+    return truncate_plan(
+        survivors.join(lost, ["lo", "hi"], "left_outer")
+        .select(
+            "lo", "hi",
+            (F.col("support") - F.coalesce(F.col("lost"), F.lit(0)))
+            .alias("support"),
+        )
+    )
+
+
+def _canonical_edges(edges: DataFrame, nparts: int) -> DataFrame:
+    return (
+        edges.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .repartition(nparts, "lo")
+        .localCheckpoint(eager=True)  # one-shot: no compounding
+    )
+
+
 def k_truss(
     spark: SparkSession,
     edges: DataFrame,
@@ -120,37 +237,30 @@ def k_truss(
     if k < 2:
         raise ValueError("k-truss requires k >= 2")
     nparts = edge_partitions or spark.sparkContext.defaultParallelism
-    e = (
-        edges.select(
-            F.least("src", "dst").alias("lo"),
-            F.greatest("src", "dst").alias("hi"),
-        )
-        .where(F.col("lo") != F.col("hi"))
-        .distinct()
-        .repartition(nparts, "lo")
-        .localCheckpoint(eager=True)
-    )
+    e = _canonical_edges(edges, nparts)
     run = PregelRun(spark, "ktruss")
     need = k - 2
+    sup: DataFrame | None = None
     while run.superstep < max_rounds:
-        n_edges = e.count()
+        if sup is None:
+            if e.count() == 0:
+                break
+            sup = _initial_support(e)  # round 1: the one global count
+        n_edges = sup.count()
         if n_edges == 0:
             break
-        sup, oriented = _round_support(e)
-        keep = (
-            e.join(sup, ["lo", "hi"], "left_outer")
-            .where(F.coalesce(F.col("support"), F.lit(0)) >= need)
+        removed = truncate_plan(
+            sup.where(F.col("support") < need)
             .select("lo", "hi")
-            .localCheckpoint(eager=True)
         )
-        n_keep = keep.count()
-        oriented.unpersist()
-        run.record(edges=n_edges, removed=n_edges - n_keep)
+        n_removed = removed.count()
+        run.record(edges=n_edges, removed=n_removed)
         run.next_superstep()
-        e = keep
-        if n_keep == n_edges:
+        if n_removed == 0:
             break
-    return run.finish(e), run
+        sup = _apply_removals(sup, removed)
+    result = sup.select("lo", "hi") if sup is not None else e
+    return run.finish(result), run
 
 
 def trussness(
@@ -165,11 +275,10 @@ def trussness(
     peel (edges in no triangle get 2, the definitional floor).
 
     Strata peel: for k = 3, 4, ... the surviving set is peeled to the
-    k-truss (reusing the degree-ordered round kernel); edges removed at
-    level k have trussness k-1.  Because (k+1)-truss ⊆ k-truss, each
-    level starts from the previous survivor set — total work is the sum
-    of the shrinking per-level peels, not a k-sweep over the full
-    graph.
+    k-truss; edges removed at level k have trussness k-1.  Because
+    (k+1)-truss ⊆ k-truss, each level starts from the previous survivor
+    set AND its already-exact support table — total work is one global
+    triangle count plus the per-removal incremental deltas.
 
     Caps are part of the pinned semantics (mirrored exactly by the
     driver's unrolled oracle, queries.SQL_TRUSSNESS): each level runs
@@ -177,58 +286,55 @@ def trussness(
     level ``max_k`` are reported with trussness ``max_k`` — monotone
     peeling makes the capped run equal the capped unroll, and a python
     oracle pytest (tests/test_ktruss.py) pins the uncapped ground truth
-    at fixture scale.
+    at fixture scale.  When survivors remain at ``max_k`` the cap has
+    SATURATED — the graph's true maximum trussness may exceed the
+    reported label — and the run records it (``cap_saturated`` metric
+    entry; tests/test_ktruss.py pins it on a clique).
 
     Returns (decomposition(lo, hi, trussness), run).
     """
     if max_k < 3:
         raise ValueError("trussness requires max_k >= 3")
     nparts = edge_partitions or spark.sparkContext.defaultParallelism
-    e = (
-        edges.select(
-            F.least("src", "dst").alias("lo"),
-            F.greatest("src", "dst").alias("hi"),
-        )
-        .where(F.col("lo") != F.col("hi"))
-        .distinct()
-        .repartition(nparts, "lo")
-        .localCheckpoint(eager=True)
-    )
+    e = _canonical_edges(edges, nparts)
     run = PregelRun(spark, "trussness")
     strata: list[DataFrame] = []  # per-level removed edges, labeled
+    sup: DataFrame | None = None
+    if e.count() > 0:
+        sup = _initial_support(e)  # the one global triangle count
     for k in range(3, max_k + 1):
         need = k - 2
         rounds = 0
-        while rounds < max_rounds_per_level:
-            n_edges = e.count()
+        while sup is not None and rounds < max_rounds_per_level:
+            n_edges = sup.count()
             if n_edges == 0:
                 break
-            sup, oriented = _round_support(e)
-            keep = (
-                e.join(sup, ["lo", "hi"], "left_outer")
-                .where(F.coalesce(F.col("support"), F.lit(0)) >= need)
+            removed = truncate_plan(
+                sup.where(F.col("support") < need)
                 .select("lo", "hi")
-                .localCheckpoint(eager=True)
             )
-            n_keep = keep.count()
-            oriented.unpersist()
+            n_removed = removed.count()
             rounds += 1
-            run.record(level=k, edges=n_edges, removed=n_edges - n_keep)
+            run.record(level=k, edges=n_edges, removed=n_removed)
             run.next_superstep()
-            if n_keep == n_edges:
-                e = keep
+            if n_removed == 0:
                 break
-            # removed at level k => trussness k-1 (kept as lazy plans
-            # over checkpointed inputs; unioned once at the end)
-            strata.append(
-                e.join(keep, ["lo", "hi"], "left_anti")
-                .select("lo", "hi", F.lit(k - 1).cast("long").alias("trussness"))
-                .localCheckpoint(eager=True)
-            )
-            e = keep
-        if e.count() == 0:
+            # removed at level k => trussness k-1
+            strata.append(removed.select(
+                "lo", "hi", F.lit(k - 1).cast("long").alias("trussness")
+            ))
+            sup = _apply_removals(sup, removed)
+        if sup is None or sup.count() == 0:
             break
-    survivors = e.select(
+    n_survivors = sup.count() if sup is not None else 0
+    if n_survivors > 0:
+        # Cap saturation: the true trussness of these edges is >= max_k
+        # and may exceed it — surfaced in run.metrics for callers/bench.
+        run.record(
+            phase="cap", cap_saturated=True, level=max_k,
+            survivors=n_survivors,
+        )
+    survivors = (sup if sup is not None else e).select(
         "lo", "hi", F.lit(max_k).cast("long").alias("trussness")
     )
     out = survivors

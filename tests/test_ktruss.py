@@ -83,10 +83,13 @@ from tests.oracle_pregel import oracle_trussness  # noqa: E402
 from mesos_pregel_spark.algos.ktruss import trussness  # noqa: E402
 
 
-def _compare_trussness(spark, edges_df, oracle_edges, **kw):
-    got, run = trussness(spark, edges_df, **kw)
+def _compare_trussness(spark, edges_df, oracle_edges, max_k=20, **kw):
+    # Same cap on BOTH sides: a fixture whose true trussness exceeded
+    # the engine default would otherwise fail on the cap label rather
+    # than a real defect (ADVICE r3).
+    got, run = trussness(spark, edges_df, max_k=max_k, **kw)
     got_map = {(r["lo"], r["hi"]): r["trussness"] for r in got.collect()}
-    assert got_map == oracle_trussness(oracle_edges)
+    assert got_map == oracle_trussness(oracle_edges, max_k=max_k)
     return run
 
 
@@ -117,6 +120,20 @@ def test_trussness_transcripts(spark):
     ids_df = edges_with_ids(build_edges(t))
     edges = [(r["src"], r["dst"], r["weight"]) for r in ids_df.collect()]
     _compare_trussness(spark, ids_df, edges)
+
+
+def test_trussness_cap_saturation_metric(spark):
+    """Survivors at max_k mean the cap SATURATED (true trussness may
+    exceed the label) — the run must say so in its metrics.  K4 has
+    trussness 4 everywhere, so max_k=3 saturates."""
+    ids_df, _edges, _names = id_space(spark, micro_graph_df(spark, "k4"))
+    got, run = trussness(spark, ids_df, max_k=3)
+    assert {r["trussness"] for r in got.collect()} == {3}
+    cap = [m for m in run.metrics if m.get("cap_saturated")]
+    assert cap and cap[-1]["survivors"] == 6 and cap[-1]["level"] == 3
+    # an uncapped (high-cap) run on the same graph reports no saturation
+    _got2, run2 = trussness(spark, ids_df, max_k=20)
+    assert not any(m.get("cap_saturated") for m in run2.metrics)
 
 
 def test_ktruss_zipf_hub_small_id(spark):
