@@ -14,13 +14,32 @@ Algorithm, per outer round on the remaining subgraph:
    proportional to their depth; without it the coloring loop peels
    them one root at a time.
 2. **Color** — propagate ``color(v) = max(id(v), max over in-nbrs
-   color(u))`` to fixpoint: a max-combiner Pregel fixpoint on the
-   scatter/combine operators.  Afterwards color(v) = the largest id
-   that can reach v; a vertex with color(v) == id(v) is a root.
-3. **Backward** — from every root r, flood along REVERSED edges
-   restricted to vertices of the same color.  The flooded set is
-   exactly SCC(r) (v is colored r ⇒ r reaches v; v backward-reaches
-   r ⇒ v reaches r).  Label members, remove them, repeat.
+   color(u))`` to fixpoint, ACCELERATED with PATH DOUBLING
+   (``_max_prop_doubling``): each vertex carries an explicit ``ptr``
+   to a vertex known to reach it whose backward path it has already
+   absorbed; the neighbor step extends the path one hop (adopting the
+   sender's ptr) and a per-iteration ``ptr ← ptr[ptr]`` jump doubles
+   it, with a DOUBLE val absorb that makes val-stability a sound stop
+   rule.  (Naively jumping ``color[color]`` à la cc_jump does NOT
+   accelerate here: an unreached vertex's label is itself, a
+   self-pointer, so the wavefront still moves one hop per iteration —
+   measured: the 480-cycle blew the 200-iteration rail.)  The ptr
+   self-joins shuffle |V| rows, never edges, and cut a high-diameter
+   region's fixpoint from O(d) to O(log d) iterations
+   (pytest-measured on a planted 480-cycle:
+   tests/test_scc.py::test_long_cycle_log_rounds).  Afterwards
+   color(v) = the largest id that can reach v; a vertex with
+   color(v) == id(v) is a root.
+3. **Backward** — membership of SCC(r) for each root r, computed as a
+   SECOND max-propagation instead of a boolean flood so the same
+   doubling applies: ``rc(v) = max id reachable FROM v along
+   same-color edges`` (the identical kernel over the REVERSED class
+   edges).  Every member of color class c has id ≤ c (the
+   root c reaches it, so its color ≥ ... ≥ its id), and within-class
+   reachability of the root characterizes membership, so
+   v ∈ SCC(r) ⟺ rc(v) == color(v).  A boolean flood walks one hop per
+   superstep — O(SCC diameter); the rc formulation doubles.  Label
+   members, remove them, repeat.
 
 Termination: every round removes at least each current root's SCC
 (and Trim eats DAG tails), so rounds ≤ #SCCs; in practice a handful —
@@ -42,11 +61,110 @@ from pyspark.storagelevel import StorageLevel
 from mesos_pregel_spark.operators.combine import combine
 from mesos_pregel_spark.operators.scatter import scatter
 from mesos_pregel_spark.plans.pregel import PregelRun
+from mesos_pregel_spark.plans.truncate import truncate_plan
+
+
+def _max_prop_doubling(
+    edges: DataFrame, verts: DataFrame, max_inner: int, what: str,
+) -> tuple[DataFrame, int]:
+    """Max-label propagation over directed ``edges(src, dst)`` with
+    PATH DOUBLING: returns ((id, val), iterations) where ``val(v)`` is
+    the maximum id among vertices with a directed path to v (v
+    included) — O(log d) iterations instead of the one-hop flood's
+    O(d).
+
+    Each vertex carries ``ptr``: a vertex known to reach it whose
+    absorbed backward path's maximum is already folded into ``val``.
+    Per iteration: (1) the neighbor step takes the struct-max message
+    (val, ptr) over in-neighbors — extending the carried path by one
+    hop — then (2) the jump rewires ``ptr ← ptr[ptr]``, roughly
+    doubling the carried path, ABSORBING the val at BOTH the old and
+    the new pointer targets.  The double absorb is what makes
+    val-stability a sound stopping rule: it maintains
+    ``val(v) >= val(ptr(v))``, so an iteration with no val change
+    anywhere has no pending jump contribution either (a single-absorb
+    jump can stall for a round and then change — ptr may rewire to a
+    higher-val vertex whose val was never folded in).  Any val a jump
+    adds is the id of a vertex that reaches ptr(v) and hence v, so
+    values stay sound; the fixpoint is a fixpoint of the plain
+    neighbor step, hence exact.  Raises on non-convergence within
+    ``max_inner`` (an unconverged table would silently split an SCC).
+    """
+    state = truncate_plan(verts.select(
+        "id", F.col("id").alias("val"), F.col("id").alias("ptr"),
+    ))
+    iters = 0
+    for _inner in range(max_inner + 1):
+        if _inner == max_inner:
+            raise RuntimeError(
+                f"SCC {what} did not converge in "
+                f"{max_inner} iterations (raise max_inner)"
+            )
+        iters += 1
+        msgs = scatter(
+            edges, state,
+            [F.struct(F.col("val"), F.col("ptr")).alias("m")],
+        )
+        combined = combine(msgs, ["dst"], {"mx": ("m", "max")})
+        t1 = (
+            state.join(combined, state["id"] == combined["dst"],
+                       "left_outer")
+            .select(
+                state["id"],
+                F.greatest(
+                    state["val"],
+                    F.coalesce(F.col("mx.val"), state["val"]),
+                ).alias("val1"),
+                # adopt the sender's ptr whenever any message arrived —
+                # even without a val gain the carried path grows by one
+                # hop, which is what the jump then doubles
+                F.coalesce(F.col("mx.ptr"), state["ptr"]).alias("ptr1"),
+                state["val"].alias("val_old"),
+            )
+        )
+        a, b = t1.alias("a"), t1.alias("b")
+        t2 = (
+            a.join(b, F.col("a.ptr1") == F.col("b.id"), "left_outer")
+            .select(
+                F.col("a.id").alias("id"),
+                F.greatest(
+                    F.col("a.val1"),
+                    F.coalesce(F.col("b.val1"), F.col("a.val1")),
+                ).alias("val2"),
+                F.coalesce(F.col("b.ptr1"), F.col("a.ptr1")).alias("ptr2"),
+                F.col("a.val_old").alias("val_old"),
+            )
+        )
+        c, d = t2.alias("c"), t1.alias("d")
+        state = truncate_plan(
+            c.join(d, F.col("c.ptr2") == F.col("d.id"), "left_outer")
+            .select(
+                F.col("c.id").alias("id"),
+                F.greatest(
+                    F.col("c.val2"),
+                    F.coalesce(F.col("d.val1"), F.col("c.val2")),
+                ).alias("val"),
+                F.col("c.ptr2").alias("ptr"),
+                (
+                    F.greatest(
+                        F.col("c.val2"),
+                        F.coalesce(F.col("d.val1"), F.col("c.val2")),
+                    ) > F.col("c.val_old")
+                ).alias("changed"),
+            )
+        )
+        if state.where("changed").limit(1).count() == 0:
+            break
+    return state.select("id", "val"), iters
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
-    """Eager lineage truncation for driver-loop state (S3)."""
-    return df.localCheckpoint(eager=True)
+    """Eager lineage truncation for driver-loop state (S3), with the
+    carried-stats strip (plans/truncate.py): BOTH inner fixpoints here
+    self-join the label table every iteration, the worst case for
+    localCheckpoint's exponential estimated-sizeInBytes compounding —
+    a 6-vertex SCC measured 10+ driver-minutes before the strip."""
+    return truncate_plan(df, eager=True)
 
 
 def strongly_connected_components(
@@ -144,93 +262,46 @@ def strongly_connected_components(
             break
 
         # -- 2. Color: forward max propagation to fixpoint ------------
-        color = _ckpt(remaining.select(
-            "id", F.col("id").alias("color"), F.lit(True).alias("changed")
-        ))
-        # Inner fixpoints RAISE on non-convergence (like the outer
-        # round cap): an unconverged color table would let the backward
-        # flood label only part of an SCC — silently splitting it.
-        for _inner in range(max_inner + 1):
-            if _inner == max_inner:
-                raise RuntimeError(
-                    f"SCC color propagation did not converge in "
-                    f"{max_inner} iterations (remaining-subgraph "
-                    f"diameter exceeds max_inner; raise max_inner)"
-                )
-            msgs = scatter(
-                e, color, [F.col("color").alias("msg")],
-                active_filter=F.col("changed"),
-            )
-            combined = combine(msgs, ["dst"], {"msg_max": ("msg", "max")})
-            color = _ckpt(
-                color.join(combined, color["id"] == combined["dst"],
-                           "left_outer")
-                .select(
-                    color["id"],
-                    F.greatest(
-                        color["color"],
-                        F.coalesce(combined["msg_max"], color["color"]),
-                    ).alias("color"),
-                    (
-                        F.coalesce(combined["msg_max"], color["color"])
-                        > color["color"]
-                    ).alias("changed"),
-                )
-            )
-            if color.where("changed").limit(1).count() == 0:
-                break
+        # Path-doubled (see _max_prop_doubling): O(log d) iterations
+        # on high-diameter regions instead of O(d).
+        color_state, color_iters = _max_prop_doubling(
+            e, remaining, max_inner, "color propagation"
+        )
+        color = _ckpt(color_state.withColumnRenamed("val", "color"))
 
         # -- 3. Backward reach from roots within their color ----------
-        # reversed edges whose endpoints share a color
+        # rc(v) = max id reachable FROM v along same-color edges,
+        # computed by max-propagation over the REVERSED class edges so
+        # the same pointer jump applies (module docstring §3);
+        # membership is rc(v) == color(v).
         ce = (
             e.join(color.select(F.col("id").alias("src"),
                                 F.col("color").alias("c_src")), "src")
             .join(color.select(F.col("id").alias("dst"),
                                F.col("color").alias("c_dst")), "dst")
             .where(F.col("c_src") == F.col("c_dst"))
-            # backward flood ⇒ walk v→u for original u→v
+            # rc flows against edge direction ⇒ scatter v→u for u→v
             .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         ce = _ckpt(ce)
-        member = _ckpt(color.select(
-            "id", "color", (F.col("id") == F.col("color")).alias("in_scc"),
-            (F.col("id") == F.col("color")).alias("changed"),
-        ))
-        for _inner in range(max_inner + 1):
-            if _inner == max_inner:
-                raise RuntimeError(
-                    f"SCC backward reach did not converge in "
-                    f"{max_inner} iterations (raise max_inner)"
-                )
-            msgs = scatter(
-                ce, member, [F.lit(1).alias("msg")],
-                active_filter=F.col("changed") & F.col("in_scc"),
-            )
-            combined = combine(msgs, ["dst"], {"hit": ("msg", "max")})
-            member = _ckpt(
-                member.join(combined, member["id"] == combined["dst"],
-                            "left_outer")
-                .select(
-                    member["id"], member["color"],
-                    (member["in_scc"] | combined["hit"].isNotNull())
-                    .alias("in_scc"),
-                    (~member["in_scc"] & combined["hit"].isNotNull())
-                    .alias("changed"),
-                )
-            )
-            if member.where("changed").limit(1).count() == 0:
-                break
-
-        found = member.where("in_scc").select(
-            "id", F.col("color").alias("root")
+        rc_state, backward_iters = _max_prop_doubling(
+            ce, remaining, max_inner, "backward reach"
         )
+        rc = _ckpt(
+            rc_state.withColumnRenamed("val", "rc").join(
+                color.select("id", "color"), "id"
+            )
+        )
+
+        in_scc = rc.where(F.col("rc") == F.col("color"))
+        found = in_scc.select("id", F.col("color").alias("root"))
         add_labels(found)
         remaining = _ckpt(
-            remaining.join(member.where("in_scc").select("id"), "id",
-                           "left_anti")
+            remaining.join(in_scc.select("id"), "id", "left_anti")
         )
         run.record(phase="peel", removed=n_remaining - remaining.count(),
-                   remaining=remaining.count())
+                   remaining=remaining.count(),
+                   color_iters=color_iters, backward_iters=backward_iters)
         run.next_superstep()
 
     # relabel: scc = MIN member id of each root group (oracle contract)

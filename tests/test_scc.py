@@ -57,6 +57,23 @@ def test_micro_graphs(spark, name):
     _compare(spark, ids_df, edges)
 
 
+def test_long_cycle_log_rounds(spark):
+    """Pointer jumping on the inner fixpoints (color AND backward):
+    a planted directed 480-cycle is ONE SCC whose diameter (479) far
+    exceeds max_inner=200 — the round-3 one-hop propagation would
+    raise; with doubling both phases converge in O(log d) iterations."""
+    n = 480
+    rows = [(i, (i + 1) % n, 1.0) for i in range(n)]
+    got, run = strongly_connected_components(spark, _df(spark, rows))
+    assert {r["scc"] for r in got.collect()} == {0}
+    assert got.count() == n
+    peel = [m for m in run.metrics if m.get("phase") == "peel"]
+    assert peel, "expected a peel phase"
+    # log2(480) ≈ 8.9; jump convergence needs ~log d + detection slack
+    assert peel[0]["color_iters"] <= 25
+    assert peel[0]["backward_iters"] <= 25
+
+
 def test_transcript_graph(spark):
     t = generate_transcripts(spark, n_conv=300, seed=42)
     ids_df = edges_with_ids(build_edges(t))
