@@ -1222,35 +1222,173 @@ def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _graph_edges(spark, sf_dir), length=_WALK_LEN,
         seed=_WALK_SEED, edge_partitions=8,
     )
-    return w.select(F.col("start").alias("actor"), "step", "vertex")
+    return w.select(F.col("start").alias("actor"), "walk", "step", "vertex")
 
 
-def _sql_walks(length: int = _WALK_LEN, seed: str = _WALK_SEED) -> str:
+def q_walks_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n walks per vertex: the walk index salts the choice key, so each
+    index is an independent reproducible sample — one run emits a whole
+    walk CORPUS instead of one walk per vertex."""
+    from mesos_pregel_spark.algos.walks import deterministic_walks
+
+    w = deterministic_walks(
+        spark, _graph_edges(spark, sf_dir), length=4,
+        seed=_WALK_SEED, n_walks=3, edge_partitions=8,
+    )
+    return w.select(F.col("start").alias("actor"), "walk", "step", "vertex")
+
+
+def q_walks_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional next hop (derandomized node2vec-style
+    sampling): inverse-CDF over dst-ordered out-edges against a
+    48-bit-md5 uniform — transcript/event edge weights (interaction
+    counts) actually bias the corpus."""
+    from mesos_pregel_spark.algos.walks import deterministic_walks
+
+    w = deterministic_walks(
+        spark, _graph_edges(spark, sf_dir), length=4,
+        seed=_WALK_SEED, weighted=True, edge_partitions=8,
+    )
+    return w.select(F.col("start").alias("actor"), "walk", "step", "vertex")
+
+
+def _sql_walks(
+    length: int = _WALK_LEN, seed: str = _WALK_SEED, n_walks: int = 1,
+) -> str:
     """Unrolled walk steps: per step one join + MIN_BY with the same
     md5 choice key (md5 hex is fixed-width, so the '|dst' suffix is a
-    pure tie-break, identical to the engine's)."""
-    parts = ["""
-, w0 AS MATERIALIZED (SELECT actor AS start, actor AS cur FROM verts)"""]
-    selects = ["SELECT start, 0 AS step, cur AS vertex FROM w0"]
+    pure tie-break, identical to the engine's).  The walk index rides
+    as data (one base row per (vertex, walk)); the key salts on it."""
+    wk = " UNION ALL ".join(f"SELECT {i} AS walk" for i in range(n_walks))
+    parts = [f"""
+, w0 AS MATERIALIZED (
+  SELECT actor AS start, wk.walk, actor AS cur
+  FROM verts CROSS JOIN ({wk}) wk)"""]
+    selects = ["SELECT start, walk, 0 AS step, cur AS vertex FROM w0"]
     for t in range(length):
         parts.append(f""",
 w{t + 1} AS MATERIALIZED (
-  SELECT w.start,
+  SELECT w.start, w.walk,
          MIN_BY(e.dst_actor,
-                MD5('{seed}:{t}:' || w.cur || ':' || e.dst_actor)
+                MD5('{seed}:{t}:' || CAST(w.walk AS VARCHAR) || ':'
+                    || w.cur || ':' || e.dst_actor)
                 || '|' || e.dst_actor) AS cur
   FROM w{t} w JOIN edges e ON e.src_actor = w.cur
-  GROUP BY w.start
+  GROUP BY w.start, w.walk
 )""")
-        selects.append(f"SELECT start, {t + 1} AS step, cur AS vertex FROM w{t + 1}")
+        selects.append(
+            f"SELECT start, walk, {t + 1} AS step, cur AS vertex FROM w{t + 1}"
+        )
     union = "\nUNION ALL ".join(selects)
     parts.append(f"""
-SELECT start AS actor, step, vertex FROM ({union})
+SELECT start AS actor, walk, step, vertex FROM ({union})
+""")
+    return _SQL_EDGES + "".join(parts)
+
+
+def _sql_walks_weighted(length: int = 4, seed: str = _WALK_SEED) -> str:
+    """Weighted twin: u = ('0x' || first 12 md5 hex)::BIGINT / 2^48 per
+    live walk; running SUM(weight) over dst order; next = MIN(dst) with
+    cum > u*total.  Exact parity holds because the event weights are
+    integer-valued counts (running sums are order-exact doubles) and u
+    is a 48-bit dyadic rational."""
+    parts = ["""
+, w0 AS MATERIALIZED (SELECT actor AS start, 0 AS walk, actor AS cur FROM verts)"""]
+    selects = ["SELECT start, walk, 0 AS step, cur AS vertex FROM w0"]
+    for t in range(length):
+        parts.append(f""",
+w{t + 1} AS MATERIALIZED (
+  SELECT start, walk, MIN(dst_actor) AS cur FROM (
+    SELECT w.start, w.walk, e.dst_actor,
+           SUM(e.weight) OVER (
+             PARTITION BY w.start, w.walk ORDER BY e.dst_actor) AS cum,
+           SUM(e.weight) OVER (PARTITION BY w.start, w.walk) AS total,
+           ('0x' || substr(MD5('{seed}:{t}:' || CAST(w.walk AS VARCHAR)
+                               || ':' || w.cur), 1, 12))::BIGINT
+             / 281474976710656.0 AS u
+    FROM w{t} w JOIN edges e ON e.src_actor = w.cur
+  ) WHERE cum > u * total
+  GROUP BY start, walk
+)""")
+        selects.append(
+            f"SELECT start, walk, {t + 1} AS step, cur AS vertex FROM w{t + 1}"
+        )
+    union = "\nUNION ALL ".join(selects)
+    parts.append(f"""
+SELECT start AS actor, walk, step, vertex FROM ({union})
+""")
+    return _SQL_EDGES + "".join(parts)
+
+
+def q_walks_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec p/q walk (derandomized): the out-edge
+    weight is scaled by alpha(prev, cur, dst) — 1/p on return, 1 if
+    prev→dst exists, 1/q to explore — before the inverse-CDF draw.
+    p=4, q=1/4 (dyadic, so alpha·weight products are exact doubles):
+    a homophily-leaning corpus that avoids backtracking."""
+    from mesos_pregel_spark.algos.walks import deterministic_walks
+
+    w = deterministic_walks(
+        spark, _graph_edges(spark, sf_dir), length=4,
+        seed=_WALK_SEED, weighted=True, p=4.0, q=0.25, edge_partitions=8,
+    )
+    return w.select(F.col("start").alias("actor"), "walk", "step", "vertex")
+
+
+def _sql_walks_node2vec(
+    length: int = 4, p: float = 4.0, q: float = 0.25,
+    seed: str = _WALK_SEED,
+) -> str:
+    """Node2vec twin: the weighted unroll plus (a) a prev column
+    carried per step, (b) a LEFT JOIN adjacency probe on (prev, dst),
+    (c) the alpha CASE in the SAME branch order as the engine, and
+    (d) the prev-salted u (prev hashes as '-' at step 1).  Exactness:
+    1/p and 1/q are dyadic, weights are integer counts, both engines
+    sum in dst order and round the one u*total product identically."""
+    inv_p, inv_q = repr(1.0 / p), repr(1.0 / q)
+    alpha = f"""CASE WHEN w.prev IS NULL THEN 1.0
+                 WHEN e.dst_actor = w.prev THEN {inv_p}
+                 WHEN a.src_actor IS NOT NULL THEN 1.0
+                 ELSE {inv_q} END"""
+    parts = ["""
+, w0 AS MATERIALIZED (
+  SELECT actor AS start, 0 AS walk, actor AS cur,
+         CAST(NULL AS VARCHAR) AS prev
+  FROM verts)"""]
+    selects = ["SELECT start, walk, 0 AS step, cur AS vertex FROM w0"]
+    for t in range(length):
+        parts.append(f""",
+w{t + 1} AS MATERIALIZED (
+  SELECT start, walk, MIN(dst_actor) AS cur, MIN(cur) AS prev FROM (
+    SELECT w.start, w.walk, w.cur, e.dst_actor,
+           SUM(e.weight * {alpha}) OVER (
+             PARTITION BY w.start, w.walk ORDER BY e.dst_actor) AS cum,
+           SUM(e.weight * {alpha}) OVER (
+             PARTITION BY w.start, w.walk) AS total,
+           ('0x' || substr(MD5('{seed}:{t}:' || CAST(w.walk AS VARCHAR)
+                               || ':' || w.cur || ':'
+                               || COALESCE(w.prev, '-')), 1, 12))::BIGINT
+             / 281474976710656.0 AS u
+    FROM w{t} w JOIN edges e ON e.src_actor = w.cur
+    LEFT JOIN edges a
+      ON a.src_actor = w.prev AND a.dst_actor = e.dst_actor
+  ) WHERE cum > u * total
+  GROUP BY start, walk
+)""")
+        selects.append(
+            f"SELECT start, walk, {t + 1} AS step, cur AS vertex FROM w{t + 1}"
+        )
+    union = "\nUNION ALL ".join(selects)
+    parts.append(f"""
+SELECT start AS actor, walk, step, vertex FROM ({union})
 """)
     return _SQL_EDGES + "".join(parts)
 
 
 SQL_WALKS = _sql_walks()
+SQL_WALKS_MULTI = _sql_walks(length=4, n_walks=3)
+SQL_WALKS_WEIGHTED = _sql_walks_weighted()
+SQL_WALKS_NODE2VEC = _sql_walks_node2vec()
 
 
 def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,6 +1517,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trussness": q_trussness,
     "mis": q_mis,
     "walks": q_walks,
+    "walks_multi": q_walks_multi,
+    "walks_weighted": q_walks_weighted,
+    "walks_node2vec": q_walks_node2vec,
     "graph_summary": q_graph_summary,
     "bipartite_edges": q_bipartite_edges,
     "bipartite_degrees": q_bipartite_degrees,
@@ -1415,6 +1556,9 @@ ORACLE_SQL: dict[str, str] = {
     "trussness": SQL_TRUSSNESS,
     "mis": SQL_MIS,
     "walks": SQL_WALKS,
+    "walks_multi": SQL_WALKS_MULTI,
+    "walks_weighted": SQL_WALKS_WEIGHTED,
+    "walks_node2vec": SQL_WALKS_NODE2VEC,
     "graph_summary": SQL_GRAPH_SUMMARY,
     "bipartite_edges": SQL_BIPARTITE_EDGES,
     "bipartite_degrees": SQL_BIPARTITE_DEGREES,

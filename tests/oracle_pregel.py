@@ -458,9 +458,11 @@ def oracle_mis(edges: list[Edge]) -> dict:
     return {v: v in mis for v in vs}
 
 
-def oracle_walks(edges: list[Edge], length: int, seed: str = "42") -> set:
+def oracle_walks(
+    edges: list[Edge], length: int, seed: str = "42", n_walks: int = 1,
+) -> set:
     """Deterministic hash-chosen walks (algos/walks.py semantics):
-    returns the set of (start, step, vertex) rows."""
+    returns the set of (start, walk, step, vertex) rows."""
     import hashlib
 
     directed = _dedupe_directed(edges)
@@ -469,16 +471,114 @@ def oracle_walks(edges: list[Edge], length: int, seed: str = "42") -> set:
         out[s].append(d)
     rows: set = set()
     for v in _vertices(edges):
-        cur = v
-        rows.add((v, 0, v))
-        for t in range(length):
-            nbrs = out.get(cur)
-            if not nbrs:
-                break
-            def key(d):
+        for w in range(n_walks):
+            cur = v
+            rows.add((v, w, 0, v))
+            for t in range(length):
+                nbrs = out.get(cur)
+                if not nbrs:
+                    break
+
+                def key(d):
+                    h = hashlib.md5(
+                        f"{seed}:{t}:{w}:{cur}:{d}".encode()).hexdigest()
+                    return h + "|" + str(d)
+
+                cur = min(nbrs, key=key)
+                rows.add((v, w, t + 1, cur))
+    return rows
+
+
+def oracle_walks_weighted(
+    edges: list[Edge], length: int, seed: str = "42", n_walks: int = 1,
+) -> set:
+    """Weight-proportional deterministic walks: u = 48-bit md5 prefix
+    of (seed:t:w:cur) / 2^48; next = smallest dst (ascending order)
+    whose running weight sum exceeds u * total.  Parallel edges
+    collapse by SUMMING weight."""
+    import hashlib
+
+    wsum: dict = defaultdict(float)
+    for (s, d, w) in edges:
+        wsum[(s, d)] += w
+    out: dict = defaultdict(list)
+    for (s, d), w in sorted(wsum.items()):
+        out[s].append((d, w))
+    rows: set = set()
+    for v in _vertices(edges):
+        for wi in range(n_walks):
+            cur = v
+            rows.add((v, wi, 0, v))
+            for t in range(length):
+                nbrs = out.get(cur)
+                if not nbrs:
+                    break
                 h = hashlib.md5(
-                    f"{seed}:{t}:{cur}:{d}".encode()).hexdigest()
-                return h + "|" + str(d)
-            cur = min(nbrs, key=key)
-            rows.add((v, t + 1, cur))
+                    f"{seed}:{t}:{wi}:{cur}".encode()).hexdigest()
+                u = int(h[:12], 16) / float(2 ** 48)
+                total = sum(w for _d, w in nbrs)
+                cum = 0.0
+                nxt = None
+                for d, w in nbrs:  # ascending dst
+                    cum += w
+                    if cum > u * total:
+                        nxt = d
+                        break
+                cur = nxt
+                rows.add((v, wi, t + 1, cur))
+    return rows
+
+
+def oracle_walks_node2vec(
+    edges: list[Edge], length: int, p: float, q: float,
+    seed: str = "42", n_walks: int = 1,
+) -> set:
+    """Second-order (node2vec p/q) deterministic weighted walks
+    (algos/walks.py semantics): edge weight scaled by alpha(prev, cur,
+    dst) — 1/p if dst == prev, 1 if directed edge (prev, dst) exists,
+    else 1/q; no predecessor at step 1 (alpha = 1, prev hashes as
+    '-'); u salts on the predecessor: md5(seed:t:w:cur:prev|'-')."""
+    import hashlib
+
+    wsum: dict = defaultdict(float)
+    for (s, d, w) in edges:
+        wsum[(s, d)] += w
+    adj = set(wsum)
+    out: dict = defaultdict(list)
+    for (s, d), w in sorted(wsum.items()):
+        out[s].append((d, w))
+    rows: set = set()
+    for v in _vertices(edges):
+        for wi in range(n_walks):
+            cur, prev = v, None
+            rows.add((v, wi, 0, v))
+            for t in range(length):
+                nbrs = out.get(cur)
+                if not nbrs:
+                    break
+                ptxt = "-" if prev is None else str(prev)
+                h = hashlib.md5(
+                    f"{seed}:{t}:{wi}:{cur}:{ptxt}".encode()).hexdigest()
+                u = int(h[:12], 16) / float(2 ** 48)
+
+                def alpha(d):
+                    if prev is None:
+                        return 1.0
+                    if d == prev:
+                        return 1.0 / p
+                    if (prev, d) in adj:
+                        return 1.0
+                    return 1.0 / q
+
+                eff = [(d, w * alpha(d)) for d, w in nbrs]
+                total = sum(w for _d, w in eff)
+                cum = 0.0
+                nxt = None
+                for d, w in eff:  # ascending dst
+                    cum += w
+                    if cum > u * total:
+                        nxt = d
+                        break
+                prev, cur = cur, nxt
+                rows.add((v, wi, t + 1, cur))
     return rows

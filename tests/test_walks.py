@@ -1,8 +1,9 @@
 """Deterministic walks: engine vs python oracle, sink termination,
-seed independence, reproducibility across partitioning."""
+seed independence, reproducibility across partitioning, multi-walk
+corpora and weight-proportional next-hop."""
 
 from tests.conftest import id_space
-from tests.oracle_pregel import oracle_walks
+from tests.oracle_pregel import oracle_walks, oracle_walks_weighted
 
 from mesos_pregel_spark.algos.walks import deterministic_walks
 from mesos_pregel_spark.fixtures import generate_transcripts, micro_graph_df
@@ -21,7 +22,8 @@ def _df(spark, rows):
 
 
 def _rows(df):
-    return {(r["start"], r["step"], r["vertex"]) for r in df.collect()}
+    return {(r["start"], r["walk"], r["step"], r["vertex"])
+            for r in df.collect()}
 
 
 def test_micro_graph_matches_oracle(spark):
@@ -35,9 +37,9 @@ def test_sink_ends_walk(spark):
     rows = [(1, 2, 1.0), (2, 3, 1.0)]
     got = _rows(deterministic_walks(spark, _df(spark, rows), length=4))
     assert got == oracle_walks(rows, 4)
-    assert (1, 0, 1) in got and (3, 0, 3) in got
+    assert (1, 0, 0, 1) in got and (3, 0, 0, 3) in got
     # 3 is a sink: its walk is just step 0
-    assert not any(s == 3 and t > 0 for (s, t, _v) in got)
+    assert not any(s == 3 and t > 0 for (s, _w, t, _v) in got)
 
 
 def test_transcript_graph_matches_oracle(spark):
@@ -65,3 +67,113 @@ def test_partition_invariance(spark):
     b = _rows(deterministic_walks(spark, _df(spark, rows), length=5,
                                   edge_partitions=16))
     assert a == b
+
+
+def test_n_walks_independent_samples(spark):
+    """n_walks=3: each walk index is an independent deterministic
+    sample (the walk index salts the choice key), all matching the
+    oracle; walk 0 of a multi-run ≡ the single-walk run."""
+    ids_df, edges, _names = id_space(spark, micro_graph_df(spark, "k4"))
+    got = _rows(deterministic_walks(spark, ids_df, length=5, n_walks=3))
+    assert got == oracle_walks(edges, 5, n_walks=3)
+    single = _rows(deterministic_walks(spark, ids_df, length=5))
+    assert {r for r in got if r[1] == 0} == single
+    # the samples actually differ across walk indices somewhere
+    by_walk = [
+        {(s, t, v) for (s, w, t, v) in got if w == wi} for wi in range(3)
+    ]
+    assert by_walk[0] != by_walk[1] or by_walk[1] != by_walk[2]
+
+
+def test_weighted_matches_oracle_and_respects_weights(spark):
+    """Weight-proportional next hop: a 100:1 weighted fork follows the
+    heavy edge for (almost) every start/seed; exact oracle parity on a
+    multi-vertex graph with mixed weights."""
+    rows = [
+        (1, 2, 100.0), (1, 3, 1.0),
+        (2, 4, 1.0), (2, 5, 3.0),
+        (4, 1, 2.0), (5, 1, 1.0), (3, 1, 1.0),
+    ]
+    got = _rows(deterministic_walks(
+        spark, _df(spark, rows), length=6, weighted=True, n_walks=4))
+    assert got == oracle_walks_weighted(rows, 6, n_walks=4)
+    # hops out of vertex 1 across all walks/steps: heavy edge dominates
+    import collections
+    step_of = collections.Counter()
+    # reconstruct per-walk paths to count 1→x transitions
+    paths = collections.defaultdict(dict)
+    for (s, w, t, v) in got:
+        paths[(s, w)][t] = v
+    for (_sw, p) in paths.items():
+        for t in range(max(p)):
+            if p.get(t) == 1 and (t + 1) in p:
+                step_of[p[t + 1]] += 1
+    assert step_of[2] > step_of.get(3, 0)
+
+
+def test_weighted_parallel_edges_sum(spark):
+    """Parallel (src,dst) rows collapse by SUMMING weight — two 1.0
+    rows behave exactly like one 2.0 row."""
+    dup = [(1, 2, 1.0), (1, 2, 1.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)]
+    merged = [(1, 2, 2.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)]
+    a = _rows(deterministic_walks(
+        spark, _df(spark, dup), length=5, weighted=True))
+    b = _rows(deterministic_walks(
+        spark, _df(spark, merged), length=5, weighted=True))
+    assert a == b == oracle_walks_weighted(merged, 5)
+
+
+def test_node2vec_matches_oracle(spark):
+    """Second-order p/q bias: exact oracle parity on a graph with
+    return edges, triangle ('stay near') edges, and explore edges —
+    all three alpha branches exercised."""
+    from tests.oracle_pregel import oracle_walks_node2vec
+
+    rows = [
+        (1, 2, 2.0), (2, 1, 1.0),          # return branch (dst == prev)
+        (2, 3, 1.0), (1, 3, 1.0),          # 3 is prev-adjacent after 1→2
+        (3, 4, 1.0), (4, 5, 1.0), (5, 1, 3.0),  # explore tail
+        (3, 1, 1.0),
+    ]
+    got = _rows(deterministic_walks(
+        spark, _df(spark, rows), length=6, weighted=True,
+        p=4.0, q=0.25, n_walks=3))
+    assert got == oracle_walks_node2vec(rows, 6, p=4.0, q=0.25, n_walks=3)
+
+
+def test_node2vec_p_bias_controls_backtracking(spark):
+    """On a 2-cycle with an escape edge, tiny p makes walks backtrack
+    (return weight x100) while huge p makes them escape — the bias is
+    live, not just plumbed."""
+    rows = [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 2, 1.0),
+            (3, 1, 1.0)]
+
+    def hops(p, q):
+        got = _rows(deterministic_walks(
+            spark, _df(spark, rows), length=4, weighted=True,
+            p=p, q=q, n_walks=8))
+        paths = {}
+        for (s, w, t, v) in got:
+            paths.setdefault((s, w), {})[t] = v
+        back = fwd = 0
+        for path in paths.values():
+            for t in range(1, max(path)):
+                if t + 1 in path and t - 1 in path:
+                    if path[t + 1] == path[t - 1]:
+                        back += 1
+                    else:
+                        fwd += 1
+        return back, fwd
+
+    back_lo, fwd_lo = hops(p=0.01, q=1.0)   # returns upweighted x100
+    back_hi, fwd_hi = hops(p=100.0, q=1.0)  # returns downweighted x100
+    assert back_lo > fwd_lo
+    assert back_hi < fwd_hi
+
+
+def test_node2vec_requires_weighted(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="weighted"):
+        deterministic_walks(
+            spark, _df(spark, [(1, 2, 1.0)]), length=2, p=2.0)
