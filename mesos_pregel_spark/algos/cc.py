@@ -48,14 +48,57 @@ def connected_components(
     salt_hot_k: int = 0,
     broadcast_threshold: int = 100_000,
     edge_partitions: int | None = None,
+    prev_labels: DataFrame | None = None,
+    delta_edges: DataFrame | None = None,
 ) -> tuple[DataFrame, PregelRun]:
-    """Run hash-min CC to fixpoint.  Returns (components(id, component), run)."""
+    """Run hash-min CC to fixpoint.  Returns (components(id, component), run).
+
+    **Warm start** (exact under edge ADDITIONS — min-label CC is
+    monotone, so previous labels are valid upper bounds that can only
+    tighten): pass ``prev_labels`` (id, component) from an earlier run
+    on a subgraph of ``edges``; vertices seed from their old component
+    minimum instead of their own id, so already-collapsed components
+    re-converge in O(1) and only merges re-propagate — through the
+    QUOTIENT of old components, not the raw diameter.  With
+    ``delta_edges`` (the new edges since ``prev_labels``) the initial
+    frontier shrinks to the delta's endpoints + never-seen vertices:
+    old components are label-uniform, so any new minimum entering a
+    component does so through a delta endpoint, floods it, and each
+    relaxation reactivates its vertex — the classic delta-frontier
+    argument (pytest-pinned warm ≡ cold in tests/test_warm_cc.py).
+    NOT valid under deletions (components can split); run cold.
+    """
 
     def init(e: DataFrame, ctx: dict) -> DataFrame:
         # symmetrized: src set == dst set == all non-isolated vertices
         vertices = e.select(F.col("src").alias("id")).distinct()
-        return vertices.select(
-            "id", F.col("id").alias("comp"), F.lit(True).alias("changed")
+        if prev_labels is None:
+            return vertices.select(
+                "id", F.col("id").alias("comp"), F.lit(True).alias("changed")
+            )
+        prev = prev_labels.select(
+            "id", F.col("component").alias("warm_comp")
+        )
+        state = vertices.join(prev, "id", "left_outer")
+        if delta_edges is None:
+            active = F.lit(True)
+        else:
+            dv = (
+                delta_edges.select(F.col("src").alias("id"))
+                .unionByName(delta_edges.select(F.col("dst").alias("id")))
+                .distinct()
+                .withColumn("is_delta", F.lit(True))
+            )
+            state = state.join(dv, "id", "left_outer")
+            active = F.col("warm_comp").isNull() | F.coalesce(
+                F.col("is_delta"), F.lit(False)
+            )
+        return state.select(
+            "id",
+            F.least(
+                F.col("id"), F.coalesce(F.col("warm_comp"), F.col("id"))
+            ).alias("comp"),
+            active.alias("changed"),
         )
 
     def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:

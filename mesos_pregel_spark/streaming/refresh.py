@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from mesos_pregel_spark.algos.pagerank import pagerank_program
 from mesos_pregel_spark.plans.pregel import PregelRun
+from mesos_pregel_spark.plans.truncate import truncate_plan
 from mesos_pregel_spark.plans.program import pregel
 
 
@@ -69,6 +70,135 @@ def warm_pagerank(
         n_salt=n_salt, salt_hot_k=salt_hot_k,
         edge_partitions=edge_partitions,
     )
+
+
+def warm_connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    prev_labels: DataFrame | None,
+    delta_edges: DataFrame | None = None,
+    **kwargs,
+) -> tuple[DataFrame, PregelRun]:
+    """Hash-min CC over ``edges`` warm-started from ``prev_labels``
+    (id, component) of an earlier run on a subgraph (additions-only —
+    see algos/cc.py::connected_components).  ``delta_edges`` (the new
+    edges since the previous run) shrinks the initial frontier to the
+    delta's endpoints; labels are EXACTLY the cold run's (min-label CC
+    is monotone under additions), supersteps scale with the quotient
+    graph of old components instead of the raw diameter."""
+    from mesos_pregel_spark.algos.cc import connected_components
+
+    return connected_components(
+        spark, edges, prev_labels=prev_labels, delta_edges=delta_edges,
+        **kwargs,
+    )
+
+
+def refresh_dedup_clusters(
+    spark: SparkSession,
+    prev_clusters: DataFrame,
+    new_pairs: DataFrame,
+    **kwargs,
+) -> tuple[DataFrame, PregelRun]:
+    """Incremental dedup-cluster maintenance: fold a micro-batch of
+    newly verified near-dup pairs (doc_a, doc_b) into an existing
+    cluster assignment (doc_id, cluster, keep) WITHOUT re-running CC
+    over all historical pairs.
+
+    The old pair set is replaced by its connectivity QUOTIENT: each
+    previous cluster contributes star edges (doc_id → cluster); a pair
+    of old docs is connected through the star exactly when it was
+    connected through the old pairs, and the cluster label is itself
+    the old component minimum, so min-label CC over (stars ∪ new
+    pairs), warm-seeded from the old assignment with the new pairs as
+    the delta frontier, yields exactly the clusters a full re-run over
+    (old pairs ∪ new pairs) would (pytest-pinned equivalence in
+    tests/test_warm_cc.py).  Old singleton keepers untouched by the
+    delta never enter the edge set and are passed through unchanged.
+
+    Returns ((doc_id, cluster, keep), run) in the same shape as the
+    batch ``dedup_clusters`` driver query."""
+    prev = prev_clusters.select("doc_id", "cluster")
+    star = prev.where(F.col("doc_id") != F.col("cluster")).select(
+        F.col("doc_id").alias("src"),
+        F.col("cluster").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    delta = new_pairs.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    edges = star.unionByName(delta)
+    comps, run = warm_connected_components(
+        spark, edges,
+        prev_labels=prev.select(
+            F.col("doc_id").alias("id"), F.col("cluster").alias("component")
+        ),
+        delta_edges=delta,
+        **kwargs,
+    )
+    out = comps.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    # previous singleton clusters (doc == cluster, no star edge) that no
+    # new pair touched are not edge endpoints — carry them through
+    untouched = (
+        prev.where(F.col("doc_id") == F.col("cluster"))
+        .join(out.select("doc_id"), "doc_id", "left_anti")
+    )
+    merged = out.unionByName(untouched)
+    return (
+        merged.select(
+            "doc_id", "cluster",
+            (F.col("doc_id") == F.col("cluster")).alias("keep"),
+        ),
+        run,
+    )
+
+
+def refresh_dedup_pipeline(
+    spark: SparkSession,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    prev_clusters: DataFrame,
+    old_index: DataFrame | None = None,
+    jaccard_min: float = 0.8,
+    **kwargs,
+) -> tuple[DataFrame, DataFrame, PregelRun]:
+    """The full incremental dedup cadence for one document micro-batch:
+    LSH-block the new docs against the historical band index, verify
+    Jaccard only for new-involving candidate pairs
+    (functions.dedup.incremental_near_duplicates), then fold the
+    verified pairs into the previous cluster assignment through the
+    star-quotient warm CC (refresh_dedup_clusters).  Returns
+    ``(clusters, new_index, run)`` — persist ``new_index`` and the
+    clusters for the next batch.  Equals the batch composition
+    (near_duplicates(full corpus) → CC → min-label keeper) exactly;
+    per-batch cost is independent of historical pair count and never
+    re-signatures the historical corpus (pytest-pinned in
+    tests/test_streaming_refresh.py)."""
+    from mesos_pregel_spark.functions.dedup import (
+        incremental_near_duplicates,
+        release_dedup_caches,
+    )
+
+    pairs, new_index = incremental_near_duplicates(
+        old_docs, new_docs, old_index=old_index,
+    )
+    # truncate_plan: refresh state chains across micro-batches in a
+    # long-lived driver, the estimated-stats compounding shape
+    # (plans/truncate.py)
+    new_pairs = truncate_plan(
+        pairs.where(F.col("jaccard") >= jaccard_min)
+        .select("doc_a", "doc_b")
+    )
+    new_index = truncate_plan(new_index)
+    release_dedup_caches()
+    clusters, run = refresh_dedup_clusters(
+        spark, prev_clusters, new_pairs, **kwargs,
+    )
+    return clusters, new_index, run
 
 
 def refresh_pagerank_from_stream(

@@ -123,3 +123,88 @@ def test_refresh_from_stream_end_to_end(spark, tmp_path):
         assert warm_m[v] == pytest.approx(pr, abs=2e-5)
     ranks1.unpersist()
     t.unpersist()
+
+
+def test_incremental_dedup_end_to_end(spark):
+    """Document micro-batches through the REAL incremental chain:
+    refresh_dedup_pipeline LSH-blocks the new batch against the
+    historical band index, Jaccard-verifies only new-involving
+    candidates, and folds the verified pairs into the previous cluster
+    assignment via the star-quotient warm CC.  Final clusters ≡ the
+    batch dedup_clusters composition (near_duplicates → CC → min-label
+    keeper) over the full corpus — including a family SPLIT across the
+    batch boundary."""
+    from mesos_pregel_spark.algos.cc import connected_components
+    from mesos_pregel_spark.functions.dedup import (
+        near_duplicates,
+        release_dedup_caches,
+    )
+    from mesos_pregel_spark.streaming.refresh import refresh_dedup_pipeline
+
+    base_a = ("the quick brown fox jumps over the lazy dog while the "
+              "rain falls softly on the quiet town square")
+    base_b = ("distributed graph engines shuffle vertex messages across "
+              "partitions to converge on a stable fixpoint quickly")
+    uniq = ("completely unrelated text about cooking pasta with garlic "
+            "olive oil and a pinch of sea salt for dinner")
+    batch1_rows = [
+        (1, base_a), (2, base_a.replace("quick", "swift")),
+        (10, base_b), (50, uniq),
+    ]
+    # doc 3 joins family A across the boundary; 11 joins family B;
+    # 60 starts a brand-new family with 61
+    batch2_rows = [
+        (3, base_a.replace("lazy", "sleepy")),
+        (11, base_b.replace("quickly", "rapidly")),
+        (60, uniq.replace("dinner", "supper")),
+        (61, uniq.replace("dinner", "lunch")),
+    ]
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(batch1_rows, schema=schema)
+    full = spark.createDataFrame(batch1_rows + batch2_rows, schema=schema)
+
+    def verified_pairs(docs):
+        p = (
+            near_duplicates(docs)
+            .where(F.col("jaccard") >= 0.8)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        release_dedup_caches()
+        return p
+
+    def clusters_from_pairs(pairs):
+        comps, _ = connected_components(
+            spark,
+            pairs.select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
+                F.lit(1.0).alias("weight"),
+            ),
+            edge_partitions=4,
+        )
+        return comps.select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster"),
+            (F.col("id") == F.col("component")).alias("keep"),
+        )
+
+    b2 = spark.createDataFrame(batch2_rows, schema=schema)
+    state = clusters_from_pairs(verified_pairs(b1)).localCheckpoint(
+        eager=True)
+
+    refreshed, new_index, run = refresh_dedup_pipeline(
+        spark, b1, b2, state, jaccard_min=0.8)
+    # the returned index covers the whole corpus (next batch's input)
+    assert new_index.select("doc_id").distinct().count() == full.count()
+    pairs_all = verified_pairs(full)
+
+    expected = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in clusters_from_pairs(pairs_all).collect()
+    }
+    got = {
+        r["doc_id"]: (r["cluster"], r["keep"]) for r in refreshed.collect()
+    }
+    assert got == expected
+    # the cross-boundary family actually merged: 3 landed in 1's cluster
+    assert got[3] == (1, False) and got[1] == (1, True)
+    assert len(run.metrics) <= 5
