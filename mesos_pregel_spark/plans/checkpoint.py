@@ -104,3 +104,40 @@ class CheckpointManager:
         return self.spark.read.parquet(
             os.path.join(self._step_dir(superstep), "vertices")
         )
+
+    # ---- topology snapshots (mutation runs) --------------------------
+    # A mutate_edges program makes the edge table part of the run's
+    # state; without it a resume would replay against the ORIGINAL
+    # edges.  The loop writes the post-mutation edge table alongside
+    # each vertex checkpoint (zstd parquet — edges dominate snapshot
+    # bytes); resume reads it back.  Written AFTER the vertex manifest:
+    # a crash in between leaves a checkpoint whose missing snapshot the
+    # resume path rejects loudly rather than resuming wrong.
+
+    def write_edges(self, edges: DataFrame, superstep: int) -> None:
+        path = self._step_dir(superstep)
+        data_path = os.path.join(path, "edges")
+        tmp_path = os.path.join(path, "_edges.tmp")
+        edges.write.mode("overwrite").option("compression", "zstd").parquet(
+            tmp_path
+        )
+        if os.path.exists(data_path):
+            shutil.rmtree(data_path)
+        os.replace(tmp_path, data_path)
+        meta_path = os.path.join(path, "_meta.json")
+        if os.path.exists(meta_path):  # record the snapshot in lineage
+            with open(meta_path) as f:
+                meta = json.load(f)
+            meta["edges_snapshot"] = True
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f, indent=2, sort_keys=True, default=str)
+            os.replace(tmp, meta_path)
+
+    def has_edges(self, superstep: int) -> bool:
+        return os.path.isdir(os.path.join(self._step_dir(superstep), "edges"))
+
+    def read_edges(self, superstep: int) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self._step_dir(superstep), "edges")
+        )

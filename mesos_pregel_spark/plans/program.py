@@ -101,8 +101,10 @@ class VertexProgram:
     # says, applied at the same point in the superstep cycle (between
     # supersteps, after apply).  The loop repartitions/persists the new
     # table and refreshes ctx["n_edges"].  Mutation makes topology part
-    # of the run's state, which checkpointing does not capture — the
-    # runner rejects mutate_edges + checkpoint_dir.
+    # of the run's state, so checkpoints of mutation runs include an
+    # edge SNAPSHOT (post-mutation, zstd parquet) beside the vertex
+    # state, and resume replays against the snapshot — a checkpoint
+    # lacking one (pre-topology-checkpointing layout) is rejected.
     mutate_edges: (
         Callable[[DataFrame, DataFrame, dict], DataFrame | None] | None
     ) = None
@@ -135,12 +137,6 @@ def pregel(
     here so every superstep's scatter join reuses the partitioning and
     only the small vertex-state side shuffles.
     """
-    if program.mutate_edges is not None and checkpoint_dir is not None:
-        raise ValueError(
-            "mutate_edges makes topology part of the run state, which "
-            "checkpoints do not capture — resume would replay against "
-            "the ORIGINAL edges; run without checkpoint_dir"
-        )
     # converged_at_cap programs (sync-LPA, peeling) treat the superstep
     # cap as part of their SEMANTICS — a capped run is a final answer
     # for that cap.  Record the cap in the checkpoint params so a
@@ -213,7 +209,28 @@ def _pregel_loop(
 
     nparts = edge_partitions or spark.sparkContext.defaultParallelism
     owned_edges = edge_partitions != 0  # we persisted it, we unpersist it
-    if edge_partitions == 0:
+    if resumed is not None and program.mutate_edges is not None:
+        # Topology is part of a mutation run's state: resume from the
+        # checkpoint's edge SNAPSHOT (written post-mutation each
+        # checkpointed superstep), never the caller's original edges.
+        ck_step = run.superstep - 1
+        if run.ckpt is None or not run.ckpt.has_edges(ck_step):
+            raise ValueError(
+                f"resuming a mutate_edges run requires the edge snapshot "
+                f"for superstep {ck_step}, which this checkpoint does not "
+                f"contain (written by engine versions with topology "
+                f"checkpointing; re-run from scratch)"
+            )
+        # snapshot is already semantically prepared — skip prep_edges
+        e = (
+            run.ckpt.read_edges(ck_step)
+            .select(*program.edge_cols)
+            .repartition(nparts, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_edges = e.count()
+        owned_edges = True
+    elif edge_partitions == 0:
         # Pre-partitioned fast path: the caller took over edge prep.
         # Round-2 prep became SEMANTIC (symmetrize for cc/lpa/kcore,
         # distinct/weight collapse for pagerank), so the handover is
@@ -313,6 +330,13 @@ def _pregel_loop(
                 e, owned_edges = new_e, True
                 ctx["n_edges"] = n_edges
                 run.metrics[-1]["edges_after_mutation"] = n_edges
+            # Topology checkpointing: if this superstep's vertex state
+            # was durably checkpointed, snapshot the POST-mutation edge
+            # table beside it — the table the next superstep's scatter
+            # reads, hence what a resume must replay against.
+            last = run.superstep - 1
+            if run.ckpt is not None and last % run.checkpoint_every == 0:
+                run.ckpt.write_edges(e, last)
 
     result = run.finish(
         program.finalize(state) if program.finalize else state,
