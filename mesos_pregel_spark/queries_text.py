@@ -21,8 +21,22 @@ from mesos_pregel_spark.functions.dedup import (
     exact_duplicates,
     lsh_candidates,
     near_duplicates,
+    release_dedup_caches,
     simhash,
 )
+
+
+def _eager_release(df: DataFrame) -> DataFrame:
+    """Driver-path cache hygiene (ADVICE r3): the dedup operators
+    persist shingle/signature/candidate intermediates in a module
+    registry; materialize the query's result ONCE (localCheckpoint) and
+    release the registry immediately, so a long-lived driver session
+    running many queries does not accumulate cached tables.  The
+    checkpointed result itself is cleaned by Spark's ContextCleaner
+    when the caller drops it."""
+    out = df.localCheckpoint(eager=True)
+    release_dedup_caches()
+    return out
 from mesos_pregel_spark.functions.similarity import (
     ann_lsh_multitable_topk,
     ann_lsh_topk,
@@ -494,23 +508,72 @@ WHERE d.doc_b IS NULL
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only driver query for the multimodal Arrow plumbing.  The
-    driver canonicalizes rows with a pandas sort, which cannot hash an
-    ``array<float>`` column — so ``feat`` is projected to a
-    deterministic string signature (each value rounded to 3dp); the
-    array-typed path stays covered by tests/test_text_pipeline.py."""
+    """Driver query for the multimodal Arrow plumbing — now with an
+    EXACT DuckDB twin (SQL_MULTIMODAL_FEATURES): the synthetic payload
+    is the unhexed md5 pair of the text, so its per-byte values are
+    recomputable in SQL from the hex digits, and the kernel's float64
+    stats touch only exactly-representable intermediates (integer
+    samples, dyadic mean/variance, one correctly-rounded sqrt) — both
+    engines produce bit-identical doubles.  ``feat`` (array<float> of
+    segment means, each = segment-byte-sum/4) is projected to the
+    integer signature ``feat_sig`` = the comma-joined segment sums
+    (×4 is exact), because the driver's pandas canonicalization cannot
+    hash an array column; the array-typed path stays covered by
+    tests/test_text_pipeline.py."""
     from pyspark.sql import functions as F
 
     feats = decode_features(synthesize_media(_docs(spark, sf_dir)), partitions=8)
     feat_sig = F.concat_ws(
-        ",", F.transform(F.col("feat"), lambda x: F.round(x.cast("double"), 3).cast("string"))
+        ",",
+        F.transform(
+            F.col("feat"),
+            lambda x: (x.cast("double") * 4).cast("int").cast("string"),
+        ),
     )
     return feats.select(
-        "media_id", "kind", "n_bytes",
-        F.round("mean", 6).alias("mean"),
-        F.round("std", 6).alias("std"),
+        "media_id", "kind", "n_bytes", "mean", "std",
         feat_sig.alias("feat_sig"),
     )
+
+
+def _sql_multimodal_features() -> str:
+    """Exact twin of _multimodal_features: payload bytes re-derived
+    from the md5 hex pairs, float64 stats evaluated over the same
+    exactly-representable intermediates."""
+    hexv = "0123456789abcdef"
+    seg_sums = ", ".join(
+        f"CAST(list_sum(bytes[{4 * s + 1}:{4 * s + 4}]) AS VARCHAR)"
+        for s in range(8)
+    )
+    return f"""
+WITH hexes AS (
+  SELECT doc_id AS media_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         md5(text) || md5('2:' || text) AS h
+  FROM documents
+),
+b AS (
+  SELECT media_id, kind,
+         [ (strpos('{hexv}', substr(h, 2*i - 1, 1)) - 1) * 16
+           + (strpos('{hexv}', substr(h, 2*i, 1)) - 1)
+           FOR i IN generate_series(1, 32) ] AS bytes
+  FROM hexes
+),
+m AS (
+  SELECT media_id, kind, bytes,
+         CAST(list_sum(bytes) AS DOUBLE) / 32.0 AS mean
+  FROM b
+)
+SELECT media_id, kind, CAST(32 AS BIGINT) AS n_bytes, mean,
+       sqrt(list_sum(list_transform(bytes,
+            x -> (x - mean) * (x - mean))) / 32.0) AS std,
+       concat_ws(',', {seg_sums}) AS feat_sig
+FROM m
+"""
+
+
+SQL_MULTIMODAL_FEATURES = _sql_multimodal_features()
 
 
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,6 +599,10 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("weight"),
     )
     comps, _run = connected_components(spark, edges, edge_partitions=8)
+    # CC materialized the edge table before iterating, so the dedup
+    # intermediates behind `pairs` are already consumed — release them
+    # here rather than leaking them across driver queries (ADVICE r3).
+    release_dedup_caches()
     return comps.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster"),
@@ -572,14 +639,16 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": lambda s, d: language_id(_docs(s, d)),
     "doc_fingerprint": lambda s, d: fingerprint(_docs(s, d)),
     "dedup_exact": lambda s, d: exact_duplicates(_docs(s, d)),
-    "minhash_lsh_candidates": lambda s, d: lsh_candidates(_docs(s, d)),
-    "near_duplicates": lambda s, d: near_duplicates(_docs(s, d)),
+    "minhash_lsh_candidates": lambda s, d: _eager_release(
+        lsh_candidates(_docs(s, d))),
+    "near_duplicates": lambda s, d: _eager_release(
+        near_duplicates(_docs(s, d))),
     "dedup_clusters": _dedup_clusters,
     "simhash": lambda s, d: simhash(_docs(s, d)),
-    "corpus_clean": lambda s, d: clean_corpus(
+    "corpus_clean": lambda s, d: _eager_release(clean_corpus(
         _docs(s, d), lang=CLEAN_LANG, quality_min=CLEAN_QUALITY_MIN,
         jaccard_min=CLEAN_JACCARD_MIN,
-    ),
+    )),
     "cosine_scores": lambda s, d: cosine_scores(s, _emb(s, d)),
     "cosine_topk": lambda s, d: cosine_topk(s, _emb(s, d)),
     "embedding_near_dups": lambda s, d: embedding_near_dups(
@@ -588,8 +657,9 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": lambda s, d: ann_lsh_topk(s, _emb(s, d)),
     "ann_multitable_topk": lambda s, d: ann_lsh_multitable_topk(s, _emb(s, d)),
     "ivf_topk": lambda s, d: ivf_topk(s, _emb(s, d)),
-    # rows-only (no SQL-expressible oracle): the Arrow/mapInPandas
-    # multimodal feature plumbing
+    # Arrow/mapInPandas multimodal feature plumbing — exact oracle since
+    # round 4 (synthetic payload bytes are SQL-recomputable from the md5
+    # hex pair; kernel stats are float64-exact)
     "multimodal_features": lambda s, d: _multimodal_features(s, d),
 }
 
@@ -610,4 +680,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_multitable_topk": SQL_ANN_MULTITABLE_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

@@ -186,8 +186,14 @@ def decode_features(media: DataFrame, partitions: int | None = None) -> DataFram
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = _fake_decode_batch(pdf["payload"])
-            mean = decoded.mean(axis=1)
-            std = decoded.std(axis=1)
+            # Stats in float64: every intermediate (integer samples,
+            # dyadic mean, squared deviations, their sums) is exactly
+            # representable, so the values are reproducible bit-for-bit
+            # by any exact evaluator — that is what gives the driver
+            # query a hash-exact DuckDB twin (queries_text.py).
+            d64 = decoded.astype(np.float64)
+            mean = d64.mean(axis=1)
+            std = np.sqrt(((d64 - mean[:, None]) ** 2).mean(axis=1))
             # 8-bin 'feature': segment means over the 32 samples.
             feat = decoded.reshape(len(pdf), 8, 4).mean(axis=2)
             yield pd.DataFrame(
@@ -195,8 +201,8 @@ def decode_features(media: DataFrame, partitions: int | None = None) -> DataFram
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "mean": mean.astype("float64"),
-                    "std": std.astype("float64"),
+                    "mean": mean,
+                    "std": std,
                     "feat": list(feat),
                 }
             )

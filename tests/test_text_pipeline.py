@@ -296,3 +296,57 @@ def test_embedding_near_dups_external_block_col(spark):
            for r in embedding_near_dups(
                spark, emb, threshold=0.99, block_col="label").collect()}
     assert got == {(0, 1): 1.0}
+
+
+def test_incremental_near_duplicates_equals_batch(spark):
+    """Micro-batch LSH blocking: pairs from the incremental path ≡ the
+    batch near_duplicates(full) rows that involve a new doc, with
+    identical jaccard values; union with batch(old) recovers batch(full)
+    exactly.  Chained: batch-3 reuses the returned index (historical
+    corpus never re-signatured) and still matches."""
+    from mesos_pregel_spark.functions.dedup import (
+        incremental_near_duplicates,
+        near_duplicates,
+        release_dedup_caches,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet town square tonight")
+    other = ("distributed engines shuffle vertex messages across many "
+             "partitions to converge on a stable fixpoint quickly")
+    schema = "doc_id long, text string"
+    b1 = [(1, base), (2, base.replace("quick", "swift")), (10, other)]
+    b2 = [(3, base.replace("lazy", "sleepy")),
+          (11, other.replace("quickly", "rapidly"))]
+    b3 = [(4, base.replace("dog", "hound")), (20, "totally unrelated "
+          "text about cooking pasta with plenty of garlic and olive oil")]
+    d1 = spark.createDataFrame(b1, schema=schema)
+    d2 = spark.createDataFrame(b2, schema=schema)
+    d3 = spark.createDataFrame(b3, schema=schema)
+
+    def pairset(df):
+        return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in df.collect()}
+
+    full12 = near_duplicates(d1.unionByName(d2))
+    old1 = near_duplicates(d1)
+    inc2, idx2 = incremental_near_duplicates(d1, d2)
+    got2 = pairset(inc2)
+    new_ids = {3, 11}
+    expect2 = {k: v for k, v in pairset(full12).items()
+               if k[0] in new_ids or k[1] in new_ids}
+    assert got2 == expect2 and len(got2) > 0
+    assert pairset(old1) | got2 == pairset(full12)
+
+    # batch 3: reuse the index returned by batch 2 (old_docs only feeds
+    # candidate verification text lookup)
+    idx2 = idx2.localCheckpoint(eager=True)
+    release_dedup_caches()
+    d12 = d1.unionByName(d2)
+    inc3, _idx3 = incremental_near_duplicates(d12, d3, old_index=idx2)
+    got3 = pairset(inc3)
+    full123 = near_duplicates(d12.unionByName(d3))
+    new3 = {4, 20}
+    assert got3 == {k: v for k, v in pairset(full123).items()
+                    if k[0] in new3 or k[1] in new3}
+    assert len(got3) > 0
+    release_dedup_caches()
