@@ -39,6 +39,12 @@ Workloads (all seed-deterministic, no external data):
   core_number — full k-core decomposition (H-index fixpoint)
   mis         — maximal independent set (pipelined Luby)
   walks       — 8-step deterministic walks from every vertex
+  walks_weighted — same walk length with weight-proportional next hop
+                (inverse-CDF over summed parallel-edge weights;
+                measures the per-step window-sort overhead)
+  warm_cc     — warm-start CC: 1k-edge delta on the cc-labeled graph;
+                supersteps/wall vs the cold cc row (incremental
+                maintenance economics, streaming/refresh.py)
 
 Scaling mode (``--scaling``): re-runs the same workloads at
 ``local[8]`` and ``local[32]`` (the sandbox stand-in for N vs 4N
@@ -81,6 +87,50 @@ VERT_RATIO = float(os.environ.get("SPARK_GRAFT_VERT_RATIO", "10"))
 # its |V|-bounded distinct in-edges and shrinks the prepared graph by
 # >20x, leaving a latency-bound job that cannot evidence scaling.
 DST_SKEW = os.environ.get("SPARK_GRAFT_DST_SKEW", "zipf")
+
+
+# ---------------------------------------------------------------------------
+# Drift calibration (VERDICT r3 #1): every bench run measures the HOST
+# before and after the workloads — a fixed-work single-thread CPU probe
+# and a fixed tiny Spark job — records both in the JSON, and reports
+# each workload raw AND normalized to the pinned reference regime, so
+# cross-round comparisons no longer need a forensic host-drift
+# narrative.  Reference constants were measured on the round-4 host
+# (2026-08-17, idle); a future round on a slower host sees
+# host_speed_factor < 1 and its normalized times credit the drift.
+# ---------------------------------------------------------------------------
+
+REF_CPU_MOPS = 11.0        # r4 pin: single-thread probe, Mops/s
+REF_SPARK_PROBE_SEC = 2.0  # r4 pin: 64M-row xxhash64 sum on local[n]
+
+_CPU_PROBE_OPS = 8_000_000
+
+
+def cpu_probe() -> float:
+    """Fixed-work single-thread probe (pure-python integer LCG):
+    Mops/s.  Fixed WORK, not fixed duration — the measured quantity is
+    time, deterministic up to host speed."""
+    t = time.monotonic()
+    x = 0
+    for i in range(_CPU_PROBE_OPS):
+        x = (x * 1103515245 + 12345 + i) & 0xFFFFFFFFFFFF
+    dt = time.monotonic() - t
+    assert x >= 0
+    return round(_CPU_PROBE_OPS / dt / 1e6, 3)
+
+
+def spark_probe(spark) -> float:
+    """Fixed tiny Spark job (64M-row xxhash64 sum, 32 fixed
+    partitions): wall seconds.  Captures JVM/parallel throughput drift
+    that the single-thread probe cannot."""
+    from pyspark.sql import functions as F
+
+    t = time.monotonic()
+    # bit_xor, not sum: xxhash64 yields full-range signed longs, and a
+    # 64M-row sum overflows under ANSI mode; xor is overflow-free with
+    # identical per-row work.
+    spark.range(0, 64_000_000, 1, 32).agg(F.bit_xor(F.xxhash64("id"))).collect()
+    return round(time.monotonic() - t, 3)
 
 
 def _sf_from_dir(d: str) -> float:
@@ -145,6 +195,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     def on(name: str) -> bool:
         return not ONLY or name in ONLY
 
+    cpu_mops_start = cpu_probe()
     spark = get_spark(
         app_name=f"bench-{cpus}", cores=cpus,
         # Iterative-loop A/B at 1M edges / 18 supersteps: partitions =
@@ -153,6 +204,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # coalesces the non-iterative operators either way.
         shuffle_partitions=int(SHUFFLE) if SHUFFLE else cpus,
     )
+    spark_probe_start = spark_probe(spark)
     nparts = int(SHUFFLE) if SHUFFLE else cpus
     queries: dict[str, float] = {}
     throughput: dict[str, float] = {}
@@ -224,14 +276,53 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         detail["pagerank_final_max_delta"] = run.metrics[-1]["max_delta"]
         gp.unpersist()
 
+    comps_cc = None
     if on("cc"):
         t = time.monotonic()
-        _comps, run_cc = connected_components(spark, g, edge_partitions=nparts)
+        comps_cc, run_cc = connected_components(spark, g, edge_partitions=nparts)
         cc_sec = time.monotonic() - t
         queries["cc"] = round(cc_sec, 3)
         throughput["cc_supersteps_per_hour"] = round(
             len(run_cc.metrics) / cc_sec * 3600)
         detail["cc_supersteps"] = len(run_cc.metrics)
+
+    if on("warm_cc"):
+        # Incremental-maintenance economics (streaming/refresh.py): a
+        # tiny deterministic delta lands on the already-labeled graph;
+        # warm CC re-propagates only through the delta frontier and the
+        # quotient of old components, so its supersteps/wall should be
+        # a fraction of cold's on the SAME full graph.  Previous labels
+        # come from the cc row (or an untimed cold run when cc is
+        # filtered out); both label-materialize and delta-build are
+        # untimed, like graph load.
+        from pyspark.sql import functions as F
+
+        from mesos_pregel_spark.streaming.refresh import (
+            warm_connected_components,
+        )
+
+        if comps_cc is None:
+            comps_cc, _ = connected_components(spark, g, edge_partitions=nparts)
+        prev = comps_cc.localCheckpoint(eager=True)
+        dids = spark.range(0, 1000, 1, 4)
+        delta = dids.select(
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(n_vertices)).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(8)), F.lit(n_vertices)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ).where(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+        full = g.select("src", "dst", "weight").unionByName(delta)
+        t = time.monotonic()
+        wcomps, run_warm = warm_connected_components(
+            spark, full, prev_labels=prev, delta_edges=delta,
+            edge_partitions=nparts,
+        )
+        wcomps.count()
+        wc_sec = time.monotonic() - t
+        queries["warm_cc"] = round(wc_sec, 3)
+        detail["warm_cc_supersteps"] = len(run_warm.metrics)
+        if "cc_supersteps" in detail:
+            detail["warm_cc_superstep_ratio"] = round(
+                len(run_warm.metrics) / detail["cc_supersteps"], 3)
 
     if on("lpa"):
         t = time.monotonic()
@@ -356,6 +447,23 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         throughput["walks_rows_per_sec"] = round(n_walk_rows / wk_sec)
         detail["walk_rows"] = n_walk_rows
 
+    if on("walks_weighted"):
+        # Weight-proportional next hop (derandomized inverse-CDF): the
+        # multigraph's parallel edges collapse by summing weight, so
+        # the walk actually follows interaction counts.  Same join
+        # economics as unweighted plus one hub-bounded window sort per
+        # step — this row measures that overhead at scale.
+        from mesos_pregel_spark.algos.walks import deterministic_walks
+
+        t = time.monotonic()
+        w = deterministic_walks(
+            spark, g, length=8, weighted=True, edge_partitions=nparts)
+        n_wrows = w.count()
+        ww_sec = time.monotonic() - t
+        queries["walks_weighted"] = round(ww_sec, 3)
+        throughput["walks_weighted_rows_per_sec"] = round(n_wrows / ww_sec)
+        detail["walks_weighted_rows"] = n_wrows
+
     if on("landmarks"):
         from mesos_pregel_spark.algos.landmarks import landmark_distances
 
@@ -448,18 +556,38 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         detail["dedup_scale_candidate_growth_2x_docs"] = round(
             counts[hi] / max(counts[lo], 1), 3)
 
+    spark_probe_end = spark_probe(spark)
+    spark.stop()
+    cpu_mops_end = cpu_probe()
+    mops_avg = (cpu_mops_start + cpu_mops_end) / 2
+    # host_speed_factor: >1 = faster than the pinned r4 reference host,
+    # <1 = slower.  normalized_time = raw * factor ≈ what the workload
+    # would take on the reference regime.
+    factor = round(mops_avg / REF_CPU_MOPS, 3)
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "pregel_link_graph_bench_total",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "queries_normalized": {
+            k: round(v * factor, 3) for k, v in queries.items()
+        },
+        "value_normalized": round(total * factor, 3),
+        "calibration": {
+            "cpu_mops": {"start": cpu_mops_start, "end": cpu_mops_end},
+            "spark_probe_sec": {
+                "start": spark_probe_start, "end": spark_probe_end,
+            },
+            "reference_cpu_mops": REF_CPU_MOPS,
+            "reference_spark_probe_sec": REF_SPARK_PROBE_SEC,
+            "host_speed_factor": factor,
+        },
         "sf": sf,
         "cpus": cpus,
         "throughput": throughput,
         "detail": detail,
     }
-    spark.stop()
     return result
 
 
