@@ -1391,6 +1391,138 @@ SQL_WALKS_WEIGHTED = _sql_walks_weighted()
 SQL_WALKS_NODE2VEC = _sql_walks_node2vec()
 
 
+def q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — approximate neighborhood function at radius 3: per-vertex
+    FM-sketch estimates of |B_3(v)| over the directed transcript graph
+    (algos/anf.py).  'Approximate' yet hash-exact: the sketch hashes,
+    bit-ors and the pow-free estimate read-out are all
+    bit-reproducible in DuckDB."""
+    from mesos_pregel_spark.algos.anf import anf
+
+    res, _run = anf(
+        spark, _graph_edges(spark, sf_dir), h=_ANF_H, k=_ANF_K,
+        seed=_ANF_SEED, edge_partitions=8,
+    )
+    return res.select(F.col("id").alias("actor"), "nf")
+
+
+_ANF_H = 3
+_ANF_K = 4
+_ANF_SEED = "anf42"
+
+
+def _sql_anf_rounds(h: int, k: int, seed: str) -> str:
+    """The shared CTE prelude of the ANF twins: init = lowest-set-bit
+    masks of the 48-bit md5 registers (a0), then h rounds a1..ah of
+    self ∪ bit_or over OUT-neighbors."""
+    regs = [f"r{j}" for j in range(k)]
+    init_cols = []
+    for j in range(k):
+        h48 = (
+            f"('0x' || substr(MD5('{seed}:{j}:' || actor), 1, 12))::BIGINT"
+        )
+        init_cols.append(
+            f"CASE WHEN {h48} = 0 THEN (CAST(1 AS BIGINT) << 48) "
+            f"ELSE {h48} & (-{h48}) END AS r{j}"
+        )
+    parts = [f""",
+de AS (SELECT DISTINCT src_actor AS s, dst_actor AS d FROM edges),
+a0 AS MATERIALIZED (
+  SELECT actor AS id,
+         {', '.join(init_cols)}
+  FROM verts
+)"""]
+    for t in range(h):
+        ors = ",\n         ".join(
+            f"v.{r} | COALESCE(bit_or(n.{r}), 0) AS {r}" for r in regs
+        )
+        group = ", ".join(f"v.{r}" for r in regs)
+        parts.append(f""",
+a{t + 1} AS MATERIALIZED (
+  SELECT v.id,
+         {ors}
+  FROM a{t} v
+  LEFT JOIN de e ON e.s = v.id
+  LEFT JOIN a{t} n ON n.id = e.d
+  GROUP BY v.id, {group}
+)""")
+    return _SQL_EDGES + "".join(parts)
+
+
+def _sql_anf(h: int = 3, k: int = 4, seed: str = "anf42") -> str:
+    """Unrolled twin of algos/anf.py::anf — the rounds prelude plus the
+    shift-and-literal FM read-out (fm_estimate_sql — no fractional
+    pow, so the doubles match the JVM bit-for-bit)."""
+    from mesos_pregel_spark.algos.anf import DUCKDB_SHIFT, fm_estimate_sql
+
+    regs = [f"r{j}" for j in range(k)]
+    est = fm_estimate_sql(regs, DUCKDB_SHIFT)
+    return _sql_anf_rounds(h, k, seed) + f"""
+SELECT id AS actor, {est} AS nf FROM a{h}
+"""
+
+
+SQL_ANF = _sql_anf(h=_ANF_H, k=_ANF_K, seed=_ANF_SEED)
+
+
+def q_centralities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall read-outs: harmonic centrality and closeness sum from
+    per-round sketch deltas, accumulated inside the superstep loop
+    (algos/anf.py::centralities)."""
+    from mesos_pregel_spark.algos.anf import centralities
+
+    res, _run = centralities(
+        spark, _graph_edges(spark, sf_dir), h=_ANF_H, k=_ANF_K,
+        seed=_ANF_SEED, edge_partitions=8,
+    )
+    return res.select(
+        F.col("id").alias("actor"), "nf", "harmonic", "closeness_sum"
+    )
+
+
+def _sql_centralities(h: int = 3, k: int = 4, seed: str = "anf42") -> str:
+    """Twin of algos/anf.py::centralities: per-round estimates est_t
+    off the unrolled a_t CTEs; harmonic = Σ (est_t - est_{t-1})/t and
+    closeness_sum = Σ t·(est_t - est_{t-1}) written LEFT-ASSOCIATIVE
+    in round order — the exact accumulation chain the engine's
+    per-superstep `harm/close` columns perform, so the doubles match
+    bit-for-bit."""
+    from mesos_pregel_spark.algos.anf import DUCKDB_SHIFT, fm_estimate_sql
+
+    regs = [f"r{j}" for j in range(k)]
+
+    def est_over(alias: str) -> str:
+        return fm_estimate_sql([f"{alias}.{r}" for r in regs], DUCKDB_SHIFT)
+
+    joins = "\n  ".join(
+        f"JOIN a{t} ON a{t}.id = a0.id" for t in range(1, h + 1)
+    )
+    ests = ",\n         ".join(
+        f"{est_over(f'a{t}')} AS est{t}" for t in range(h + 1)
+    )
+    harm = " + ".join(
+        f"(est{t} - est{t - 1}) / {float(t)!r}" for t in range(1, h + 1)
+    )
+    close = " + ".join(
+        f"{float(t)!r} * (est{t} - est{t - 1})" for t in range(1, h + 1)
+    )
+    return _sql_anf_rounds(h, k, seed) + f""",
+ests AS (
+  SELECT a0.id,
+         {ests}
+  FROM a0
+  {joins}
+)
+SELECT id AS actor, est{h} AS nf,
+       ROUND({harm}, 6) AS harmonic,
+       ROUND({close}, 6) AS closeness_sum
+FROM ests
+"""
+
+
+SQL_CENTRALITIES = _sql_centralities(h=_ANF_H, k=_ANF_K, seed=_ANF_SEED)
+
+
 def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 aggregator parity: global scalars over the graph."""
     e = events_edges(spark, sf_dir)
@@ -1520,6 +1652,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "walks_multi": q_walks_multi,
     "walks_weighted": q_walks_weighted,
     "walks_node2vec": q_walks_node2vec,
+    "anf": q_anf,
+    "centralities": q_centralities,
     "graph_summary": q_graph_summary,
     "bipartite_edges": q_bipartite_edges,
     "bipartite_degrees": q_bipartite_degrees,
@@ -1559,6 +1693,8 @@ ORACLE_SQL: dict[str, str] = {
     "walks_multi": SQL_WALKS_MULTI,
     "walks_weighted": SQL_WALKS_WEIGHTED,
     "walks_node2vec": SQL_WALKS_NODE2VEC,
+    "anf": SQL_ANF,
+    "centralities": SQL_CENTRALITIES,
     "graph_summary": SQL_GRAPH_SUMMARY,
     "bipartite_edges": SQL_BIPARTITE_EDGES,
     "bipartite_degrees": SQL_BIPARTITE_DEGREES,

@@ -582,3 +582,101 @@ def oracle_walks_node2vec(
                 prev, cur = cur, nxt
                 rows.add((v, wi, t + 1, cur))
     return rows
+
+
+def oracle_anf(
+    edges: list, h: int, k: int = 4, seed: str = "anf42"
+) -> dict:
+    """A9 oracle: exact replica of the derandomized FM sketch —
+    lowest-set-bit registers from 48-bit md5 prefixes, h rounds of
+    self ∪ bit-or over OUT-neighbors on the distinct directed edge
+    set, shift-and-literal estimate read-out (algos/anf.py).  Returns
+    {vertex: nf rounded 6dp}."""
+    import hashlib
+
+    dedges = {(e[0], e[1]) for e in edges if e[0] != e[1]}
+    verts = sorted({v for e in dedges for v in e}, key=str)
+    out = defaultdict(set)
+    for s, d in dedges:
+        out[s].add(d)
+
+    def mask(j, v):
+        hh = int(
+            hashlib.md5(f"{seed}:{j}:{v}".encode()).hexdigest()[:12], 16
+        )
+        return (1 << 48) if hh == 0 else hh & (-hh)
+
+    regs = {v: [mask(j, v) for j in range(k)] for v in verts}
+    for _round in range(h):
+        new = {}
+        for v in verts:
+            rs = list(regs[v])
+            for w in out[v]:
+                for j in range(k):
+                    rs[j] |= regs[w][j]
+            new[v] = rs
+        regs = new
+
+    def est(rs):
+        s = 0
+        for m in rs:
+            t = (~m) & (m + 1)  # lowest zero bit
+            s += t.bit_length() - 1
+        i, f = divmod(s, k)
+        return round((1 << i) * (2.0 ** (f / k)) / 0.77351, 6)
+
+    return {v: est(regs[v]) for v in verts}
+
+
+def oracle_centralities(
+    edges: list, h: int, k: int = 4, seed: str = "anf42"
+) -> dict:
+    """HyperBall read-out oracle: per-round ANF estimates, harmonic =
+    Σ (est_t - est_{t-1})/t and closeness_sum = Σ t·(est_t - est_{t-1})
+    accumulated in round order (algos/anf.py::centralities).  Returns
+    {vertex: (nf, harmonic, closeness_sum)}."""
+    import hashlib
+
+    dedges = {(e[0], e[1]) for e in edges if e[0] != e[1]}
+    verts = sorted({v for e in dedges for v in e}, key=str)
+    out = defaultdict(set)
+    for s, d in dedges:
+        out[s].add(d)
+
+    def mask(j, v):
+        hh = int(
+            hashlib.md5(f"{seed}:{j}:{v}".encode()).hexdigest()[:12], 16
+        )
+        return (1 << 48) if hh == 0 else hh & (-hh)
+
+    def est(rs):
+        s = 0
+        for m in rs:
+            t = (~m) & (m + 1)
+            s += t.bit_length() - 1
+        i, f = divmod(s, k)
+        return round((1 << i) * (2.0 ** (f / k)) / 0.77351, 6)
+
+    regs = {v: [mask(j, v) for j in range(k)] for v in verts}
+    prev_est = {v: est(regs[v]) for v in verts}
+    harm = {v: 0.0 for v in verts}
+    close = {v: 0.0 for v in verts}
+    for t in range(1, h + 1):
+        new = {}
+        for v in verts:
+            rs = list(regs[v])
+            for w in out[v]:
+                for j in range(k):
+                    rs[j] |= regs[w][j]
+            new[v] = rs
+        regs = new
+        for v in verts:
+            e_t = est(regs[v])
+            d = e_t - prev_est[v]
+            harm[v] = harm[v] + d / float(t)
+            close[v] = close[v] + float(t) * d
+            prev_est[v] = e_t
+    return {
+        v: (prev_est[v], round(harm[v], 6), round(close[v], 6))
+        for v in verts
+    }
