@@ -13,6 +13,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mesos_pregel_spark.functions.dedup import (
     DEFAULT_BANDS,
@@ -54,6 +55,11 @@ from mesos_pregel_spark.functions.text import (
     token_stats,
 )
 from mesos_pregel_spark.sources.multimodal import decode_features, synthesize_media
+from mesos_pregel_spark.functions.decontam import decontaminate
+from mesos_pregel_spark.functions.sampling import (
+    sample_to_token_budget,
+    stratified_sample,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,6 +636,103 @@ FROM reach GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# decontamination + deterministic sampling (functions/decontam.py,
+# functions/sampling.py)
+# ---------------------------------------------------------------------------
+
+# Pinned driver-query constants, mirrored by the SQL twins: the eval
+# set is every 25th document (a deterministic held-out split of the
+# fixture — no external data), 8-token grams, the any-hit rule.
+DECON_N = 8
+DECON_EVAL_MOD = 25
+SAMPLE_RATES = {"src0": 0.5, "src1": 0.25, "src2": 1.0, "src3": 0.125}
+BUDGET_TOKENS = 2000
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    eval_docs = docs.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    return decontaminate(train, eval_docs, n=DECON_N)
+
+
+def _sql_decontaminate(n: int = DECON_N, mod: int = DECON_EVAL_MOD) -> str:
+    return f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    [MD5(array_to_string(list_slice(toks, i, i + {n - 1}), ' '))
+     FOR i IN generate_series(1, GREATEST(len(toks) - {n - 1}, 1))]
+  )) AS gram
+  FROM norm
+),
+train AS (SELECT * FROM grams WHERE doc_id % {mod} <> 0),
+block AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {mod} = 0),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_hits
+  FROM train t JOIN block b USING (gram) GROUP BY t.doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_grams, 9)
+         AS overlap_ratio,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
+"""
+
+
+SQL_DECONTAMINATE = _sql_decontaminate()
+
+_SQL_U = (
+    "('0x' || substr(MD5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 12))"
+    "::BIGINT / 281474976710656.0"
+)
+
+
+def _sql_stratified_sample(rates: dict[str, float] = SAMPLE_RATES) -> str:
+    whens = " ".join(
+        f"WHEN '{v}' THEN {float(r)!r}" for v, r in sorted(rates.items())
+    )
+    u = _SQL_U.format(seed="sample42")
+    return f"""
+WITH s AS (
+  SELECT doc_id, source AS stratum, {u} AS u,
+         CASE source {whens} ELSE 0.0 END AS rate
+  FROM documents
+)
+SELECT doc_id, stratum, u FROM s WHERE u < rate
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
+def _sql_sample_budget(budget: int = BUDGET_TOKENS) -> str:
+    u = _SQL_U.format(seed="budget42")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang AS stratum,
+         CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+tot AS (SELECT stratum, SUM(n_tokens) AS st FROM base GROUP BY stratum),
+rates AS (
+  SELECT stratum, LEAST(1.0, {float(budget)!r} / CAST(st AS DOUBLE)) AS rate
+  FROM tot
+)
+SELECT b.doc_id, b.stratum, b.n_tokens, r.rate
+FROM base b JOIN rates r USING (stratum)
+WHERE {u.replace('doc_id', 'b.doc_id')} < r.rate
+"""
+
+
+SQL_SAMPLE_BUDGET = _sql_sample_budget()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -661,6 +764,11 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 4 (synthetic payload bytes are SQL-recomputable from the md5
     # hex pair; kernel stats are float64-exact)
     "multimodal_features": lambda s, d: _multimodal_features(s, d),
+    "decontaminate": _decontaminate,
+    "stratified_sample": lambda s, d: stratified_sample(
+        _docs(s, d), SAMPLE_RATES, stratum_col="source", seed="sample42"),
+    "sample_budget": lambda s, d: sample_to_token_budget(
+        _docs(s, d), BUDGET_TOKENS, stratum_col="lang", seed="budget42"),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -681,4 +789,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "ann_multitable_topk": SQL_ANN_MULTITABLE_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "decontaminate": SQL_DECONTAMINATE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "sample_budget": SQL_SAMPLE_BUDGET,
 }
