@@ -132,7 +132,22 @@ def _initial_support(e: DataFrame) -> DataFrame:
     return sup
 
 
-def _apply_removals(sup: DataFrame, removed: DataFrame) -> DataFrame:
+def _static_degrees(e: DataFrame) -> DataFrame:
+    """Degrees of the ORIGINAL canonical edge set, computed once per
+    run and persisted — the expansion-orientation heuristic for every
+    subsequent peel round (see _apply_removals)."""
+    return (
+        e.select(F.col("lo").alias("id"))
+        .unionByName(e.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _apply_removals(
+    sup: DataFrame, removed: DataFrame, deg: DataFrame
+) -> DataFrame:
     """Incremental truss-maintenance step: given the exact support table
     ``sup(lo, hi, support)`` of the current graph G_t (one row per
     current edge) and the batch ``removed(lo, hi)`` ⊆ its rows, return
@@ -140,18 +155,19 @@ def _apply_removals(sup: DataFrame, removed: DataFrame) -> DataFrame:
 
     A survivor loses one support per DISTINCT G_t-triangle it shares
     with ≥1 removed edge.  Enumeration expands each removed edge from
-    its lower-degree endpoint (the same O(Σ min-deg) bound the
-    degree-ordered full count gives a hub), closes the wedge against
-    G_t's edge set, canonicalizes the triangle and deduplicates — a
-    triangle with two removed edges is found twice but must count
-    once."""
+    its lower-STATIC-degree endpoint, closes the wedge against G_t's
+    edge set, canonicalizes the triangle and deduplicates — a triangle
+    with two removed edges is found twice but must count once.
+
+    ``deg`` is the ONCE-computed original-graph degree table
+    (_static_degrees): which endpoint the expansion starts from is a
+    pure performance heuristic (any choice enumerates the same
+    triangles), and current degrees only shrink below the static ones,
+    so using the static table keeps the O(Σ min-deg) flavor of the
+    bound while saving a full-edge degree shuffle EVERY round — at
+    100× with many peel rounds that recompute was the dominant
+    redundant cost left in the peel."""
     e_t = sup.select("lo", "hi")  # G_t: survivors ∪ removed
-    deg = (
-        e_t.select(F.col("lo").alias("id"))
-        .unionByName(e_t.select(F.col("hi").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
     rd = (
         removed
         .join(deg.withColumnsRenamed({"id": "lo", "deg": "deg_lo"}), "lo")
@@ -241,11 +257,13 @@ def k_truss(
     run = PregelRun(spark, "ktruss")
     need = k - 2
     sup: DataFrame | None = None
+    deg: DataFrame | None = None
     while run.superstep < max_rounds:
         if sup is None:
             if e.count() == 0:
                 break
             sup = _initial_support(e)  # round 1: the one global count
+            deg = _static_degrees(e)
         n_edges = sup.count()
         if n_edges == 0:
             break
@@ -258,8 +276,10 @@ def k_truss(
         run.next_superstep()
         if n_removed == 0:
             break
-        sup = _apply_removals(sup, removed)
+        sup = _apply_removals(sup, removed, deg)
     result = sup.select("lo", "hi") if sup is not None else e
+    if deg is not None:
+        deg.unpersist()
     return run.finish(result), run
 
 
@@ -300,8 +320,10 @@ def trussness(
     run = PregelRun(spark, "trussness")
     strata: list[DataFrame] = []  # per-level removed edges, labeled
     sup: DataFrame | None = None
+    deg: DataFrame | None = None
     if e.count() > 0:
         sup = _initial_support(e)  # the one global triangle count
+        deg = _static_degrees(e)
     for k in range(3, max_k + 1):
         need = k - 2
         rounds = 0
@@ -323,9 +345,11 @@ def trussness(
             strata.append(removed.select(
                 "lo", "hi", F.lit(k - 1).cast("long").alias("trussness")
             ))
-            sup = _apply_removals(sup, removed)
+            sup = _apply_removals(sup, removed, deg)
         if sup is None or sup.count() == 0:
             break
+    if deg is not None:
+        deg.unpersist()
     n_survivors = sup.count() if sup is not None else 0
     if n_survivors > 0:
         # Cap saturation: the true trussness of these edges is >= max_k
