@@ -464,6 +464,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         throughput["walks_weighted_rows_per_sec"] = round(n_wrows / ww_sec)
         detail["walks_weighted_rows"] = n_wrows
 
+    if on("anf"):
+        # A14 neighborhood-function sketches: h linear bit_or passes
+        # (k longs of state per vertex) — the cheapest whole-graph
+        # analytic; this row pins that it STAYS cheap relative to
+        # pagerank on the same graph.
+        from mesos_pregel_spark.algos.anf import anf as run_anf
+
+        t = time.monotonic()
+        nf, run_a = run_anf(spark, g, h=4, k=4, edge_partitions=nparts)
+        nf.count()
+        anf_sec = time.monotonic() - t
+        queries["anf"] = round(anf_sec, 3)
+        throughput["anf_edge_scans_per_sec"] = round(
+            g_edges * len(run_a.metrics) / anf_sec)
+        detail["anf_supersteps"] = len(run_a.metrics)
+
     if on("landmarks"):
         from mesos_pregel_spark.algos.landmarks import landmark_distances
 
@@ -555,6 +571,33 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         lo, hi = sorted(counts)
         detail["dedup_scale_candidate_growth_2x_docs"] = round(
             counts[hi] / max(counts[lo], 1), 3)
+
+    if on("decontam"):
+        # Eval-set decontamination at 10x the driver corpus: distinct
+        # word-8-gram hashes per doc joined against a ~1%-of-corpus
+        # eval blocklist — linear scans + one hash-partitioned
+        # equi-join, the shape that survives 100 TB.
+        from mesos_pregel_spark.fixtures import generate_documents_dist
+        from mesos_pregel_spark.functions.decontam import decontaminate
+
+        n_docs_dc = max(5_000, int(50_000 * scale))
+        sdocs = generate_documents_dist(
+            spark, n_docs_dc, dup_frac=0.2, partitions=nparts
+        ).select("doc_id", "text").persist()
+        sdocs.count()
+        t = time.monotonic()
+        train = sdocs.where(F.col("doc_id") % 100 != 0)
+        ev = sdocs.where(F.col("doc_id") % 100 == 0)
+        rep = decontaminate(train, ev, n=8).persist()
+        n_train = rep.count()
+        n_contam = rep.where("contaminated").count()
+        dc_sec = time.monotonic() - t
+        queries["decontam"] = round(dc_sec, 3)
+        throughput["decontam_docs_per_sec"] = round(n_train / dc_sec)
+        detail["decontam_train_docs"] = n_train
+        detail["decontam_contaminated"] = n_contam
+        rep.unpersist()
+        sdocs.unpersist()
 
     spark_probe_end = spark_probe(spark)
     spark.stop()
