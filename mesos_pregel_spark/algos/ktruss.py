@@ -258,13 +258,14 @@ def k_truss(
     need = k - 2
     sup: DataFrame | None = None
     deg: DataFrame | None = None
+    n_edges = -1
     while run.superstep < max_rounds:
         if sup is None:
-            if e.count() == 0:
+            n_edges = e.count()
+            if n_edges == 0:
                 break
             sup = _initial_support(e)  # round 1: the one global count
             deg = _static_degrees(e)
-        n_edges = sup.count()
         if n_edges == 0:
             break
         removed = truncate_plan(
@@ -277,6 +278,11 @@ def k_truss(
         if n_removed == 0:
             break
         sup = _apply_removals(sup, removed, deg)
+        # |G_{t+1}| is arithmetic — removal is exact set subtraction —
+        # so the loop never re-counts the support table (one fewer
+        # Spark action per round; the peel is action-latency-bound
+        # once removals shrink).
+        n_edges -= n_removed
     result = sup.select("lo", "hi") if sup is not None else e
     if deg is not None:
         deg.unpersist()
@@ -321,14 +327,14 @@ def trussness(
     strata: list[DataFrame] = []  # per-level removed edges, labeled
     sup: DataFrame | None = None
     deg: DataFrame | None = None
-    if e.count() > 0:
+    n_edges = e.count()
+    if n_edges > 0:
         sup = _initial_support(e)  # the one global triangle count
         deg = _static_degrees(e)
     for k in range(3, max_k + 1):
         need = k - 2
         rounds = 0
         while sup is not None and rounds < max_rounds_per_level:
-            n_edges = sup.count()
             if n_edges == 0:
                 break
             removed = truncate_plan(
@@ -346,11 +352,13 @@ def trussness(
                 "lo", "hi", F.lit(k - 1).cast("long").alias("trussness")
             ))
             sup = _apply_removals(sup, removed, deg)
-        if sup is None or sup.count() == 0:
+            # arithmetic size maintenance — no per-round re-count
+            n_edges -= n_removed
+        if sup is None or n_edges == 0:
             break
     if deg is not None:
         deg.unpersist()
-    n_survivors = sup.count() if sup is not None else 0
+    n_survivors = n_edges if sup is not None else 0
     if n_survivors > 0:
         # Cap saturation: the true trussness of these edges is >= max_k
         # and may exceed it — surfaced in run.metrics for callers/bench.
