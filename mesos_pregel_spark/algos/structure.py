@@ -1,0 +1,334 @@
+"""Graph-structure analytics over the canonical undirected edge set:
+clustering coefficients, degree assortativity, common-neighbor /
+Jaccard link prediction, and a 2(1+eps)-approximate densest subgraph
+(Charikar greedy peel, parallelized a la Bahmani et al., "Densest
+Subgraph in Streaming and MapReduce", VLDB 2012).
+
+These are the one-shot structural diagnostics a link-graph operator
+runs beside the iterative algorithms (SURVEY §2.2): LCC/assortativity
+characterize the graph before choosing salting/orientation strategies;
+link prediction is the standard common-neighbor recommender; densest
+subgraph is the classic spam-farm / community-core extractor.
+
+Shared determinism contract (mirrored by the DuckDB oracle twins in
+queries.py and the python oracles in tests/test_structure.py):
+
+- UNDIRECTED simple graph: (lo, hi) canonical edges, self-loops
+  dropped, parallel edges collapsed (triangles.canonical_undirected).
+- All ratios are a SINGLE IEEE-754 division of exactly-computed
+  integer aggregates (never a float accumulation), so Spark and the
+  oracle produce bit-identical doubles with no rounding epsilon.
+- Peel/threshold comparisons are cross-multiplied into pure integer
+  arithmetic (deg * |S| <= 3 * |E| for eps=1/2) — no FP boundary can
+  flip a removal decision between engines.
+
+Execution shape (design-for-100x):
+
+- LCC rides A4's degree-ordered triangle kernel — the wedge join is
+  O(m^1.5)-bounded on skewed graphs; everything else is hash
+  aggregations with map-side partials.
+- Assortativity reduces the edge list to FIVE integer sufficient
+  statistics (n, Sx, Sy, Sxx, Syy, Sxy) in one pass — a pure
+  map-side-combinable aggregate, no shuffle of the edge list itself
+  beyond the degree join.
+- Link prediction enumerates wedges from each shared neighbor; the
+  wedge count is sum(deg^2) which hubs dominate, so ``max_degree``
+  caps the wedge-center role (the standard hub-exclusion of
+  production common-neighbor recommenders: a vertex adjacent to
+  everything predicts nothing).  Output is bounded by top_k.
+- Densest-subgraph peel removes a constant FRACTION of survivors per
+  round (every vertex with deg <= (3/2)·avg survives the cut test
+  only if above it; Bahmani et al. bound rounds at O(log n / eps)),
+  so the loop is O(log n) rounds of degree-agg + semi-join, with
+  per-round lineage truncation.  Removals are recorded append-only
+  (the SCC labeling trick) — no growing union plan in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from mesos_pregel_spark.algos.triangles import canonical_undirected, triangle_count
+from mesos_pregel_spark.plans.pregel import PregelRun
+from mesos_pregel_spark.plans.truncate import truncate_plan
+
+
+def _und_degrees(und: DataFrame) -> DataFrame:
+    """Distinct-neighbor degree per vertex of a canonical edge set."""
+    return (
+        und.select(F.col("lo").alias("id"))
+        .unionByName(und.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# clustering coefficients
+# ---------------------------------------------------------------------------
+
+
+def clustering_coefficients(
+    spark: SparkSession, edges: DataFrame, kernel: str = "join"
+) -> DataFrame:
+    """Per-vertex local clustering coefficient.
+
+    Returns (id, deg, triangles, lcc) for every vertex, where
+    lcc = 2*triangles / (deg*(deg-1)) and 0.0 when deg < 2.  The
+    division is one double op over exact integers — oracle-bit-exact.
+    """
+    per_vertex, _total = triangle_count(spark, edges, kernel=kernel)
+    deg = _und_degrees(canonical_undirected(edges))
+    return per_vertex.join(deg, "id").select(
+        "id",
+        "deg",
+        "triangles",
+        F.when(
+            F.col("deg") >= 2,
+            (F.lit(2) * F.col("triangles")).cast("double")
+            / (F.col("deg") * (F.col("deg") - F.lit(1))).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+def global_clustering(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Global (transitivity) coefficient: 3*triangles / wedges, plus
+    the raw counts.  One row: (triangles, wedges, transitivity)."""
+    und = canonical_undirected(edges)
+    deg = _und_degrees(und)
+    _per_vertex, total = triangle_count(spark, edges)
+    wedges_row = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - F.lit(1))).alias("w")
+    ).collect()[0]
+    wedges = int(wedges_row["w"] or 0) // 2
+    transitivity = (3.0 * total / wedges) if wedges else 0.0
+    return spark.createDataFrame(
+        [(total, wedges, transitivity)],
+        "triangles long, wedges long, transitivity double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Pearson correlation of endpoint degrees over undirected edges
+    (both orientations, the standard Newman 2002 definition).
+
+    Reduced to integer sufficient statistics — n, Σx, Σy, Σx², Σy²,
+    Σxy — aggregated exactly (degrees are ints, sums are BIGINTs), so
+    the final double expression is bit-identical to any oracle
+    computing the same integers.  Returns one row
+    (n_endpoints, assortativity)."""
+    und = canonical_undirected(edges)
+    deg = _und_degrees(und)
+    pairs = (
+        und.unionByName(
+            und.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+        )
+        .join(deg.withColumnsRenamed({"id": "lo", "deg": "dx"}), "lo")
+        .join(deg.withColumnsRenamed({"id": "hi", "deg": "dy"}), "hi")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").alias("n_endpoints"),
+        (num / F.sqrt(denx * deny)).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# link prediction (common neighbors / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def link_prediction(
+    spark: SparkSession,
+    edges: DataFrame,
+    min_common: int = 2,
+    top_k: int = 100,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Top-k non-adjacent vertex pairs by Jaccard neighbor overlap.
+
+    Wedges are enumerated from each shared neighbor v (adj(v,a) x
+    adj(v,b), a < b), counted per pair = |N(a) ∩ N(b)|, existing edges
+    anti-joined away, and jaccard = cn / (deg_a + deg_b - cn) — one
+    exact-integer division.  Deterministic total order:
+    (jaccard DESC, cn DESC, lo, hi), LIMIT top_k.
+
+    ``max_degree`` excludes hubs from the wedge-CENTER role, bounding
+    the enumeration at sum(min(deg, max_degree)^2) — at web scale a
+    vertex adjacent to half the graph contributes no signal but
+    quadratic wedges, so production recommenders cap it.  Capping
+    changes semantics (documented; the driver query runs uncapped so
+    the oracle is cap-free)."""
+    und = canonical_undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = _und_degrees(und)
+    adj = und.select(
+        F.col("lo").alias("v"), F.col("hi").alias("nbr")
+    ).unionByName(und.select(F.col("hi").alias("v"), F.col("lo").alias("nbr")))
+    if max_degree is not None:
+        centers = deg.where(F.col("deg") <= max_degree).select(
+            F.col("id").alias("v")
+        )
+        adj = adj.join(centers, "v", "left_semi")
+    a = adj.alias("a")
+    b = adj.alias("b")
+    cn = (
+        a.join(b, F.col("a.v") == F.col("b.v"))
+        .where(F.col("a.nbr") < F.col("b.nbr"))
+        .groupBy(
+            F.col("a.nbr").alias("lo"), F.col("b.nbr").alias("hi")
+        )
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = (
+        cn.join(und, ["lo", "hi"], "left_anti")
+        .where(F.col("cn") >= min_common)
+        .join(deg.withColumnsRenamed({"id": "lo", "deg": "dlo"}), "lo")
+        .join(deg.withColumnsRenamed({"id": "hi", "deg": "dhi"}), "hi")
+        .select(
+            "lo",
+            "hi",
+            "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("dlo") + F.col("dhi") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    out = truncate_plan(
+        cand.orderBy(
+            F.desc("jaccard"), F.desc("cn"), F.asc("lo"), F.asc("hi")
+        ).limit(top_k)
+    )
+    und.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# densest subgraph (greedy peel, 2(1+eps)-approx)
+# ---------------------------------------------------------------------------
+
+
+def densest_subgraph(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 24,
+    edge_partitions: int | None = None,
+) -> tuple[DataFrame, PregelRun]:
+    """Greedy-peel densest subgraph at eps = 1/2 (3-approximation).
+
+    Round t over survivor set S_t: density rho_t = |E_t| / |S_t|;
+    remove EVERY v with deg_t(v) * |S_t| <= 3 * |E_t|  — the eps=1/2
+    instance of Bahmani et al.'s deg <= 2(1+eps)·rho cut, cross-
+    multiplied into exact integer arithmetic so no FP boundary exists.
+    The best (max-density, earliest-on-tie) S_t is returned as
+    (id, density, best_round) — one row per member vertex, with the
+    scalars repeated for a stable driver-compare schema.
+
+    Each round removes a constant fraction of survivors (vertices at
+    or below 1.5x the average degree), so the peel terminates in
+    O(log n) rounds; ``max_rounds`` caps the unroll and the oracle
+    unrolls the identical schedule, so capped == unrolled exactly.
+    Removals are recorded APPEND-ONLY as (id, removal round) — the
+    best round's membership is recovered afterwards as
+    {removed_round >= best_t} ∪ {never removed}, avoiding any growing
+    per-round union in the loop (the SCC labeling trick).
+    """
+    run = PregelRun(spark, "densest_subgraph")
+    und = canonical_undirected(edges)
+    if edge_partitions:
+        und = und.repartition(edge_partitions, "lo")
+    und = und.persist(StorageLevel.MEMORY_AND_DISK)
+
+    removed_batches: list[DataFrame] = []  # (id, round) — append-only
+    cur = und
+    # Explicit survivor VERTEX set: a survivor isolated by its
+    # neighbors' removal has deg 0, satisfies the cut trivially, and
+    # is removed (and recorded) the next round — without this, its
+    # disappearance from the edge endpoints would leave a hole in the
+    # removal log and corrupt best-round membership recovery.
+    verts = truncate_plan(_und_degrees(und).select("id"))
+    stats: list[tuple[int, int, int]] = []  # (round, |S|, |E|)
+    for t in range(max_rounds):
+        n_verts = verts.count()
+        if n_verts == 0:
+            break
+        n_edges = cur.count()
+        stats.append((t, n_verts, n_edges))
+        run.record(round=t, vertices=n_verts, edges=n_edges)
+        deg = verts.join(_und_degrees(cur), "id", "left_outer").select(
+            "id", F.coalesce("deg", F.lit(0)).alias("deg")
+        )
+        # integer cut: deg * |S| <= 3 * |E|  (eps = 1/2)
+        out_now = truncate_plan(
+            deg.where(
+                F.col("deg") * F.lit(n_verts) <= F.lit(3) * F.lit(n_edges)
+            ).select("id", F.lit(t).alias("removed_round"))
+        )
+        removed_batches.append(out_now)
+        verts = truncate_plan(
+            verts.join(out_now, "id", "left_anti").select("id")
+        )
+        cur = truncate_plan(
+            cur.join(out_now.select(F.col("id").alias("lo")), "lo", "left_anti")
+            .join(out_now.select(F.col("id").alias("hi")), "hi", "left_anti")
+            .select("lo", "hi")
+        )
+
+    if not stats:  # edgeless input: no subgraph to report (empty, but
+        # with the id type of the input edge columns)
+        empty = _und_degrees(und).select(
+            "id",
+            F.lit(0.0).alias("density"),
+            F.lit(0).cast("long").alias("best_round"),
+        )
+        und.unpersist()
+        return empty, run
+    # best round: max density, earliest on exact-integer tie
+    # (cross-multiplied compare — no FP in the argmax).
+    best_t, best_v, best_e = stats[0]
+    for t, v, e in stats[1:]:
+        if e * best_v > best_e * v:  # e/v > best_e/best_v
+            best_t, best_v, best_e = t, v, e
+    density = best_e / best_v
+    run.record(phase="best", round=best_t, vertices=best_v, edges=best_e,
+               density=density)
+
+    all_verts = _und_degrees(und).select("id")
+    if removed_batches:
+        removed = removed_batches[0]
+        for b in removed_batches[1:]:
+            removed = removed.unionByName(b)
+        members = all_verts.join(removed, "id", "left_outer").where(
+            F.col("removed_round").isNull()
+            | (F.col("removed_round") >= best_t)
+        ).select("id")
+    else:
+        members = all_verts
+    out = truncate_plan(
+        members.select(
+            "id",
+            F.lit(density).alias("density"),
+            F.lit(best_t).cast("long").alias("best_round"),
+        )
+    )
+    und.unpersist()
+    return out, run

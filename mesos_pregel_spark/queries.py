@@ -1615,6 +1615,244 @@ SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY degree
 
 
 # ---------------------------------------------------------------------------
+# structure analytics (algos/structure.py) on the part co-order graph
+# ---------------------------------------------------------------------------
+#
+# Substrate: parts co-occurring in the same order ("market basket"
+# one-mode projection of the order–part bipartite graph) — the
+# triangle-rich substrate the 5-actor events graph can't provide
+# (413k triangles on 2000 vertices at sf0.01).  The projection is
+# bounded by sum_orders C(|basket|, 2); TPC-H-ish baskets are <= 7
+# lines, and at 100x a real pipeline caps basket size the same way
+# (quadratic blowup lives in the basket, not the table size).
+
+
+def _parts_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(b, F.col("a.o") == F.col("b.o"))
+        .where(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+_SQL_PARTS = """
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+und AS MATERIALIZED (
+  SELECT a.p AS lo, b.p AS hi
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+pdeg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT lo AS id FROM und UNION ALL SELECT hi FROM und) u
+  GROUP BY id
+)
+"""
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient — lcc is ONE double
+    division of exact integer aggregates, so no rounding epsilon is
+    needed for the hash compare (algos/structure.py contract)."""
+    from mesos_pregel_spark.algos.structure import clustering_coefficients
+
+    out = clustering_coefficients(spark, _parts_edges(spark, sf_dir))
+    return out.select(F.col("id").alias("part"), "deg", "triangles", "lcc")
+
+
+SQL_CLUSTERING_COEFF = _SQL_PARTS + """
+, tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+  JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+cnt AS (
+  SELECT id, COUNT(*) AS triangles FROM (
+    SELECT a AS id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) u
+  GROUP BY id
+)
+SELECT d.id AS part, d.deg, COALESCE(cnt.triangles, 0) AS triangles,
+       CASE WHEN d.deg >= 2
+            THEN CAST(2 * COALESCE(cnt.triangles, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+            ELSE 0.0 END AS lcc
+FROM pdeg d LEFT JOIN cnt ON d.id = cnt.id
+"""
+
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mesos_pregel_spark.algos.structure import global_clustering
+
+    return global_clustering(spark, _parts_edges(spark, sf_dir))
+
+
+SQL_TRANSITIVITY = _SQL_PARTS + """
+, tri AS (
+  SELECT e1.lo AS a
+  FROM und e1
+  JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+  JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+t AS (SELECT COUNT(*) AS tris FROM tri),
+w AS (SELECT CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS wedges FROM pdeg)
+SELECT t.tris AS triangles, w.wedges,
+       CASE WHEN w.wedges > 0 THEN 3.0 * t.tris / w.wedges
+            ELSE 0.0 END AS transitivity
+FROM t, w
+"""
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mesos_pregel_spark.algos.structure import degree_assortativity
+
+    return degree_assortativity(spark, _parts_edges(spark, sf_dir))
+
+
+SQL_ASSORTATIVITY = _SQL_PARTS + """
+, pairs AS (
+  SELECT lo AS x, hi AS y FROM und
+  UNION ALL SELECT hi, lo FROM und
+),
+j AS (
+  SELECT CAST(dx.deg AS BIGINT) AS dx, CAST(dy.deg AS BIGINT) AS dy
+  FROM pairs
+  JOIN pdeg dx ON pairs.x = dx.id
+  JOIN pdeg dy ON pairs.y = dy.id
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT n AS n_endpoints,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
+FROM s
+"""
+
+
+_LINKPRED_MIN_COMMON = 3
+_LINKPRED_TOPK = 100
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted links by Jaccard neighbor overlap (ties fully
+    ordered by (cn, part_a, part_b) — deterministic LIMIT)."""
+    from mesos_pregel_spark.algos.structure import link_prediction
+
+    out = link_prediction(
+        spark, _parts_edges(spark, sf_dir),
+        min_common=_LINKPRED_MIN_COMMON, top_k=_LINKPRED_TOPK,
+    )
+    return out.select(
+        F.col("lo").alias("part_a"), F.col("hi").alias("part_b"),
+        "cn", "jaccard",
+    )
+
+
+SQL_LINK_PREDICTION = _SQL_PARTS + f"""
+, adj AS MATERIALIZED (
+  SELECT lo AS v, hi AS nbr FROM und
+  UNION ALL SELECT hi, lo FROM und
+),
+cn AS (
+  SELECT a.nbr AS lo, b.nbr AS hi, COUNT(*) AS cn
+  FROM adj a JOIN adj b ON a.v = b.v AND a.nbr < b.nbr
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT c.lo, c.hi, c.cn,
+         CAST(c.cn AS DOUBLE)
+         / CAST(dl.deg + dh.deg - c.cn AS DOUBLE) AS jaccard
+  FROM cn c
+  LEFT JOIN und u ON u.lo = c.lo AND u.hi = c.hi
+  JOIN pdeg dl ON dl.id = c.lo
+  JOIN pdeg dh ON dh.id = c.hi
+  WHERE u.lo IS NULL AND c.cn >= {_LINKPRED_MIN_COMMON}
+)
+SELECT lo AS part_a, hi AS part_b, cn, jaccard FROM cand
+ORDER BY jaccard DESC, cn DESC, lo, hi LIMIT {_LINKPRED_TOPK}
+"""
+
+
+_DENSEST_ROUNDS = 8
+
+
+def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-peel densest subgraph (eps=1/2); the oracle unrolls the
+    IDENTICAL 8-round schedule, and every density and cut comparison
+    is exact-integer on both sides (algos/structure.py contract)."""
+    from mesos_pregel_spark.algos.structure import densest_subgraph
+
+    out, _run = densest_subgraph(
+        spark, _parts_edges(spark, sf_dir), max_rounds=_DENSEST_ROUNDS,
+    )
+    return out.select(F.col("id").alias("part"), "density", "best_round")
+
+
+def _sql_densest(rounds: int = _DENSEST_ROUNDS) -> str:
+    parts = ["""
+, v0 AS MATERIALIZED (SELECT id FROM pdeg),
+e0 AS MATERIALIZED (SELECT lo, hi FROM und)"""]
+    for t in range(rounds):
+        parts.append(f""",
+st{t} AS MATERIALIZED (
+  SELECT (SELECT COUNT(*) FROM v{t}) AS nv,
+         (SELECT COUNT(*) FROM e{t}) AS ne),
+dg{t} AS (
+  SELECT v.id, COALESCE(d.c, 0) AS deg
+  FROM v{t} v LEFT JOIN (
+    SELECT id, COUNT(*) AS c FROM (
+      SELECT lo AS id FROM e{t} UNION ALL SELECT hi FROM e{t}) u
+    GROUP BY id) d ON v.id = d.id),
+rm{t} AS MATERIALIZED (
+  SELECT id FROM dg{t}, st{t} WHERE deg * nv <= 3 * ne),
+v{t + 1} AS MATERIALIZED (
+  SELECT id FROM v{t} WHERE id NOT IN (SELECT id FROM rm{t})),
+e{t + 1} AS MATERIALIZED (
+  SELECT lo, hi FROM e{t}
+  WHERE lo IN (SELECT id FROM v{t + 1})
+    AND hi IN (SELECT id FROM v{t + 1}))""")
+    vals = ", ".join(
+        f"({t}, (SELECT ne FROM st{t}), (SELECT nv FROM st{t}))"
+        for t in range(rounds)
+    )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {t} AS k, id FROM v{t}" for t in range(rounds)
+    )
+    parts.append(f""",
+dens AS (SELECT * FROM (VALUES {vals}) t(k, e, v) WHERE v > 0),
+best AS (
+  SELECT k, CAST(e AS DOUBLE) / v AS density FROM dens
+  ORDER BY CAST(e AS DOUBLE) / v DESC, k ASC LIMIT 1),
+members AS (
+  {unions}
+)
+SELECT m.id AS part, b.density, CAST(b.k AS BIGINT) AS best_round
+FROM members m, best b WHERE m.k = b.k
+""")
+    return _SQL_PARTS + "".join(parts)
+
+
+SQL_DENSEST_SUBGRAPH = _sql_densest()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1658,6 +1896,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bipartite_edges": q_bipartite_edges,
     "bipartite_degrees": q_bipartite_degrees,
     "degree_histogram": q_degree_histogram,
+    "clustering_coeff": q_clustering_coeff,
+    "transitivity": q_transitivity,
+    "assortativity": q_assortativity,
+    "link_prediction": q_link_prediction,
+    "densest_subgraph": q_densest_subgraph,
     **TEXT_QUERIES,
 }
 
@@ -1699,5 +1942,10 @@ ORACLE_SQL: dict[str, str] = {
     "bipartite_edges": SQL_BIPARTITE_EDGES,
     "bipartite_degrees": SQL_BIPARTITE_DEGREES,
     "degree_histogram": SQL_DEGREE_HISTOGRAM,
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "transitivity": SQL_TRANSITIVITY,
+    "assortativity": SQL_ASSORTATIVITY,
+    "link_prediction": SQL_LINK_PREDICTION,
+    "densest_subgraph": SQL_DENSEST_SUBGRAPH,
     **TEXT_ORACLE_SQL,
 }
