@@ -158,3 +158,75 @@ def profile_documents(docs: DataFrame) -> DataFrame:
         pred.alias("lang_pred"),
         F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + within-document repetition (round 4)
+# ---------------------------------------------------------------------------
+
+# Sequential redaction schedule: each pattern is COUNTED on the text as
+# of its turn (after earlier replacements) and then replaced globally.
+# Patterns use only character classes, bounded quantifiers and ASCII
+# \b — the Java-regex/RE2 common subset, so Spark and DuckDB match
+# byte-identically.  Order matters and is pinned: emails first (their
+# domains would otherwise feed the IPv4 pattern partial matches).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("emails", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phones", r"\b[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ipv4s", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII-shaped spans (emails, NNN-NNNN phones, IPv4s) from
+    ``text_col``; returns (doc_id, emails, phones, ipv4s, redacted).
+
+    Pure JVM regexp expressions fused into one projection — a single
+    parquet scan at any corpus size, no Python in the path.  The
+    standard pre-training scrub stage: counts feed the filter policy,
+    ``redacted`` feeds the next pipeline stage."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            .cast("long")
+            .alias(name)
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select("doc_id", *counts, cur.alias("redacted"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Within-document repetition: share of duplicate token bigrams —
+    the cheap n-gram repetition signal used to drop degenerate/looped
+    generations from training corpora.
+
+    Returns (doc_id, n_bigrams, distinct_bigrams, repetition) where
+    repetition = (n - distinct) / n over the pinned tokenization
+    (0.0 when a document has fewer than 2 tokens).  One double
+    division of exact integers — oracle-bit-exact, no rounding."""
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    # element_at is 1-indexed (as are DuckDB lists — the oracle twin
+    # uses the same indexing); the n>=2 guard keeps F.sequence from
+    # producing a DESCENDING range on shorter docs.
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams).cast("long")
+    nd = F.size(F.array_distinct(bigrams)).cast("long")
+    return docs.select(
+        "doc_id",
+        nb.alias("n_bigrams"),
+        nd.alias("distinct_bigrams"),
+        F.when(
+            nb > 0, (nb - nd).cast("double") / nb.cast("double")
+        ).otherwise(F.lit(0.0)).alias("repetition"),
+    )

@@ -49,9 +49,12 @@ from mesos_pregel_spark.functions.similarity import (
 from mesos_pregel_spark.functions.pipeline import clean_corpus
 from mesos_pregel_spark.functions.text import (
     LANG_STOPWORDS,
+    PII_PATTERNS,
     fingerprint,
     language_id,
+    pii_redact,
     quality_score,
+    repetition_stats,
     token_stats,
 )
 from mesos_pregel_spark.sources.multimodal import decode_features, synthesize_media
@@ -733,6 +736,90 @@ SQL_SAMPLE_BUDGET = _sql_sample_budget()
 
 
 # ---------------------------------------------------------------------------
+# PII redaction + repetition (round 4)
+# ---------------------------------------------------------------------------
+#
+# The synthetic corpus is PII-free word soup, so the pii_redact DRIVER
+# QUERY deterministically injects PII-shaped spans derived from doc_id
+# (identical expression on both sides) before scrubbing — the redaction
+# regexes are exercised on real matches and the full redacted strings
+# are hash-compared.  The library operator (functions/text.py::
+# pii_redact) takes whatever text column it is given.
+
+
+def _pii_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+
+
+_SQL_PII_INJECT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or call 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'"
+)
+
+
+def _sql_pii_redact() -> str:
+    """Oracle twin generated FROM the same PII_PATTERNS schedule the
+    Spark operator walks — counts at each stage, then global replace."""
+    parts = [f"WITH s0 AS (SELECT doc_id, {_SQL_PII_INJECT} AS t0 FROM documents)"]
+    cols = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        prev = ", ".join([f"{c}" for c in cols])
+        prev = prev + ", " if prev else ""
+        parts.append(f""",
+s{i + 1} AS (
+  SELECT doc_id, {prev}
+         CAST(len(regexp_extract_all(t{i}, '{pat}')) AS BIGINT) AS {name},
+         regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1}
+  FROM s{i})""")
+        cols.append(name)
+    n = len(PII_PATTERNS)
+    parts.append(
+        f"\nSELECT doc_id, {', '.join(cols)}, t{n} AS redacted FROM s{n}"
+    )
+    return "".join(parts)
+
+
+SQL_PII_REDACT = _sql_pii_redact()
+
+
+SQL_REPETITION = f"""
+WITH base AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+tk AS (SELECT doc_id, string_split(norm, ' ') AS l FROM base),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= 2
+              THEN list_transform(range(1, len(l)),
+                                  i -> l[i] || ' ' || l[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS b
+  FROM tk),
+st AS (
+  SELECT doc_id, CAST(len(b) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(b)) AS BIGINT) AS distinct_bigrams
+  FROM bg)
+SELECT doc_id, n_bigrams, distinct_bigrams,
+       CASE WHEN n_bigrams > 0
+            THEN CAST(n_bigrams - distinct_bigrams AS DOUBLE)
+                 / CAST(n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS repetition
+FROM st
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -769,6 +856,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _docs(s, d), SAMPLE_RATES, stratum_col="source", seed="sample42"),
     "sample_budget": lambda s, d: sample_to_token_budget(
         _docs(s, d), BUDGET_TOKENS, stratum_col="lang", seed="budget42"),
+    "pii_redact": lambda s, d: pii_redact(_pii_injected(s, d)),
+    "repetition_ratio": lambda s, d: repetition_stats(_docs(s, d)),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -792,4 +881,6 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "sample_budget": SQL_SAMPLE_BUDGET,
+    "pii_redact": SQL_PII_REDACT,
+    "repetition_ratio": SQL_REPETITION,
 }

@@ -350,3 +350,72 @@ def test_incremental_near_duplicates_equals_batch(spark):
                     if k[0] in new3 or k[1] in new3}
     assert len(got3) > 0
     release_dedup_caches()
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + repetition (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_counts_and_text(spark):
+    from mesos_pregel_spark.functions.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e-f.org, call 555-1234, ip 10.0.0.1"),
+            (2, "no pii here at all"),
+            (3, "phone 123-4567 twice 999-0000; 1.2.3.4 and 255.255.255.0"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert (got[1]["emails"], got[1]["phones"], got[1]["ipv4s"]) == (2, 1, 1)
+    assert got[1]["redacted"] == (
+        "mail <EMAIL> and <EMAIL>, call <PHONE>, ip <IP>"
+    )
+    assert (got[2]["emails"], got[2]["phones"], got[2]["ipv4s"]) == (0, 0, 0)
+    assert got[2]["redacted"] == "no pii here at all"
+    assert (got[3]["phones"], got[3]["ipv4s"]) == (2, 2)
+    assert got[4]["redacted"] == ""
+
+
+def test_pii_redact_sequential_schedule(spark):
+    """Emails are scrubbed BEFORE the phone pass: a phone-shaped span
+    inside an email local part is consumed by the email replacement and
+    must not be double-counted as a phone.  A dotted-quad email DOMAIN
+    is not an email by the pattern (letters-only TLD) and falls through
+    to the ipv4 pass."""
+    from mesos_pregel_spark.functions.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [(1, "a555-1234@x.com rest"), (2, "x@1.2.3.4 rest")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert got[1]["emails"] == 1 and got[1]["phones"] == 0
+    assert got[1]["redacted"] == "<EMAIL> rest"
+    assert got[2]["emails"] == 0 and got[2]["ipv4s"] == 1
+    assert got[2]["redacted"] == "x@<IP> rest"
+
+
+def test_repetition_stats(spark):
+    from mesos_pregel_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # bigrams: ab ba ab ba -> 4 total, 2 distinct
+            (2, "x y z"),           # 2 distinct of 2
+            (3, "solo"),            # < 2 tokens
+            (4, "  Spaced   OUT  spaced out "),  # normalization applies
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert (got[1]["n_bigrams"], got[1]["distinct_bigrams"]) == (4, 2)
+    assert got[1]["repetition"] == 0.5
+    assert got[2]["repetition"] == 0.0
+    assert (got[3]["n_bigrams"], got[3]["repetition"]) == (0, 0.0)
+    # "spaced out spaced out" -> bigrams: "spaced out","out spaced",
+    # "spaced out" -> 3 total, 2 distinct
+    assert (got[4]["n_bigrams"], got[4]["distinct_bigrams"]) == (3, 2)
