@@ -45,6 +45,11 @@ Workloads (all seed-deterministic, no external data):
   warm_cc     — warm-start CC: 1k-edge delta on the cc-labeled graph;
                 supersteps/wall vs the cold cc row (incremental
                 maintenance economics, streaming/refresh.py)
+  coloring    — Jones-Plassmann greedy coloring (MIS-priced combiner
+                shuffle: candidacy min + color-mask bit_or)
+  structure   — one-shot structural diagnostics: clustering
+                coefficients (degree-ordered kernel), hub-capped
+                link prediction, densest-subgraph peel
 
 Scaling mode (``--scaling``): re-runs the same workloads at
 ``local[8]`` and ``local[32]`` (the sandbox stand-in for N vs 4N
@@ -479,6 +484,61 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         throughput["anf_edge_scans_per_sec"] = round(
             g_edges * len(run_a.metrics) / anf_sec)
         detail["anf_supersteps"] = len(run_a.metrics)
+
+    if on("coloring"):
+        # Jones-Plassmann greedy coloring: MIS's shuffle economics
+        # (min-struct + bit_or combiners, one scatter/superstep); this
+        # row pins that coloring stays ~MIS-priced, not MIS x colors.
+        from pyspark.sql import functions as F
+
+        from mesos_pregel_spark.algos.coloring import greedy_coloring
+
+        t = time.monotonic()
+        colors, run_col = greedy_coloring(spark, g, edge_partitions=nparts)
+        n_colors = colors.agg(F.max("color")).collect()[0][0] + 1
+        col_sec = time.monotonic() - t
+        queries["coloring"] = round(col_sec, 3)
+        throughput["coloring_edges_per_sec"] = round(
+            2 * g_edges * len(run_col.metrics) / col_sec)
+        detail["coloring_supersteps"] = len(run_col.metrics)
+        detail["coloring_colors"] = n_colors
+
+    if on("structure"):
+        # One-shot structural diagnostics on the zipf graph: LCC rides
+        # the degree-ordered triangle kernel; link prediction runs
+        # HUB-CAPPED (max_degree=64) — uncapped wedge enumeration on a
+        # zipf hub is the documented quadratic trap the cap exists for;
+        # densest-subgraph peels O(log n) integer-cut rounds.
+        from mesos_pregel_spark.algos.structure import (
+            clustering_coefficients,
+            densest_subgraph,
+            link_prediction,
+        )
+
+        t = time.monotonic()
+        lcc = clustering_coefficients(spark, g)
+        n_lcc = lcc.count()
+        lcc_sec = time.monotonic() - t
+
+        t = time.monotonic()
+        lp = link_prediction(spark, g, min_common=2, top_k=100,
+                             max_degree=64)
+        lp.count()
+        lp_sec = time.monotonic() - t
+
+        t = time.monotonic()
+        ds, run_ds = densest_subgraph(spark, g, edge_partitions=nparts)
+        ds_members = ds.count()
+        ds_sec = time.monotonic() - t
+
+        queries["structure"] = round(lcc_sec + lp_sec + ds_sec, 3)
+        throughput["structure_lcc_vertices_per_sec"] = round(n_lcc / lcc_sec)
+        detail["structure_lcc_sec"] = round(lcc_sec, 3)
+        detail["structure_linkpred_sec"] = round(lp_sec, 3)
+        detail["structure_densest_sec"] = round(ds_sec, 3)
+        detail["structure_densest_rounds"] = len(
+            [m for m in run_ds.metrics if "round" in m])
+        detail["structure_densest_members"] = ds_members
 
     if on("landmarks"):
         from mesos_pregel_spark.algos.landmarks import landmark_distances

@@ -1126,6 +1126,117 @@ SELECT actor, (st = 1) AS in_mis FROM s{steps}
 SQL_MIS = _sql_mis()
 
 
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization rollup over the events log (30-min
+    gap).  Epoch-microsecond integer arithmetic only — hash-exact."""
+    from mesos_pregel_spark.functions.sessions import session_stats
+
+    return session_stats(_events(spark, sf_dir), gap_us=_SESSION_GAP_US)
+
+
+SQL_SESSIONS = f"""
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT user_id, us,
+         event_type,
+         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us,
+       MAX(us) - MIN(us) AS duration_us,
+       COUNT(DISTINCT event_type) AS n_types
+FROM s2 GROUP BY user_id, session_idx
+"""
+
+
+_COLORING_STEPS = 25
+
+
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring (md5 priorities) on the
+    bipartite customer↔supplier graph — MIS's sibling program; the
+    oracle unrolls the identical monotone transition, so capped ==
+    unrolled with color -1 for any vertex past the cap."""
+    from mesos_pregel_spark.algos.coloring import greedy_coloring
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    colors, _run = greedy_coloring(
+        spark, e, max_supersteps=_COLORING_STEPS, edge_partitions=8
+    )
+    return colors.select(F.col("id").alias("actor"), "color")
+
+
+def _sql_coloring(steps: int = _COLORING_STEPS) -> str:
+    """Unrolled Jones-Plassmann transitions: min-candidacy (the MIS
+    string trick) + bit_or color-mask accumulation + mex via the
+    lowest-zero-bit / exact-log2 identity (algos/coloring.py)."""
+    parts = ["""
+WITH e AS (
+  SELECT 'c:' || o_custkey AS s, 's:' || l_suppkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+c0 AS MATERIALIZED (
+  SELECT DISTINCT s AS actor, MD5(s) AS p, -1 AS color,
+         CAST(0 AS BIGINT) AS mask
+  FROM sym
+)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+cm{k} AS (
+  SELECT sym.d AS actor,
+         MIN(CASE WHEN q.color = -1 THEN q.p || '|' || q.actor END) AS cand,
+         BIT_OR(CASE WHEN q.color <> -1
+                     THEN (CAST(1 AS BIGINT) << q.color)
+                     ELSE CAST(0 AS BIGINT) END) AS nm
+  FROM sym JOIN c{k-1} q ON q.actor = sym.s
+  GROUP BY sym.d
+),
+c{k} AS MATERIALIZED (
+  SELECT actor, p,
+         CASE WHEN color <> -1 THEN color
+              WHEN cand IS NULL OR (p || '|' || actor) < cand
+                THEN CAST(log2(CAST(((~nm2) & (nm2 + 1)) AS DOUBLE)) AS INT)
+              ELSE -1 END AS color,
+         nm2 AS mask
+  FROM (
+    SELECT v.actor, v.p, v.color, m.cand,
+           v.mask | COALESCE(m.nm, CAST(0 AS BIGINT)) AS nm2
+    FROM c{k-1} v LEFT JOIN cm{k} m ON m.actor = v.actor) t
+)""")
+    parts.append(f"""
+SELECT actor, color FROM c{steps}
+""")
+    return "".join(parts)
+
+
+SQL_COLORING = _sql_coloring()
+
+
 # trussness strata-peel schedule (part of the pinned semantics: the
 # oracle unrolls the IDENTICAL (level, round) grid; monotone peeling
 # makes no-op rounds free on both sides).
@@ -1886,6 +1997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "core_number": q_core_number,
     "trussness": q_trussness,
     "mis": q_mis,
+    "coloring": q_coloring,
     "walks": q_walks,
     "walks_multi": q_walks_multi,
     "walks_weighted": q_walks_weighted,
@@ -1896,6 +2008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bipartite_edges": q_bipartite_edges,
     "bipartite_degrees": q_bipartite_degrees,
     "degree_histogram": q_degree_histogram,
+    "sessions": q_sessions,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -1932,6 +2045,7 @@ ORACLE_SQL: dict[str, str] = {
     "core_number": SQL_CORE_NUMBER,
     "trussness": SQL_TRUSSNESS,
     "mis": SQL_MIS,
+    "coloring": SQL_COLORING,
     "walks": SQL_WALKS,
     "walks_multi": SQL_WALKS_MULTI,
     "walks_weighted": SQL_WALKS_WEIGHTED,
@@ -1942,6 +2056,7 @@ ORACLE_SQL: dict[str, str] = {
     "bipartite_edges": SQL_BIPARTITE_EDGES,
     "bipartite_degrees": SQL_BIPARTITE_DEGREES,
     "degree_histogram": SQL_DEGREE_HISTOGRAM,
+    "sessions": SQL_SESSIONS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,

@@ -59,6 +59,7 @@ from mesos_pregel_spark.functions.text import (
 )
 from mesos_pregel_spark.sources.multimodal import decode_features, synthesize_media
 from mesos_pregel_spark.functions.decontam import decontaminate
+from mesos_pregel_spark.functions.packing import pack_concat
 from mesos_pregel_spark.functions.sampling import (
     sample_to_token_budget,
     stratified_sample,
@@ -819,6 +820,30 @@ FROM st
 """
 
 
+_PACK_CHUNK_TOKENS = 512
+
+SQL_PACK_CONCAT = f"""
+WITH base AS (
+  SELECT doc_id, source AS stratum,
+         CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, stratum, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+  FROM base
+)
+SELECT doc_id, stratum, n_tokens, start_tok,
+       start_tok // {_PACK_CHUNK_TOKENS} AS first_chunk,
+       (start_tok + greatest(n_tokens - 1, 0)) // {_PACK_CHUNK_TOKENS}
+         AS last_chunk,
+       ((start_tok + greatest(n_tokens - 1, 0)) // {_PACK_CHUNK_TOKENS})
+         - (start_tok // {_PACK_CHUNK_TOKENS}) + 1 AS n_chunks_spanned
+FROM cum
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -858,6 +883,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _docs(s, d), BUDGET_TOKENS, stratum_col="lang", seed="budget42"),
     "pii_redact": lambda s, d: pii_redact(_pii_injected(s, d)),
     "repetition_ratio": lambda s, d: repetition_stats(_docs(s, d)),
+    "pack_concat": lambda s, d: pack_concat(
+        _docs(s, d), chunk_tokens=_PACK_CHUNK_TOKENS),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -883,4 +910,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "sample_budget": SQL_SAMPLE_BUDGET,
     "pii_redact": SQL_PII_REDACT,
     "repetition_ratio": SQL_REPETITION,
+    "pack_concat": SQL_PACK_CONCAT,
 }

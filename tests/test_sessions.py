@@ -1,0 +1,115 @@
+"""Gap-based sessionization (functions/sessions.py) vs a hand-rolled
+python oracle: boundary strictness, per-user independence, stable
+(ts, event_id) tiebreak, rollup stats."""
+
+import datetime as dt
+from collections import defaultdict
+
+from mesos_pregel_spark.functions.sessions import session_stats, sessionize
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ev(eid, user, sec, typ="click", micro=0):
+    return (eid, T0 + dt.timedelta(seconds=sec, microseconds=micro),
+            user, typ, 1.0, "{}")
+
+
+SCHEMA = ("event_id long, ts timestamp_ntz, user_id long,"
+          " event_type string, value double, props string")
+
+
+def _oracle(rows, gap_us):
+    epoch = dt.datetime(1970, 1, 1)
+    by_user = defaultdict(list)
+    for eid, ts, user, typ, _v, _p in rows:
+        us = (ts - epoch) // dt.timedelta(microseconds=1)
+        by_user[user].append((ts, eid, typ, us))
+    out = {}
+    for user, evs in by_user.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        idx = 0
+        prev = None
+        for ts, eid, typ, us in evs:
+            if prev is None or us - prev > gap_us:
+                idx += 1
+            out[(user, eid)] = (idx, typ, us)
+            prev = us
+    return out
+
+
+def test_sessionize_boundaries(spark):
+    gap = 60 * 1_000_000  # 1 minute
+    rows = [
+        _ev(1, 7, 0), _ev(2, 7, 30), _ev(3, 7, 90),      # 30s in, 60s gap
+        _ev(4, 7, 150, micro=1),                          # 60s + 1us -> new
+        _ev(5, 9, 0), _ev(6, 9, 61),                      # other user
+        _ev(7, 9, 61, typ="view", micro=0),               # eid tiebreak
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in sessionize(df, gap_us=gap).collect()
+    }
+    want = _oracle(rows, gap)
+    assert got == {k: v[0] for k, v in want.items()}
+    # exact boundary: gap of exactly 60s does NOT split (strict >)
+    assert got[(7, 3)] == got[(7, 2)]
+    # 60s + 1us DOES split
+    assert got[(7, 4)] == got[(7, 3)] + 1
+
+
+def test_session_stats_rollup(spark):
+    gap = 60 * 1_000_000
+    rows = [
+        _ev(1, 7, 0), _ev(2, 7, 30, typ="view"), _ev(3, 7, 300),
+        _ev(4, 9, 0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"], r["duration_us"], r["n_types"]
+        )
+        for r in session_stats(df, gap_us=gap).collect()
+    }
+    assert got[(7, 1)] == (2, 30_000_000, 2)
+    assert got[(7, 2)] == (1, 0, 1)
+    assert got[(9, 1)] == (1, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# concat-and-chunk packing (functions/packing.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_concat_spans(spark):
+    from mesos_pregel_spark.functions.packing import pack_concat
+
+    docs = spark.createDataFrame(
+        [
+            # stratum A: 3+4+5 tokens, chunk=4
+            (1, "a b c", "A"),
+            (2, "d e f g", "A"),
+            (3, "h i j k l", "A"),
+            # stratum B independent
+            (10, "x y", "B"),
+            # empty doc: 1 token after normalization ('' splits to [''])
+            (11, "", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_tok"], r["first_chunk"],
+            r["last_chunk"], r["n_chunks_spanned"],
+        )
+        for r in pack_concat(docs, chunk_tokens=4).collect()
+    }
+    # A: doc1 tokens 0-2 (chunk 0); doc2 tokens 3-6 (chunks 0-1);
+    #    doc3 tokens 7-11 (chunks 1-2)
+    assert got[1] == (3, 0, 0, 0, 1)
+    assert got[2] == (4, 3, 0, 1, 2)
+    assert got[3] == (5, 7, 1, 2, 2)
+    # B restarts at 0
+    assert got[10] == (2, 0, 0, 0, 1)
+    assert got[11] == (1, 2, 0, 0, 1)
