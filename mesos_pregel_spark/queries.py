@@ -1237,6 +1237,96 @@ SELECT actor, color FROM c{steps}
 SQL_COLORING = _sql_coloring()
 
 
+_COLORING_SPEC_STEPS = 10
+
+
+def q_coloring_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative coloring (the scale path: parallel tentative bids,
+    per-color deterministic conflict resolution, one-round mask lag —
+    algos/coloring.py::speculative_coloring) on the same bipartite
+    substrate.  Converges in 3 rounds here (2 colors); the oracle
+    unrolls the identical 10-round schedule — monotone, so capped ==
+    unrolled with -1 past the cap on both sides."""
+    from mesos_pregel_spark.algos.coloring import speculative_coloring
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    colors, _run = speculative_coloring(
+        spark, e, max_supersteps=_COLORING_SPEC_STEPS, edge_partitions=8
+    )
+    return colors.select(F.col("id").alias("actor"), "color")
+
+
+def _sql_coloring_spec(steps: int = _COLORING_SPEC_STEPS) -> str:
+    """Unrolled speculative-coloring transitions: per-(dst, tent) min
+    candidacy over uncolored bidders, bit_or of fresh winners' color
+    bits, lag guard via the old mask's lowest zero bit."""
+    mex_v = "CAST(log2(CAST(((~v.mask) & (v.mask + 1)) AS DOUBLE)) AS INT)"
+    parts = ["""
+WITH e AS (
+  SELECT 'c:' || o_custkey AS s, 's:' || l_suppkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+sc0 AS MATERIALIZED (
+  SELECT DISTINCT s AS actor, MD5(s) AS p, -1 AS color,
+         CAST(0 AS BIGINT) AS mask, 0 AS fresh
+  FROM sym
+)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+tq{k} AS (
+  SELECT actor, p,
+         CAST(log2(CAST(((~mask) & (mask + 1)) AS DOUBLE)) AS INT) AS tent
+  FROM sc{k-1} WHERE color = -1),
+mc{k} AS (
+  SELECT sym.d AS actor, q.tent, MIN(q.p || '|' || q.actor) AS cand
+  FROM sym JOIN tq{k} q ON q.actor = sym.s
+  GROUP BY 1, 2),
+mm{k} AS (
+  SELECT sym.d AS actor,
+         BIT_OR(CASE WHEN q.fresh = 1
+                     THEN (CAST(1 AS BIGINT) << q.color)
+                     ELSE CAST(0 AS BIGINT) END) AS nm
+  FROM sym JOIN sc{k-1} q ON q.actor = sym.s
+  GROUP BY 1),
+sc{k} AS MATERIALIZED (
+  SELECT actor, p,
+         CASE WHEN color <> -1 THEN color
+              WHEN win THEN tent ELSE -1 END AS color,
+         nm2 AS mask,
+         CASE WHEN color = -1 AND win THEN 1 ELSE 0 END AS fresh
+  FROM (
+    SELECT v.actor, v.p, v.color,
+           v.mask | COALESCE(m.nm, CAST(0 AS BIGINT)) AS nm2,
+           {mex_v} AS tent,
+           ((v.mask | COALESCE(m.nm, CAST(0 AS BIGINT)))
+              & ((~v.mask) & (v.mask + 1))) = 0
+             AND (mc.cand IS NULL OR (v.p || '|' || v.actor) < mc.cand)
+             AS win
+    FROM sc{k-1} v
+    LEFT JOIN mm{k} m ON m.actor = v.actor
+    LEFT JOIN mc{k} mc ON mc.actor = v.actor AND mc.tent = {mex_v}
+  ) t
+)""")
+    parts.append(f"""
+SELECT actor, color FROM sc{steps}
+""")
+    return "".join(parts)
+
+
+SQL_COLORING_SPEC = _sql_coloring_spec()
+
+
 # trussness strata-peel schedule (part of the pinned semantics: the
 # oracle unrolls the IDENTICAL (level, round) grid; monotone peeling
 # makes no-op rounds free on both sides).
@@ -1998,6 +2088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trussness": q_trussness,
     "mis": q_mis,
     "coloring": q_coloring,
+    "coloring_spec": q_coloring_spec,
     "walks": q_walks,
     "walks_multi": q_walks_multi,
     "walks_weighted": q_walks_weighted,
@@ -2046,6 +2137,7 @@ ORACLE_SQL: dict[str, str] = {
     "trussness": SQL_TRUSSNESS,
     "mis": SQL_MIS,
     "coloring": SQL_COLORING,
+    "coloring_spec": SQL_COLORING_SPEC,
     "walks": SQL_WALKS,
     "walks_multi": SQL_WALKS_MULTI,
     "walks_weighted": SQL_WALKS_WEIGHTED,

