@@ -125,6 +125,31 @@ def cpu_probe() -> float:
     return round(_CPU_PROBE_OPS / dt / 1e6, 3)
 
 
+def cpu_probe_parallel(workers: int = 8) -> float:
+    """Fixed-work MULTI-PROCESS probe: aggregate Mops/s across
+    ``workers`` simultaneous copies of the single-thread probe.
+    Captures the host's effective PARALLEL capacity, which the
+    single-thread probe cannot: the r4 scaling runs measured local[8]
+    at ~5.0M edges/s in two sessions whose single-thread factors
+    disagreed by 1.5x, while local[2] reproduced r3 exactly — i.e.
+    the sandbox's parallel capacity (not its per-core speed) is the
+    fluctuating quantity, and only a concurrent probe sees it."""
+    import concurrent.futures
+
+    t = time.monotonic()
+    with concurrent.futures.ProcessPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(_probe_work, range(workers)))
+    dt = time.monotonic() - t
+    return round(workers * _CPU_PROBE_OPS / dt / 1e6, 3)
+
+
+def _probe_work(_i: int) -> int:
+    x = 0
+    for i in range(_CPU_PROBE_OPS):
+        x = (x * 1103515245 + 12345 + i) & 0xFFFFFFFFFFFF
+    return x
+
+
 def spark_probe(spark) -> float:
     """Fixed tiny Spark job (64M-row xxhash64 sum, 32 fixed
     partitions): wall seconds.  Captures JVM/parallel throughput drift
@@ -202,6 +227,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         return not ONLY or name in ONLY
 
     cpu_mops_start = cpu_probe()
+    cpu_par_start = cpu_probe_parallel()
     spark = get_spark(
         app_name=f"bench-{cpus}", cores=cpus,
         # Iterative-loop A/B at 1M edges / 18 supersteps: partitions =
@@ -668,6 +694,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     spark_probe_end = spark_probe(spark)
     spark.stop()
     cpu_mops_end = cpu_probe()
+    cpu_par_end = cpu_probe_parallel()
     mops_avg = (cpu_mops_start + cpu_mops_end) / 2
     # host_speed_factor: >1 = faster than the pinned r4 reference host,
     # <1 = slower.  normalized_time = raw * factor ≈ what the workload
@@ -685,6 +712,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "value_normalized": round(total * factor, 3),
         "calibration": {
             "cpu_mops": {"start": cpu_mops_start, "end": cpu_mops_end},
+            "cpu_mops_parallel8": {
+                "start": cpu_par_start, "end": cpu_par_end,
+            },
             "spark_probe_sec": {
                 "start": spark_probe_start, "end": spark_probe_end,
             },
