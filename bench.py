@@ -150,6 +150,44 @@ def _probe_work(_i: int) -> int:
     return x
 
 
+def io_probe(size_mb: int = 256) -> dict:
+    """Fixed-work disk probe: fsync'd sequential write + cold-ish read
+    of ``size_mb`` MiB in /tmp (where Spark shuffle/spill lands),
+    MB/s each way.  Completes the calibration triad — run #3 of the
+    r4 scaling measured local[4] ABSOLUTELY SLOWER than local[1] while
+    both CPU probes read healthy, and this probe found why: the
+    sandbox disk was writing at ~10 MB/s (read ~170), so any job whose
+    shuffle exceeds page cache serializes on the write path and extra
+    cores only add seek contention."""
+    import tempfile
+
+    chunk = b"\xa5" * (8 * 1024 * 1024)
+    path = None
+    try:
+        with tempfile.NamedTemporaryFile(
+            dir="/tmp", suffix=".ioprobe", delete=False
+        ) as f:
+            path = f.name
+            t = time.monotonic()
+            for _ in range(size_mb // 8):
+                f.write(chunk)
+            f.flush()
+            os.fsync(f.fileno())
+            w = time.monotonic() - t
+        t = time.monotonic()
+        with open(path, "rb") as f:
+            while f.read(8 * 1024 * 1024):
+                pass
+        r = time.monotonic() - t
+        return {
+            "write_mb_s": round(size_mb / w, 1),
+            "read_mb_s": round(size_mb / r, 1),
+        }
+    finally:
+        if path and os.path.exists(path):
+            os.remove(path)
+
+
 def spark_probe(spark) -> float:
     """Fixed tiny Spark job (64M-row xxhash64 sum, 32 fixed
     partitions): wall seconds.  Captures JVM/parallel throughput drift
@@ -228,6 +266,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     cpu_mops_start = cpu_probe()
     cpu_par_start = cpu_probe_parallel()
+    io_start = io_probe()
     spark = get_spark(
         app_name=f"bench-{cpus}", cores=cpus,
         # Iterative-loop A/B at 1M edges / 18 supersteps: partitions =
@@ -695,6 +734,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     spark.stop()
     cpu_mops_end = cpu_probe()
     cpu_par_end = cpu_probe_parallel()
+    io_end = io_probe()
     mops_avg = (cpu_mops_start + cpu_mops_end) / 2
     # host_speed_factor: >1 = faster than the pinned r4 reference host,
     # <1 = slower.  normalized_time = raw * factor ≈ what the workload
@@ -715,6 +755,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "cpu_mops_parallel8": {
                 "start": cpu_par_start, "end": cpu_par_end,
             },
+            "io_mb_s": {"start": io_start, "end": io_end},
             "spark_probe_sec": {
                 "start": spark_probe_start, "end": spark_probe_end,
             },
