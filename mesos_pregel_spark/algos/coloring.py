@@ -25,25 +25,33 @@ oracle in tests/test_coloring.py):
   at the cap report color -1 on both sides.
 
 Execution shape (design-for-100x): one scatter per superstep over
-src-partitioned symmetrized edges with two MERGEABLE combiners — min
-of the candidacy struct and bit_or of (1 << color) — i.e. CC's
-shuffle economics; neighbor color SETS are never shuffled, only their
-64-bit union (Pregel combiner discipline, SURVEY §2.1 P2).  The mask
-bounds palette size at 62; Jones-Plassmann uses ~degeneracy+1 colors
-(a handful on power-law link graphs), and the engine RAISES loudly —
-never answers wrong — if a vertex's neighborhood saturates the mask
-(the chunked multi-mask extension is mechanical when a graph needs
-it).
+src-partitioned symmetrized edges with MERGEABLE combiners — min of
+the candidacy struct and bit_or of (1 << color) — i.e. CC's shuffle
+economics; neighbor color SETS are never shuffled, only their 64-bit
+unions (Pregel combiner discipline, SURVEY §2.1 P2).
 
-mex(mask) is extracted without iteration: lowbit = ~mask & (mask+1)
-is the lowest zero bit as an exact power of two, and log2 of an exact
-power of two is exact in IEEE — Spark and DuckDB produce the identical
-integer.
+CHUNKED masks (r4 verdict task #6): the palette is ``mask_chunks``
+64-bit columns of MAX_COLORS usable bits each — palette size
+MAX_COLORS * mask_chunks.  Chunk layout: color c lives in chunk
+``c div MAX_COLORS`` at bit ``c % MAX_COLORS``; the minimum excludant
+is taken in the FIRST non-full chunk via the same lowbit identity
+(``~m & (m+1)`` is the lowest zero bit as an exact power of two, and
+log2 of an exact power of two is exact in IEEE — Spark and DuckDB
+produce the identical integer).  mask_chunks=1 is bit-identical to the
+pre-chunk engine.  The engine still RAISES loudly — never answers
+wrong — if a run saturates its configured palette;
+``greedy_coloring(variant="auto")`` escalates chunks and retries.
+
+``greedy_coloring`` is the user entry point: on large graphs it
+delegates to ``speculative_coloring`` (the scale path — JP's round
+count is the priority-DAG depth, measured 50+ rounds on the 1M-edge
+zipf bench graph where speculative converges in ~23); pass
+``variant="jp"`` for the pinned greedy-order-exact semantics.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mesos_pregel_spark.functions.edges import symmetrize
@@ -54,10 +62,108 @@ _UNCOLORED = -1
 # 62 usable color bits in a signed 64-bit mask (bit 63 is the sign;
 # bit 62 is kept clear so mask+1 in the mex trick cannot overflow).
 MAX_COLORS = 62
+# greedy_coloring(variant="auto"): graphs with more edges than this
+# use the speculative scale path (JP kept for pinned-oracle semantics).
+SPEC_EDGE_THRESHOLD = 2_000_000
+# auto palette escalation cap: 8 chunks * 62 = 496 colors; beyond that
+# the graph's degeneracy is the problem, not the mask width.
+MAX_AUTO_CHUNKS = 8
 
 
 class ColorMaskSaturated(RuntimeError):
-    """A vertex's neighborhood used all MAX_COLORS mask bits."""
+    """A run used all MAX_COLORS * mask_chunks palette bits."""
+
+
+def _full_mask() -> int:
+    return (1 << MAX_COLORS) - 1
+
+
+def _saturation_halter(k: int):
+    palette = MAX_COLORS * k
+
+    def check_saturation(aggs: dict) -> bool:
+        max_color = aggs.get("max_color")
+        if max_color is not None and max_color >= palette:
+            raise ColorMaskSaturated(
+                f"neighborhood exhausted the {palette}-color palette "
+                f"({k} mask chunk(s) x {MAX_COLORS} bits); pass a larger "
+                "mask_chunks or use greedy_coloring(variant='auto')"
+            )
+        return aggs["uncolored"] == 0
+
+    return check_saturation
+
+
+def _init_state(k: int):
+    def init(e: DataFrame, ctx: dict) -> DataFrame:
+        return (
+            e.select(F.col("src").alias("id")).distinct()
+            .select(
+                "id",
+                F.md5(F.col("id").cast("string")).alias("p"),
+                F.lit(_UNCOLORED).cast("int").alias("color"),
+                *[F.lit(0).cast("long").alias(f"mask{i}") for i in range(k)],
+                F.lit(0).cast("int").alias("fresh"),
+            )
+        )
+
+    return init
+
+
+def _cmask_msgs(k: int) -> list[Column]:
+    """Fresh winners scatter their color bit into its chunk, once."""
+    return [
+        F.when(
+            (F.col("fresh") == 1)
+            & (F.expr(f"color div {MAX_COLORS}") == i),
+            # F.shiftleft only takes a literal bit count; the SQL form
+            # shifts by a column
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), color % {MAX_COLORS})"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"cm{i}")
+        for i in range(k)
+    ]
+
+
+def _new_masks(state: DataFrame, combined: DataFrame, k: int) -> list[Column]:
+    return [
+        state[f"mask{i}"].bitwiseOR(
+            F.coalesce(combined[f"nm{i}"], F.lit(0).cast("long"))
+        )
+        for i in range(k)
+    ]
+
+
+def _mex_over(masks: list[Column], k: int) -> Column:
+    """Minimum excludant across chunks: lowbit of the FIRST non-full
+    chunk, offset by its chunk base; MAX_COLORS*k when exhausted (the
+    sentinel assignment trips the saturation halter before it can
+    scatter)."""
+    full = F.lit(_full_mask()).cast("long")
+    expr: Column = F.lit(MAX_COLORS * k).cast("int")
+    for i in reversed(range(k)):
+        m = masks[i]
+        lowbit = F.bitwise_not(m).bitwiseAND(m + F.lit(1).cast("long"))
+        mex_i = (
+            F.log2(lowbit.cast("double")).cast("int")
+            + F.lit(MAX_COLORS * i).cast("int")
+        )
+        expr = F.when(m.bitwiseAND(full) != _full_mask(), mex_i).otherwise(expr)
+    return expr
+
+
+def _mex_sql(k: int) -> str:
+    """The same chunked mex as _mex_over, as a SQL string over the
+    state's mask columns (used in scatter message expressions)."""
+    full = _full_mask()
+    cases = " ".join(
+        f"WHEN (mask{i} & {full}) != {full} THEN "
+        f"CAST(log2(CAST((~mask{i}) & (mask{i} + 1) AS DOUBLE)) AS INT)"
+        f" + {MAX_COLORS * i}"
+        for i in range(k)
+    )
+    return f"CASE {cases} ELSE {MAX_COLORS * k} END"
 
 
 def speculative_coloring(
@@ -67,9 +173,10 @@ def speculative_coloring(
     n_salt: int = 0,
     salt_hot_k: int = 0,
     edge_partitions: int | None = None,
+    mask_chunks: int = 1,
 ) -> tuple[DataFrame, PregelRun]:
     """Speculative coloring with deterministic conflict resolution —
-    the SCALE path (Jones-Plassmann above is the greedy-order-exact
+    the SCALE path (Jones-Plassmann below is the greedy-order-exact
     variant, but its round count is the priority-DAG depth, which on a
     zipf bench graph measured 50+ rounds: dependency CHAINS through
     the dense core color one-at-a-time).  Here every uncolored vertex
@@ -98,23 +205,7 @@ def speculative_coloring(
     LPA's argmax).  active_filter keeps finalized vertices silent
     after their single color-bit send.
     """
-
-    def init(e: DataFrame, ctx: dict) -> DataFrame:
-        return (
-            e.select(F.col("src").alias("id")).distinct()
-            .select(
-                "id",
-                F.md5(F.col("id").cast("string")).alias("p"),
-                F.lit(_UNCOLORED).cast("int").alias("color"),
-                F.lit(0).cast("long").alias("mask"),
-                F.lit(0).cast("int").alias("fresh"),
-            )
-        )
-
-    # mex over the STATE's mask column (valid in scatter-joined rows
-    # and in apply alike): the lowest zero bit is an exact power of
-    # two; log2 of it is exact in IEEE.
-    _mex = "CAST(log2(CAST((~mask) & (mask + 1) AS DOUBLE)) AS INT)"
+    k = mask_chunks
 
     def post_combine(per_tent: DataFrame) -> DataFrame:
         entries = F.filter(
@@ -125,28 +216,36 @@ def speculative_coloring(
             lambda s: s["key"].isNotNull() & s["value"].isNotNull(),
         )
         return per_tent.groupBy("dst").agg(
-            F.bit_or("cm").alias("nbr_mask"),
+            *[F.bit_or(f"cmt{i}").alias(f"nm{i}") for i in range(k)],
             F.map_from_entries(
                 F.when(F.size(entries) > 0, entries)
             ).alias("cand_map"),
         )
 
     def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:
-        lowbit = F.bitwise_not(state["mask"]).bitwiseAND(
-            state["mask"] + F.lit(1).cast("long")
-        )
-        my_tent = F.log2(lowbit.cast("double")).cast("int")
-        new_mask = state["mask"].bitwiseOR(
-            F.coalesce(combined["nbr_mask"], F.lit(0).cast("long"))
-        )
+        state_masks = [state[f"mask{i}"] for i in range(k)]
+        new_masks = _new_masks(state, combined, k)
+        # my_tent = mex over the PRE-union state masks (what this
+        # round's bid message carried)
+        my_tent = _mex_over(state_masks, k)
+        # lag guard, chunk-resolved: the bid is dead if its bit just
+        # arrived from a last-round winner.  For the first non-full
+        # state chunk i the bid bit IS lowbit(state mask_i); test it
+        # against the post-union chunk.
+        alive: Column = F.lit(False)  # palette exhausted -> no win
+        full = F.lit(_full_mask()).cast("long")
+        for i in reversed(range(k)):
+            m = state_masks[i]
+            lowbit = F.bitwise_not(m).bitwiseAND(m + F.lit(1).cast("long"))
+            alive_i = new_masks[i].bitwiseAND(lowbit) == 0
+            alive = F.when(m.bitwiseAND(full) != _full_mask(), alive_i) \
+                .otherwise(alive)
         my = F.struct(state["p"].alias("p"), state["id"].alias("i"))
         nbr = F.element_at(combined["cand_map"], my_tent)
         win = (
             (state["color"] == _UNCOLORED)
             & (nbr.isNull() | (my < nbr))
-            # lag guard: lowbit IS (1 << my_tent) — the bid is dead if
-            # that bit just arrived from a last-round winner
-            & (new_mask.bitwiseAND(lowbit) == 0)
+            & alive
         )
         new_color = (
             F.when(state["color"] != _UNCOLORED, state["color"])
@@ -158,40 +257,30 @@ def speculative_coloring(
         ).select(
             state["id"], state["p"],
             new_color.cast("int").alias("color"),
-            new_mask.alias("mask"),
+            *[new_masks[i].alias(f"mask{i}") for i in range(k)],
             win.cast("int").alias("fresh"),
         )
 
-    def check_saturation(aggs: dict) -> bool:
-        max_color = aggs.get("max_color")
-        if max_color is not None and max_color >= MAX_COLORS:
-            raise ColorMaskSaturated(
-                f"neighborhood exhausted the {MAX_COLORS}-color mask; "
-                "chunk the mask or reduce degeneracy first"
-            )
-        return aggs["uncolored"] == 0
-
     program = VertexProgram(
         name="coloring_spec",
-        init=init,
+        init=_init_state(k),
         prep_edges=lambda e: symmetrize(e.select("src", "dst", "weight"))
         .select("src", "dst"),
         edge_cols=("src", "dst"),
         msg_cols=[
-            F.when(F.col("color") == _UNCOLORED, F.expr(_mex)).alias("tent"),
+            F.when(F.col("color") == _UNCOLORED,
+                   F.expr(_mex_sql(k))).alias("tent"),
             F.when(
                 F.col("color") == _UNCOLORED,
                 F.struct(F.col("p").alias("p"), F.col("src").alias("i")),
             ).alias("cand"),
-            F.when(
-                F.col("fresh") == 1,
-                F.expr("shiftleft(CAST(1 AS BIGINT), color)"),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias("cmask"),
+            *_cmask_msgs(k),
         ],
         combine_keys=("dst", "tent"),
-        combiner={"cand_min": ("cand", "min"), "cm": ("cmask", "bit_or")},
+        combiner={
+            "cand_min": ("cand", "min"),
+            **{f"cmt{i}": (f"cm{i}", "bit_or") for i in range(k)},
+        },
         post_combine=post_combine,
         active_filter=(F.col("color") == _UNCOLORED) | (F.col("fresh") == 1),
         apply=apply,
@@ -199,8 +288,90 @@ def speculative_coloring(
             F.sum((F.col("color") == _UNCOLORED).cast("long")).alias("uncolored"),
             F.max("color").alias("max_color"),
         ],
-        halt=check_saturation,
+        halt=_saturation_halter(k),
         finalize=lambda s: s.select("id", "color"),
+        converged_at_cap=True,
+    )
+    return pregel(
+        spark, edges, program,
+        max_supersteps=max_supersteps,
+        n_salt=n_salt, salt_hot_k=salt_hot_k,
+        edge_partitions=edge_partitions,
+    )
+
+
+def jones_plassmann(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_supersteps: int = 50,
+    n_salt: int = 0,
+    salt_hot_k: int = 0,
+    edge_partitions: int | None = None,
+    mask_chunks: int = 1,
+) -> tuple[DataFrame, PregelRun]:
+    """Jones-Plassmann greedy coloring (greedy-order-exact).  Returns
+    (colors(id, color), run); color = -1 iff uncolored at the cap."""
+    k = mask_chunks
+
+    def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:
+        # NB: Column.__or__/__and__ are LOGICAL ops in PySpark; the
+        # mask arithmetic must use the explicit bitwise methods.
+        new_masks = _new_masks(state, combined, k)
+        my = F.struct(state["p"].alias("p"), state["id"].alias("i"))
+        win = (state["color"] == _UNCOLORED) & (
+            combined["cand_min"].isNull() | (my < combined["cand_min"])
+        )
+        mex = _mex_over(new_masks, k)
+        new_color = (
+            F.when(state["color"] != _UNCOLORED, state["color"])
+            .when(win, mex)
+            .otherwise(F.lit(_UNCOLORED))
+        )
+        return state.join(
+            combined, state["id"] == combined["dst"], "left_outer"
+        ).select(
+            state["id"], state["p"],
+            new_color.cast("int").alias("color"),
+            *[new_masks[i].alias(f"mask{i}") for i in range(k)],
+            win.cast("int").alias("fresh"),
+        )
+
+    program = VertexProgram(
+        name="coloring",
+        init=_init_state(k),
+        prep_edges=lambda e: symmetrize(e.select("src", "dst", "weight"))
+        .select("src", "dst"),
+        edge_cols=("src", "dst"),
+        msg_cols=[
+            F.when(
+                F.col("color") == _UNCOLORED,
+                F.struct(F.col("p").alias("p"), F.col("src").alias("i")),
+            ).alias("cand"),
+            *_cmask_msgs(k),
+        ],
+        # SEND-ONCE: a winner scatters its color bit exactly once (the
+        # superstep after it wins — `fresh`); uncolored neighbors
+        # accumulate bits in their state mask, so by any later win the
+        # mask is complete.  Late supersteps therefore scatter only
+        # the uncolored frontier + the last round's winners — CC's
+        # vote-to-halt economics instead of a whole-graph rebroadcast
+        # every round (measured 46s -> frontier-bound on the 1M-edge
+        # zipf bench graph).  Final colors are identical to the
+        # resend-forever formulation (bits present from win+1 onward
+        # either way), so the unrolled oracle is unchanged.
+        active_filter=(F.col("color") == _UNCOLORED) | (F.col("fresh") == 1),
+        combiner={
+            "cand_min": ("cand", "min"),
+            **{f"nm{i}": (f"cm{i}", "bit_or") for i in range(k)},
+        },
+        apply=apply,
+        aggregators=[
+            F.sum((F.col("color") == _UNCOLORED).cast("long")).alias("uncolored"),
+            F.max("color").alias("max_color"),
+        ],
+        halt=_saturation_halter(k),
+        finalize=lambda s: s.select("id", "color"),
+        # monotone color/mask lattice: capped == unrolled
         converged_at_cap=True,
     )
     return pregel(
@@ -218,104 +389,47 @@ def greedy_coloring(
     n_salt: int = 0,
     salt_hot_k: int = 0,
     edge_partitions: int | None = None,
+    variant: str = "auto",
+    mask_chunks: int = 1,
 ) -> tuple[DataFrame, PregelRun]:
-    """Jones-Plassmann greedy coloring.  Returns
-    (colors(id, color), run); color = -1 iff uncolored at the cap."""
+    """User entry point (r4 verdict task #8).
 
-    def init(e: DataFrame, ctx: dict) -> DataFrame:
-        return (
-            e.select(F.col("src").alias("id")).distinct()
-            .select(
-                "id",
-                F.md5(F.col("id").cast("string")).alias("p"),
-                F.lit(_UNCOLORED).cast("int").alias("color"),
-                F.lit(0).cast("long").alias("mask"),
-                F.lit(0).cast("int").alias("fresh"),
+    - ``variant="auto"`` (default): bounded size probe (scans at most
+      SPEC_EDGE_THRESHOLD+1 edge rows) picks the speculative scale
+      path for large graphs and exact Jones-Plassmann for small ones;
+      on palette saturation the auto path DOUBLES mask_chunks and
+      retries (up to MAX_AUTO_CHUNKS) instead of raising.
+    - ``variant="jp"`` / ``variant="spec"``: pinned implementation, no
+      retry — saturation raises (the oracle-pinned contract).
+
+    The choice is recorded in ``run.params`` (coloring_variant,
+    mask_chunks)."""
+    if variant == "auto":
+        big = (
+            edges.limit(SPEC_EDGE_THRESHOLD + 1).count()
+            > SPEC_EDGE_THRESHOLD
+        )
+        impl = "spec" if big else "jp"
+    elif variant in ("jp", "spec"):
+        impl = variant
+    else:
+        raise ValueError(f"unknown coloring variant: {variant!r}")
+
+    fn = speculative_coloring if impl == "spec" else jones_plassmann
+    k = mask_chunks
+    while True:
+        try:
+            result, run = fn(
+                spark, edges,
+                max_supersteps=max_supersteps,
+                n_salt=n_salt, salt_hot_k=salt_hot_k,
+                edge_partitions=edge_partitions,
+                mask_chunks=k,
             )
-        )
-
-    def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:
-        # NB: Column.__or__/__and__ are LOGICAL ops in PySpark; the
-        # mask arithmetic must use the explicit bitwise methods.
-        new_mask = state["mask"].bitwiseOR(
-            F.coalesce(combined["nbr_mask"], F.lit(0).cast("long"))
-        )
-        my = F.struct(state["p"].alias("p"), state["id"].alias("i"))
-        win = (state["color"] == _UNCOLORED) & (
-            combined["cand_min"].isNull() | (my < combined["cand_min"])
-        )
-        lowbit = F.bitwise_not(new_mask).bitwiseAND(
-            new_mask + F.lit(1).cast("long")
-        )
-        mex = F.log2(lowbit.cast("double")).cast("int")
-        new_color = (
-            F.when(state["color"] != _UNCOLORED, state["color"])
-            .when(win, mex)
-            .otherwise(F.lit(_UNCOLORED))
-        )
-        return state.join(
-            combined, state["id"] == combined["dst"], "left_outer"
-        ).select(
-            state["id"], state["p"],
-            new_color.cast("int").alias("color"),
-            new_mask.alias("mask"),
-            win.cast("int").alias("fresh"),
-        )
-
-    def check_saturation(aggs: dict) -> bool:
-        max_color = aggs.get("max_color")
-        if max_color is not None and max_color >= MAX_COLORS:
-            raise ColorMaskSaturated(
-                f"neighborhood exhausted the {MAX_COLORS}-color mask; "
-                "chunk the mask or reduce degeneracy first"
-            )
-        return aggs["uncolored"] == 0
-
-    program = VertexProgram(
-        name="coloring",
-        init=init,
-        prep_edges=lambda e: symmetrize(e.select("src", "dst", "weight"))
-        .select("src", "dst"),
-        edge_cols=("src", "dst"),
-        msg_cols=[
-            F.when(
-                F.col("color") == _UNCOLORED,
-                F.struct(F.col("p").alias("p"), F.col("src").alias("i")),
-            ).alias("cand"),
-            F.when(
-                F.col("fresh") == 1,
-                # F.shiftleft only takes a literal bit count; the SQL
-                # form shifts by a column
-                F.expr("shiftleft(CAST(1 AS BIGINT), color)"),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias("cmask"),
-        ],
-        # SEND-ONCE: a winner scatters its color bit exactly once (the
-        # superstep after it wins — `fresh`); uncolored neighbors
-        # accumulate bits in their state mask, so by any later win the
-        # mask is complete.  Late supersteps therefore scatter only
-        # the uncolored frontier + the last round's winners — CC's
-        # vote-to-halt economics instead of a whole-graph rebroadcast
-        # every round (measured 46s -> frontier-bound on the 1M-edge
-        # zipf bench graph).  Final colors are identical to the
-        # resend-forever formulation (bits present from win+1 onward
-        # either way), so the unrolled oracle is unchanged.
-        active_filter=(F.col("color") == _UNCOLORED) | (F.col("fresh") == 1),
-        combiner={"cand_min": ("cand", "min"), "nbr_mask": ("cmask", "bit_or")},
-        apply=apply,
-        aggregators=[
-            F.sum((F.col("color") == _UNCOLORED).cast("long")).alias("uncolored"),
-            F.max("color").alias("max_color"),
-        ],
-        halt=check_saturation,
-        finalize=lambda s: s.select("id", "color"),
-        # monotone color/mask lattice: capped == unrolled
-        converged_at_cap=True,
-    )
-    return pregel(
-        spark, edges, program,
-        max_supersteps=max_supersteps,
-        n_salt=n_salt, salt_hot_k=salt_hot_k,
-        edge_partitions=edge_partitions,
-    )
+            run.params["coloring_variant"] = impl
+            run.params["mask_chunks"] = k
+            return result, run
+        except ColorMaskSaturated:
+            if variant != "auto" or k >= MAX_AUTO_CHUNKS:
+                raise
+            k = min(k * 2, MAX_AUTO_CHUNKS)

@@ -47,6 +47,10 @@ class PregelRun:
         self.ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
         self.resumed_final = False
         self._live: DataFrame | None = None
+        self._retired: list[DataFrame] = []
+        # the loop-owned persisted edge table (program.py sets/clears
+        # it) — released with the live state on the failure path
+        self._edges_live: DataFrame | None = None
         self._t0 = time.monotonic()
 
     # ---- resume ------------------------------------------------------
@@ -124,18 +128,44 @@ class PregelRun:
             # pathology).
             new = truncate_plan(vertices, eager=False)
         if self._live is not None:
-            try:
-                self._live.unpersist()
-            except Exception:
-                pass
+            # retire, don't unpersist yet: the NEW state's checkpoint is
+            # LAZY — its first action still reads the previous state's
+            # checkpoint RDD.  reap() (called from aggregators(), i.e.
+            # right after that action) does the actual release.
+            self._retired.append(self._live)
         self._live = new
         return new
+
+    def reap(self) -> None:
+        """Release superseded state caches.  Safe only AFTER an action
+        has materialized the current state (the per-superstep aggregator
+        collect): then the previous checkpoint RDD is truly
+        unreferenced.  ``DataFrame.unpersist`` alone is a no-op for
+        localCheckpoint RDDs (RDD-level persistence, not CacheManager
+        entries), so superseded supersteps otherwise accumulate until
+        JVM GC + ContextCleaner — at hundreds of supersteps that is
+        real executor storage memory."""
+        for df in self._retired:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+            jrdd = getattr(df, "_ck_jrdd", None)
+            if jrdd is not None:
+                try:
+                    jrdd.unpersist(False)
+                except Exception:
+                    pass
+        self._retired = []
 
     # ---- aggregators (P5) --------------------------------------------
     def aggregators(self, df: DataFrame, exprs: Sequence[Column]) -> dict:
         """Global commutative/associative reductions for this superstep
         [P §3.3] — one agg job, one driver collect."""
         row = df.agg(*exprs).collect()[0]
+        # this collect materialized the current (lazily checkpointed)
+        # state — the superseded one can now be dropped
+        self.reap()
         return row.asDict()
 
     def record(self, **metrics) -> dict:
@@ -149,6 +179,27 @@ class PregelRun:
 
     def next_superstep(self) -> None:
         self.superstep += 1
+
+    def release(self) -> None:
+        """Failure-path cache hygiene (r4 ADVICE): a raising halt/apply
+        hook (e.g. ColorMaskSaturated) aborts the loop mid-superstep —
+        drop the persisted live state so the MEMORY_AND_DISK copy does
+        not leak for the rest of the Spark session."""
+        self.reap()
+        for attr in ("_live", "_edges_live"):
+            df = getattr(self, attr)
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+                jrdd = getattr(df, "_ck_jrdd", None)
+                if jrdd is not None:
+                    try:
+                        jrdd.unpersist(False)
+                    except Exception:
+                        pass
+                setattr(self, attr, None)
 
     def finish(
         self, vertices: DataFrame, converged: bool = True, meta: dict | None = None

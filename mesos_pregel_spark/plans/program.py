@@ -180,6 +180,12 @@ def pregel(
             edge_partitions=edge_partitions,
             adaptive=adaptive,
         )
+    except BaseException:
+        # raising halt/apply hooks (e.g. ColorMaskSaturated) abort the
+        # loop mid-superstep — drop the persisted state + owned edge
+        # cache instead of leaking them for the session (r4 ADVICE)
+        run.release()
+        raise
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
@@ -230,6 +236,7 @@ def _pregel_loop(
         )
         n_edges = e.count()
         owned_edges = True
+        run._edges_live = e
     elif edge_partitions == 0:
         # Pre-partitioned fast path: the caller took over edge prep.
         # Round-2 prep became SEMANTIC (symmetrize for cc/lpa/kcore,
@@ -254,6 +261,7 @@ def _pregel_loop(
         e = program.prep_edges(edges) if program.prep_edges else edges
         e = e.repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
         n_edges = e.count()
+        run._edges_live = e
 
     if adaptive is None:
         adaptive = n_edges > AQE_EDGE_THRESHOLD
@@ -328,6 +336,7 @@ def _pregel_loop(
                 if owned_edges:
                     e.unpersist()
                 e, owned_edges = new_e, True
+                run._edges_live = e
                 ctx["n_edges"] = n_edges
                 run.metrics[-1]["edges_after_mutation"] = n_edges
             # Topology checkpointing: if this superstep's vertex state
@@ -344,6 +353,7 @@ def _pregel_loop(
     )
     if owned_edges:
         e.unpersist()
+    run._edges_live = None
     return result, run
 
 

@@ -53,6 +53,17 @@ def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:
         j2 = spark._jsparkSession.internalCreateDataFrame(
             jrdd, jdf.schema(), False
         )
-        return DataFrame(j2, spark)
+        out = DataFrame(j2, spark)
+        try:
+            # Handle to the PERSISTED checkpoint RDD (LogicalRDD.rdd —
+            # NOT queryExecution().toRdd(), which wraps it in a fresh
+            # MapPartitionsRDD).  DataFrame.unpersist is a no-op for
+            # localCheckpoint persistence (RDD-level, not CacheManager),
+            # so without this handle superseded superstep states linger
+            # until JVM GC + ContextCleaner — see PregelRun.reap.
+            out._ck_jrdd = jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            pass
+        return out
     except Exception:  # pragma: no cover - non-classic sessions
         return ck

@@ -98,14 +98,98 @@ def test_partition_invariance(spark):
 def test_mask_saturation_raises(spark, monkeypatch):
     # A real 62-color saturation needs a 63+-clique (dozens of
     # supersteps); the guard logic is level-independent, so lower the
-    # cap and drive a 6-clique (needs 6 colors) into it.
+    # cap and drive a 6-clique (needs 6 colors) into it.  variant="jp"
+    # pins no-retry semantics (auto would escalate chunks instead).
     import mesos_pregel_spark.algos.coloring as mod
 
     monkeypatch.setattr(mod, "MAX_COLORS", 3)
     verts = [f"k{i}" for i in range(6)]
     pairs = [(a, b) for i, a in enumerate(verts) for b in verts[i + 1:]]
     with pytest.raises(ColorMaskSaturated):
-        greedy_coloring(spark, _df(spark, pairs), max_supersteps=20)
+        greedy_coloring(spark, _df(spark, pairs), max_supersteps=20,
+                        variant="jp")
+
+
+def test_mask_saturation_does_not_leak_cache(spark, monkeypatch):
+    """r4 ADVICE: ColorMaskSaturated fires from halt() mid-loop — the
+    persisted edge table and live state must be released, not leak for
+    the rest of the session."""
+    import mesos_pregel_spark.algos.coloring as mod
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    monkeypatch.setattr(mod, "MAX_COLORS", 3)
+    verts = [f"k{i}" for i in range(6)]
+    pairs = [(a, b) for i, a in enumerate(verts) for b in verts[i + 1:]]
+    with pytest.raises(ColorMaskSaturated):
+        greedy_coloring(spark, _df(spark, pairs), max_supersteps=20,
+                        variant="jp")
+    assert jsc.getPersistentRDDs().size() <= before
+
+
+# ---------------------------------------------------------------------------
+# chunked multi-mask palette (>MAX_COLORS colors; r4 verdict task #6)
+# ---------------------------------------------------------------------------
+
+
+def test_chunked_mask_colors_beyond_single_chunk(spark, monkeypatch):
+    """Planted >1-chunk-chromatic core: with MAX_COLORS=3 a 7-clique
+    needs 7 colors > one chunk (3) and > two chunks (6); mask_chunks=3
+    (palette 9) must color it correctly and exactly like the
+    sequential greedy oracle — the saturation raise flips to a correct
+    coloring."""
+    import mesos_pregel_spark.algos.coloring as mod
+
+    monkeypatch.setattr(mod, "MAX_COLORS", 3)
+    verts = [f"k{i}" for i in range(7)]
+    pairs = [(a, b) for i, a in enumerate(verts) for b in verts[i + 1:]]
+    colors, run = greedy_coloring(
+        spark, _df(spark, pairs), max_supersteps=20, variant="jp",
+        mask_chunks=3,
+    )
+    got = _collect(colors)
+    assert got == _greedy_oracle(pairs)
+    assert max(got.values()) == 6  # colors 0..6 span three 3-bit chunks
+
+
+def test_auto_variant_escalates_chunks_on_saturation(spark, monkeypatch):
+    """variant='auto' must retry with a doubled palette instead of
+    raising: k=1 (3 colors) and k=2 (6) saturate on a 7-clique; k=4
+    (12) succeeds.  The chosen parameters are recorded on the run."""
+    import mesos_pregel_spark.algos.coloring as mod
+
+    monkeypatch.setattr(mod, "MAX_COLORS", 3)
+    verts = [f"k{i}" for i in range(7)]
+    pairs = [(a, b) for i, a in enumerate(verts) for b in verts[i + 1:]]
+    colors, run = greedy_coloring(
+        spark, _df(spark, pairs), max_supersteps=20,
+    )
+    got = _collect(colors)
+    assert got == _greedy_oracle(pairs)
+    assert run.params["coloring_variant"] == "jp"
+    assert run.params["mask_chunks"] == 4
+
+
+def test_chunked_speculative_coloring(spark, monkeypatch):
+    """The speculative scale path under chunked masks: proper coloring,
+    all vertices colored, palette spanning multiple chunks."""
+    import mesos_pregel_spark.algos.coloring as mod
+    from mesos_pregel_spark.algos.coloring import speculative_coloring
+
+    monkeypatch.setattr(mod, "MAX_COLORS", 3)
+    verts = [f"k{i}" for i in range(7)]
+    clique = [(a, b) for i, a in enumerate(verts) for b in verts[i + 1:]]
+    pairs = clique + [("k0", "x1"), ("x1", "x2"), ("x2", "k3")]
+    colors, run = speculative_coloring(
+        spark, _df(spark, pairs), max_supersteps=30, mask_chunks=3,
+    )
+    got = _collect(colors)
+    adj = _adj(pairs)
+    assert all(c != -1 for c in got.values())
+    for v, nbrs in adj.items():
+        for n in nbrs:
+            assert got[v] != got[n], (v, n)
+    assert max(got[v] for v in verts) == 6  # the clique spans 3 chunks
 
 
 # ---------------------------------------------------------------------------

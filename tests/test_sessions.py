@@ -113,3 +113,68 @@ def test_pack_concat_spans(spark):
     # B restarts at 0
     assert got[10] == (2, 0, 0, 0, 1)
     assert got[11] == (1, 2, 0, 0, 1)
+
+
+def test_pack_concat_distributed_prefix_sum_skew(spark):
+    """Scale contract (r4 verdict #2): a dominant stratum must NOT be
+    one serial window partition.  80% of docs in one stratum; with the
+    two-phase prefix sum the big stratum spans multiple range
+    partitions (>1 task), and start_tok still equals the single-stream
+    running sum."""
+    import random
+
+    from mesos_pregel_spark.functions.packing import pack_concat
+
+    rng = random.Random(42)
+    rows = []
+    for doc_id in range(4000):
+        stratum = "big" if doc_id % 5 != 0 else f"s{doc_id % 3}"
+        n_words = rng.randrange(1, 12)
+        rows.append((doc_id, " ".join(["w"] * n_words), stratum))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = pack_concat(docs, chunk_tokens=7, partitions=8, _keep_pid=True)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    # the dominant stratum is processed by >1 physical partition — the
+    # serial-per-stratum WindowExec shape is structurally impossible
+    big_pids = {r["pid"] for r in got.values() if r["stratum"] == "big"}
+    assert len(big_pids) > 1, f"dominant stratum serialized: pids={big_pids}"
+
+    # exact single-stream oracle: running sum per stratum in doc_id order
+    expect_start: dict = {}
+    running: dict = {}
+    for doc_id, text, stratum in sorted(rows):
+        n_tok = len(text.split(" ")) if text else 1
+        expect_start[doc_id] = (stratum, n_tok, running.get(stratum, 0))
+        running[stratum] = running.get(stratum, 0) + n_tok
+    assert len(got) == len(rows)
+    for doc_id, (stratum, n_tok, start) in expect_start.items():
+        r = got[doc_id]
+        assert (r["stratum"], r["n_tokens"], r["start_tok"]) == (
+            stratum, n_tok, start), doc_id
+        assert r["first_chunk"] == start // 7
+        assert r["last_chunk"] == (start + max(n_tok - 1, 0)) // 7
+        assert r["n_chunks_spanned"] == r["last_chunk"] - r["first_chunk"] + 1
+
+
+def test_pack_concat_no_stratum_window_in_plan(spark):
+    """Pin the plan shape: no WindowExec whose partition key is only
+    the stratum column may touch the document rows.  The only window
+    allowed is over the tiny per-(pid, stratum) totals table — its
+    partition spec includes pid-derived input, and it sits behind the
+    localCheckpoint scan in the final plan."""
+    from mesos_pregel_spark.functions.packing import pack_concat
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", "only") for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    plan = pack_concat(docs, chunk_tokens=4, partitions=4)._jdf.queryExecution(
+    ).executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line:
+            # the totals window partitions by (stratum, ...pid lineage);
+            # a serial plan would show partitionBy [stratum#...] alone
+            # directly over the doc scan
+            assert "pid" in line, f"stratum-only window over docs: {line}"
