@@ -40,13 +40,29 @@ def label_propagation(
     n_salt: int = 0,
     salt_hot_k: int = 0,
     edge_partitions: int | None = None,
+    prev_labels: DataFrame | None = None,
 ) -> tuple[DataFrame, PregelRun]:
-    """Run sync-LPA.  Returns (labels(id, label), run)."""
+    """Run sync-LPA.  Returns (labels(id, label), run).
+
+    ``prev_labels`` (id, label) WARM-STARTS the run from an earlier
+    snapshot's communities (streaming/refresh.py::warm_lpa): vertices
+    present in it start at their previous label, new vertices at their
+    id.  The transition rule is unchanged, so if the previous labels
+    are still a fixpoint of the refreshed graph the run halts after
+    ONE superstep (changed_count == 0) with identical labels; when the
+    delta perturbs communities, propagation restarts from the old
+    communities instead of from singletons."""
 
     def init(e: DataFrame, ctx: dict) -> DataFrame:
-        return (
+        verts = (
             e.select(F.col("src").alias("id")).distinct()
             .select("id", F.col("id").alias("label"))
+        )
+        if prev_labels is None:
+            return verts
+        prev = prev_labels.select("id", F.col("label").alias("warm_label"))
+        return verts.join(prev, "id", "left_outer").select(
+            "id", F.coalesce("warm_label", F.col("label")).alias("label")
         )
 
     def argmax(per_label: DataFrame) -> DataFrame:

@@ -2065,6 +2065,105 @@ FROM members m, best b WHERE m.k = b.k
 SQL_DENSEST_SUBGRAPH = _sql_densest()
 
 
+_BETWEENNESS_PIVOTS = 8
+_BETWEENNESS_DEPTH = 10
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled Brandes betweenness (algos/betweenness.py) on the
+    symmetrized customer↔supplier bipartite graph: 8 md5-min pivots,
+    radius-10 truncation, per-vertex dependency sums rounded to 6 dp
+    (collapses float summation-order ulps cross-engine)."""
+    from mesos_pregel_spark.algos.betweenness import betweenness_sampled
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    bc, _run = betweenness_sampled(
+        spark, e, n_pivots=_BETWEENNESS_PIVOTS, max_depth=_BETWEENNESS_DEPTH,
+        edge_partitions=8,
+    )
+    return bc.select(F.col("id").alias("actor"), "bc")
+
+
+def _sql_betweenness(
+    depth: int = _BETWEENNESS_DEPTH, k: int = _BETWEENNESS_PIVOTS
+) -> str:
+    """Unrolled Brandes: forward BFS rounds with sigma path counting
+    (NOT EXISTS visited-guard + SUM combine per lane-row), then the
+    backward dependency sweep descending one depth per CTE — lanes are
+    ROWS here (lane, id), the exact relational transcription of the
+    engine's lane COLUMNS."""
+    parts = [f"""
+WITH be AS MATERIALIZED (
+  SELECT 'c:' || o_custkey AS s, 's:' || l_suppkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT s, d FROM be UNION SELECT d AS s, s AS d FROM be
+),
+bverts AS MATERIALIZED (SELECT DISTINCT s AS id FROM und),
+piv AS MATERIALIZED (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY md5(id), id) - 1 AS lane
+  FROM (SELECT id FROM bverts ORDER BY md5(id), id LIMIT {k})
+),
+f0 AS MATERIALIZED (
+  SELECT lane, id, 0 AS dist, CAST(1 AS DOUBLE) AS sigma FROM piv
+)"""]
+    for t in range(1, depth + 1):
+        parts.append(f""",
+f{t} AS MATERIALIZED (
+  SELECT lane, id, dist, sigma FROM f{t - 1}
+  UNION ALL
+  SELECT p.lane, e.d AS id, {t} AS dist, SUM(p.sigma) AS sigma
+  FROM f{t - 1} p JOIN und e ON p.id = e.s
+  WHERE p.dist = {t - 1}
+    AND NOT EXISTS (SELECT 1 FROM f{t - 1} v
+                    WHERE v.lane = p.lane AND v.id = e.d)
+  GROUP BY p.lane, e.d
+)""")
+    parts.append(f""",
+bw{depth} AS MATERIALIZED (
+  SELECT lane, id, dist, sigma, CAST(0 AS DOUBLE) AS delta
+  FROM f{depth} WHERE dist = {depth}
+)""")
+    for d in range(depth - 1, -1, -1):
+        parts.append(f""",
+bw{d} AS MATERIALIZED (
+  SELECT lane, id, dist, sigma, delta FROM bw{d + 1}
+  UNION ALL
+  SELECT v.lane, v.id, v.dist, v.sigma,
+         v.sigma * COALESCE(SUM((1 + w.delta) / w.sigma), 0) AS delta
+  FROM f{depth} v
+  LEFT JOIN und e ON v.id = e.s
+  LEFT JOIN bw{d + 1} w
+    ON w.lane = v.lane AND w.id = e.d AND w.dist = {d + 1}
+  WHERE v.dist = {d}
+  GROUP BY v.lane, v.id, v.dist, v.sigma
+)""")
+    parts.append("""
+SELECT b.id AS actor,
+       ROUND(COALESCE(SUM(CASE WHEN p.id IS NULL THEN w.delta END), 0), 6)
+         AS bc
+FROM bverts b
+LEFT JOIN bw0 w ON w.id = b.id
+LEFT JOIN piv p ON p.lane = w.lane AND p.id = w.id
+GROUP BY b.id
+""")
+    return "".join(parts)
+
+
+SQL_BETWEENNESS = _sql_betweenness()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2117,6 +2216,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assortativity": q_assortativity,
     "link_prediction": q_link_prediction,
     "densest_subgraph": q_densest_subgraph,
+    "betweenness": q_betweenness,
     **TEXT_QUERIES,
 }
 
@@ -2264,5 +2364,6 @@ ORACLE_SQL: dict[str, str] = {
     "assortativity": SQL_ASSORTATIVITY,
     "link_prediction": SQL_LINK_PREDICTION,
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,
+    "betweenness": SQL_BETWEENNESS,
     **TEXT_ORACLE_SQL,
 }

@@ -208,3 +208,140 @@ def test_incremental_dedup_end_to_end(spark):
     # the cross-boundary family actually merged: 3 landed in 1's cluster
     assert got[3] == (1, False) and got[1] == (1, True)
     assert len(run.metrics) <= 5
+
+
+# ---------------------------------------------------------------------------
+# warm LPA (r5)
+# ---------------------------------------------------------------------------
+
+
+def _cliques_df(spark, sizes, bridges=()):
+    rows = []
+    base = 0
+    for n in sizes:
+        for i in range(base, base + n):
+            for j in range(i + 1, base + n):
+                rows.append((i, j, 1.0))
+        base += n
+    rows += [(a, b, 1.0) for a, b in bridges]
+    return _df(spark, rows)
+
+
+def test_warm_lpa_verifies_fixpoint_in_one_superstep(spark):
+    """Two 12-cliques: cold LPA converges to per-clique communities;
+    add an intra-clique edge delta (communities unchanged) — the warm
+    run must return EXACTLY the cold-run labels of the refreshed graph
+    in one superstep (fixpoint verification), vs multiple cold."""
+    from mesos_pregel_spark.algos.lpa import label_propagation
+    from mesos_pregel_spark.streaming.refresh import warm_lpa
+
+    g0 = _cliques_df(spark, [12, 12])
+    prev, run0 = label_propagation(spark, g0, max_supersteps=20)
+    prev = prev.localCheckpoint(eager=True)
+    assert len(run0.metrics) > 1
+
+    # delta: an edge inside clique 2 was missing before — add it now
+    g1 = _cliques_df(spark, [12, 12]).where(
+        ~((F.col("src") == 13) & (F.col("dst") == 17))
+    )
+    g1_full = _cliques_df(spark, [12, 12])
+    cold, run_cold = label_propagation(spark, g1_full, max_supersteps=20)
+    warm, run_warm = warm_lpa(spark, g1_full, prev, max_supersteps=20)
+
+    cold_labels = {r["id"]: r["label"] for r in cold.collect()}
+    warm_labels = {r["id"]: r["label"] for r in warm.collect()}
+    assert warm_labels == cold_labels
+    assert len(run_warm.metrics) == 1          # fixpoint verified
+    assert len(run_warm.metrics) < len(run_cold.metrics)
+
+
+def test_warm_lpa_new_vertices_start_cold(spark):
+    from mesos_pregel_spark.streaming.refresh import warm_lpa
+
+    g0 = _cliques_df(spark, [6])
+    from mesos_pregel_spark.algos.lpa import label_propagation
+    prev, _ = label_propagation(spark, g0, max_supersteps=20)
+    prev = prev.localCheckpoint(eager=True)
+    # new clique appears; old one untouched
+    g1 = _cliques_df(spark, [6, 5])
+    warm, run = warm_lpa(spark, g1, prev, max_supersteps=20)
+    labels = {r["id"]: r["label"] for r in warm.collect()}
+    assert len({labels[i] for i in range(6)}) == 1
+    assert len({labels[i] for i in range(6, 11)}) == 1
+    assert labels[0] != labels[6]
+
+
+# ---------------------------------------------------------------------------
+# incremental assortativity (r5)
+# ---------------------------------------------------------------------------
+
+
+def _assort_row(df):
+    r = df.collect()[0]
+    return (r["n_endpoints"], r["assortativity"])
+
+
+def test_incremental_assortativity_matches_batch(spark):
+    """State built on g0, deltas applied (adds incl. a NEW vertex,
+    removals, and a no-op re-add) must equal the batch recompute on
+    the final edge set EXACTLY (same integers -> same one float
+    expression)."""
+    import random
+
+    from mesos_pregel_spark.algos.structure import degree_assortativity
+    from mesos_pregel_spark.streaming.refresh import (
+        assortativity_apply_delta,
+        assortativity_from_state,
+        assortativity_state,
+    )
+
+    rng = random.Random(7)
+    base = {(rng.randrange(40), rng.randrange(40)) for _ in range(120)}
+    base = [(a, b) for a, b in base if a != b]
+    g0 = _df(spark, [(a, b, 1.0) for a, b in base])
+
+    state = assortativity_state(spark, g0)
+    adds = [(1, 41, 1.0), (41, 42, 1.0), (2, 3, 1.0), (base[0][0], base[0][1], 1.0)]
+    rems = [(a, b, 1.0) for a, b in base[10:14]]
+    state = assortativity_apply_delta(
+        spark, state, add_edges=_df(spark, adds), remove_edges=_df(spark, rems),
+    )
+
+    final = {(min(a, b), max(a, b)) for a, b in base}
+    final |= {(1, 41), (41, 42), (2, 3)}
+    final -= {(min(a, b), max(a, b)) for a, b, _w in rems}
+    g1 = _df(spark, [(a, b, 1.0) for a, b in sorted(final)])
+
+    got = _assort_row(assortativity_from_state(state))
+    want = _assort_row(degree_assortativity(spark, g1))
+    assert got == want
+
+    # second delta on the already-incremental state: removals only
+    rems2 = [(a, b, 1.0) for a, b in sorted(final)[:5]]
+    state = assortativity_apply_delta(
+        spark, state, remove_edges=_df(spark, rems2))
+    g2 = _df(spark, [(a, b, 1.0) for a, b in sorted(final)[5:]])
+    got2 = _assort_row(assortativity_from_state(state))
+    want2 = _assort_row(degree_assortativity(spark, g2))
+    assert got2 == want2
+
+
+def test_incremental_assortativity_state_shape(spark):
+    """The refresh never shuffles the historical edge set: the state's
+    und table is only broadcast-filtered (N_old lookup) — assert the
+    vertex stats table stays |V|-sized and und row count tracks the
+    delta arithmetic."""
+    from mesos_pregel_spark.streaming.refresh import (
+        assortativity_apply_delta,
+        assortativity_state,
+    )
+
+    g0 = _cliques_df(spark, [8])
+    state = assortativity_state(spark, g0)
+    assert state["und"].count() == 28
+    state = assortativity_apply_delta(
+        spark, state, add_edges=_df(spark, [(0, 100, 1.0)]),
+        remove_edges=_df(spark, [(0, 1, 1.0)]),
+    )
+    assert state["und"].count() == 28
+    assert state["verts"].count() == 9
