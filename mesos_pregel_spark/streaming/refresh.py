@@ -401,3 +401,106 @@ def assortativity_apply_delta(
         und.join(rem, ["lo", "hi"], "left_anti").unionByName(add)
     )
     return {"und": new_und, "verts": new_verts}
+
+
+# ---------------------------------------------------------------------------
+# incremental transitivity: triangles + wedges under edge deltas (r5)
+# ---------------------------------------------------------------------------
+#
+# wedges = sum_u deg(u)(deg(u)-1)/2 is a pure function of the degree
+# table (maintained exactly as in assortativity).  Triangles update by
+# delta-local enumeration: T(G_new) = T(G_old) - |tri(G_old) touching
+# a removed edge| + |tri(G_new) touching an added edge|, each counted
+# as DISTINCT canonical vertex triples so a triangle with 2-3 delta
+# edges counts once (the ktruss _apply_removals dedup discipline).
+# Each enumeration is two broadcast-filtered adjacency probes per
+# delta edge — no shuffle of the historical edge set.
+
+
+def _tri_touching(delta: DataFrame, und: DataFrame) -> int:
+    """Distinct triangles of the graph ``und`` (canonical lo<hi edge
+    set) that contain at least one ``delta`` edge (delta ⊆ und)."""
+    both = und.unionByName(
+        und.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    ).withColumnsRenamed({"lo": "v", "hi": "nbr"})
+    d = F.broadcast(delta)
+    n_lo = both.join(d.withColumnsRenamed({"lo": "v"}), "v").select(
+        F.col("v").alias("a"), F.col("hi").alias("b"), F.col("nbr").alias("w")
+    )
+    n_hi = both.join(d.withColumnsRenamed({"hi": "v"}), "v").select(
+        F.col("lo").alias("a"), F.col("v").alias("b"), F.col("nbr").alias("w")
+    )
+    closing = n_lo.join(n_hi, ["a", "b", "w"], "inner").where(
+        (F.col("w") != F.col("a")) & (F.col("w") != F.col("b"))
+    )
+    triples = closing.select(
+        F.least("a", "b", "w").alias("x"),
+        F.expr(
+            "CASE WHEN (a > b AND a < w) OR (a > w AND a < b) THEN a "
+            "WHEN (b > a AND b < w) OR (b > w AND b < a) THEN b "
+            "ELSE w END"
+        ).alias("y"),
+        F.greatest("a", "b", "w").alias("z"),
+    ).distinct()
+    return triples.count()
+
+
+def transitivity_state(spark: SparkSession, edges: DataFrame) -> dict:
+    """Initial state: canonical edge set, degree table, exact triangle
+    total."""
+    from mesos_pregel_spark.algos.structure import _und_degrees
+    from mesos_pregel_spark.algos.triangles import canonical_undirected, triangle_count
+
+    und = truncate_plan(canonical_undirected(edges))
+    deg = truncate_plan(_und_degrees(und))
+    _pv, total = triangle_count(spark, edges)
+    return {"und": und, "deg": deg, "triangles": int(total)}
+
+
+def transitivity_from_state(spark: SparkSession, state: dict) -> DataFrame:
+    """(triangles, wedges, transitivity) — same output contract and
+    float expression as algos.structure.global_clustering."""
+    row = state["deg"].agg(
+        F.sum(F.col("deg") * (F.col("deg") - F.lit(1))).alias("w")
+    ).collect()[0]
+    wedges = int(row["w"] or 0) // 2
+    total = state["triangles"]
+    transitivity = (3.0 * total / wedges) if wedges else 0.0
+    return spark.createDataFrame(
+        [(total, wedges, transitivity)],
+        "triangles long, wedges long, transitivity double",
+    )
+
+
+def transitivity_apply_delta(
+    spark: SparkSession,
+    state: dict,
+    add_edges: DataFrame | None = None,
+    remove_edges: DataFrame | None = None,
+) -> dict:
+    """Fold an edge delta into the triangle/wedge state; equals the
+    batch global_clustering on the final edge set exactly."""
+    from mesos_pregel_spark.algos.structure import _und_degrees
+    from mesos_pregel_spark.algos.triangles import canonical_undirected
+
+    und = state["und"]
+    zero = und.limit(0)
+    add = truncate_plan(
+        canonical_undirected(add_edges).join(und, ["lo", "hi"], "left_anti")
+        if add_edges is not None else zero
+    )
+    rem = truncate_plan(
+        canonical_undirected(remove_edges).join(und, ["lo", "hi"], "left_semi")
+        if remove_edges is not None else zero
+    )
+    removed_tris = _tri_touching(rem, und) if rem.limit(1).count() else 0
+    new_und = truncate_plan(
+        und.join(rem, ["lo", "hi"], "left_anti").unionByName(add)
+    )
+    added_tris = _tri_touching(add, new_und) if add.limit(1).count() else 0
+    new_deg = truncate_plan(_und_degrees(new_und))
+    return {
+        "und": new_und,
+        "deg": new_deg,
+        "triangles": state["triangles"] - removed_tris + added_tris,
+    }

@@ -345,3 +345,48 @@ def test_incremental_assortativity_state_shape(spark):
     )
     assert state["und"].count() == 28
     assert state["verts"].count() == 9
+
+
+def test_incremental_transitivity_matches_batch(spark):
+    """Triangle/wedge maintenance under add+remove deltas equals the
+    batch global_clustering on the final edge set exactly — including
+    multi-delta-edge triangles (counted once) and triangles formed
+    entirely by added edges."""
+    from mesos_pregel_spark.algos.structure import global_clustering
+    from mesos_pregel_spark.streaming.refresh import (
+        transitivity_apply_delta,
+        transitivity_from_state,
+        transitivity_state,
+    )
+
+    base = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5),
+            (5, 6), (6, 7)]
+    g0 = _df(spark, [(a, b, 1.0) for a, b in base])
+    state = transitivity_state(spark, g0)
+
+    # delta 1: close two new triangles sharing added edges (6-7-8 via
+    # two added edges + one old), remove one edge of an existing
+    # triangle (0-2), re-add an existing edge (no-op)
+    adds = [(6, 8, 1.0), (7, 8, 1.0), (5, 7, 1.0), (0, 1, 1.0)]
+    rems = [(0, 2, 1.0), (30, 31, 1.0)]  # second removal not present
+    state = transitivity_apply_delta(
+        spark, state, add_edges=_df(spark, adds), remove_edges=_df(spark, rems),
+    )
+    final = {(min(a, b), max(a, b)) for a, b in base}
+    final |= {(6, 8), (7, 8), (5, 7)}
+    final -= {(0, 2)}
+    g1 = _df(spark, [(a, b, 1.0) for a, b in sorted(final)])
+
+    got = transitivity_from_state(spark, state).collect()[0]
+    want = global_clustering(spark, g1).collect()[0]
+    assert (got["triangles"], got["wedges"], got["transitivity"]) == (
+        want["triangles"], want["wedges"], want["transitivity"])
+
+    # delta 2 on the incremental state: remove a 2-triangle edge
+    state = transitivity_apply_delta(
+        spark, state, remove_edges=_df(spark, [(5, 6, 1.0)]))
+    g2 = _df(spark, [(a, b, 1.0) for a, b in sorted(final - {(5, 6)})])
+    got2 = transitivity_from_state(spark, state).collect()[0]
+    want2 = global_clustering(spark, g2).collect()[0]
+    assert (got2["triangles"], got2["wedges"], got2["transitivity"]) == (
+        want2["triangles"], want2["wedges"], want2["transitivity"])
