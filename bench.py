@@ -1021,4 +1021,17 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     else:
-        _print_compact(run_bench(SF_DIR, CPUS))
+        # Same disk-out-of-the-loop policy as --scaling: point shuffle
+        # scratch at the fastest writable volume (this sandbox's /tmp
+        # measured ~10 MB/s fsync'd writes in r4 — see BENCH/BASELINE.md;
+        # /dev/shm tmpfs >1 GB/s).  The chosen dir + probe speeds land in
+        # bench_full.json so the regime is part of the evidence.
+        scratch, scratch_probes = _fastest_scratch()
+        if scratch and "SPARK_LOCAL_DIRS" not in os.environ:
+            d = os.path.join(scratch, "spark_graft_scratch")
+            os.makedirs(d, exist_ok=True)
+            os.environ["SPARK_LOCAL_DIRS"] = d
+        result = run_bench(SF_DIR, CPUS)
+        result["scratch_dir"] = os.environ.get("SPARK_LOCAL_DIRS")
+        result["scratch_probes_mb_s"] = scratch_probes
+        _print_compact(result)
