@@ -2164,6 +2164,84 @@ GROUP BY b.id
 SQL_BETWEENNESS = _sql_betweenness()
 
 
+# Matching round cap: parity is exact at ANY shared cap (matched is
+# monotone), and local-max matching on the driver-scale bipartite
+# graph decides everything well inside 15 rounds.
+_MATCHING_ROUNDS = 15
+
+
+def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic local-max maximal matching (Pregel's bipartite
+    matching example [P §5.2], algos/matching.py) on the symmetrized
+    customer↔supplier bipartite graph."""
+    from mesos_pregel_spark.algos.matching import maximal_matching
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    membership, _run = maximal_matching(
+        spark, e, max_rounds=_MATCHING_ROUNDS, edge_partitions=8
+    )
+    return membership.select(F.col("id").alias("actor"), "matched", "mate")
+
+
+def _sql_matching(rounds: int = _MATCHING_ROUNDS) -> str:
+    """Unrolled local-max matching rounds.  Each round: every
+    unmatched vertex points at the min of md5(lo || '|' || hi) over
+    its unmatched neighbors (fixed-width hex + '|' + id == the
+    engine's struct(p, i) order); mutual pointers match.  The engine's
+    two supersteps per round (propose, accept-by-min-suitor) reduce to
+    exactly this mutual-pointer rule — see algos/matching.py."""
+    parts = ["""
+WITH e AS (
+  SELECT 'c:' || o_custkey AS s, 's:' || l_suppkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+s0 AS MATERIALIZED (
+  SELECT DISTINCT s AS actor, 0 AS st, CAST(NULL AS VARCHAR) AS mate
+  FROM sym
+)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+c{k} AS (
+  SELECT sym.d AS actor,
+         SUBSTR(MIN(MD5(LEAST(sym.s, sym.d) || '|' ||
+                        GREATEST(sym.s, sym.d)) || '|' || sym.s),
+                34) AS cand
+  FROM sym
+  JOIN s{k-1} a ON a.actor = sym.s AND a.st = 0
+  JOIN s{k-1} b ON b.actor = sym.d AND b.st = 0
+  GROUP BY sym.d
+),
+s{k} AS MATERIALIZED (
+  SELECT v.actor,
+         CASE WHEN v.st = 1 OR m.actor IS NOT NULL THEN 1 ELSE 0 END AS st,
+         COALESCE(v.mate, m.cand) AS mate
+  FROM s{k-1} v
+  LEFT JOIN (
+    SELECT c1.actor, c1.cand
+    FROM c{k} c1 JOIN c{k} c2 ON c2.actor = c1.cand
+    WHERE c2.cand = c1.actor
+  ) m ON m.actor = v.actor
+)""")
+    parts.append(f"""
+SELECT actor, (st = 1) AS matched, mate FROM s{rounds}
+""")
+    return "".join(parts)
+
+
+SQL_MATCHING = _sql_matching()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2217,6 +2295,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_prediction": q_link_prediction,
     "densest_subgraph": q_densest_subgraph,
     "betweenness": q_betweenness,
+    "matching": q_matching,
     **TEXT_QUERIES,
 }
 
@@ -2256,6 +2335,7 @@ _QUERY_PRIORITY: list[str] = [
     "ivf_topk",
     # --- tier 2: new this round ---
     "betweenness",
+    "matching",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "degrees",
@@ -2287,9 +2367,10 @@ _QUERY_PRIORITY: list[str] = [
     "transitivity",
     "assortativity",
     "link_prediction",
-    "densest_subgraph",
     # ----------------- driver's 50-query window ends here -----------------
-    # --- tier 4: variants of tier-3 operators, green in prior rounds ---
+    # --- tier 4: variants of tier-3 operators, green in prior rounds,
+    #     plus r4-green rows rotated out to make room for r5 queries ---
+    "densest_subgraph",
     "pagerank_step",
     "pagerank_step2",
     "pagerank_weighted_step2",
@@ -2365,5 +2446,6 @@ ORACLE_SQL: dict[str, str] = {
     "link_prediction": SQL_LINK_PREDICTION,
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,
     "betweenness": SQL_BETWEENNESS,
+    "matching": SQL_MATCHING,
     **TEXT_ORACLE_SQL,
 }

@@ -680,3 +680,38 @@ def oracle_centralities(
         v: (prev_est[v], round(harm[v], 6), round(close[v], 6))
         for v in verts
     }
+
+
+def oracle_matching(edges: list[Edge], max_rounds: int = 10_000) -> dict:
+    """Deterministic local-max matching (algos/matching.py semantics):
+    per round every unmatched vertex points at the min-md5-priority
+    still-unmatched neighbor; mutual pointers match.  Returns
+    {v: mate-or-None}."""
+    import hashlib
+
+    nbrs: dict = defaultdict(set)
+    vs = _vertices(edges)
+    for s, d, _w in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+
+    def prio(v, u):
+        lo, hi = sorted((str(v), str(u)))
+        return (hashlib.md5(f"{lo}|{hi}".encode()).hexdigest(), _key(u))
+
+    mate: dict = {}
+    for _ in range(max_rounds):
+        cand = {}
+        for v in vs:
+            if v in mate:
+                continue
+            act = [u for u in nbrs[v] if u not in mate]
+            if act:
+                cand[v] = min(act, key=lambda u: prio(v, u))
+        newly = [(v, u) for v, u in cand.items() if cand.get(u) == v]
+        if not newly:
+            break
+        for v, u in newly:
+            mate[v] = u
+    return {v: mate.get(v) for v in vs}
