@@ -2242,6 +2242,120 @@ SELECT actor, (st = 1) AS matched, mate FROM s{rounds}
 SQL_MATCHING = _sql_matching()
 
 
+# Semi-clustering caps (pinned in algos/semicluster.py): fixed
+# superstep count — parity is exact at any shared cap, the twin
+# unrolls the identical transition.
+_SEMI_STEPS, _SEMI_CMAX, _SEMI_MMAX = 2, 3, 4
+
+
+def q_semi_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-clustering (Pregel's semi-cluster example [P §5.3],
+    algos/semicluster.py; f_B=1/2, integer count weights) on the
+    symmetrized customer↔supplier bipartite graph."""
+    from mesos_pregel_spark.algos.semicluster import semi_clusters
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    out = semi_clusters(
+        spark, e, supersteps=_SEMI_STEPS, c_max=_SEMI_CMAX,
+        m_max=_SEMI_MMAX, edge_partitions=8,
+    )
+    return out.select(F.col("id").alias("actor"), "rank", "members", "score")
+
+
+def _sql_semi_clusters(
+    steps: int = _SEMI_STEPS, c_max: int = _SEMI_CMAX,
+    m_max: int = _SEMI_MMAX,
+) -> str:
+    """Unrolled semi-clustering supersteps.  Exact-integer I/B updates
+    (W(v,c) via an unnested member join), so the score doubles are
+    bit-identical to the engine's; ranking by (score DESC, key)."""
+    score = (
+        "CASE WHEN len(string_split(key, ',')) = 1 THEN 0.0 "
+        "ELSE (2 * i - b) / CAST(len(string_split(key, ',')) * "
+        "(len(string_split(key, ',')) - 1) AS DOUBLE) END"
+    )
+    parts = [f"""
+WITH e AS (
+  SELECT 'c:' || o_custkey AS s, 's:' || l_suppkey AS d,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT s, d, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT s, d, w FROM e UNION ALL SELECT d AS s, s AS d, w FROM e)
+  GROUP BY s, d
+),
+dg AS (SELECT s AS actor, CAST(SUM(w) AS BIGINT) AS degw
+       FROM sym GROUP BY s),
+st0 AS MATERIALIZED (
+  SELECT actor, actor AS key, CAST(0 AS BIGINT) AS i, degw AS b FROM dg
+)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+m{k} AS (
+  SELECT sym.d AS actor, t.key, t.i, t.b
+  FROM sym JOIN st{k-1} t ON t.actor = sym.s
+),
+x{k} AS (
+  -- W(v,c) via member unnest + EQUI-join on (actor, member) — the
+  -- list_contains form makes DuckDB nested-loop the whole sym table
+  SELECT m.actor, m.key, m.i, m.b, u.mem
+  FROM m{k} m, UNNEST(string_split(m.key, ',')) AS u(mem)
+  WHERE NOT list_contains(string_split(m.key, ','), m.actor)
+    AND len(string_split(m.key, ',')) < {m_max}
+),
+ext{k} AS (
+  SELECT x.actor,
+         array_to_string(list_sort(list_append(
+           string_split(x.key, ','), x.actor)), ',') AS key,
+         x.i + COALESCE(SUM(w.w), 0) AS i,
+         x.b + ANY_VALUE(dg.degw) - 2 * COALESCE(SUM(w.w), 0) AS b
+  FROM x{k} x
+  JOIN dg ON dg.actor = x.actor
+  LEFT JOIN sym w ON w.s = x.actor AND w.d = x.mem
+  GROUP BY x.actor, x.key, x.i, x.b
+),
+cand{k} AS (
+  SELECT actor, key, MIN(i) AS i, MIN(b) AS b FROM (
+    SELECT actor, key, i, b FROM st{k-1}
+    UNION ALL
+    SELECT actor, key, i, b FROM m{k}
+    WHERE list_contains(string_split(key, ','), actor)
+    UNION ALL
+    SELECT actor, key, i, b FROM ext{k})
+  GROUP BY actor, key
+),
+st{k} AS MATERIALIZED (
+  SELECT actor, key, i, b FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY actor ORDER BY {score} DESC, key ASC) AS rn
+    FROM cand{k})
+  WHERE rn <= {c_max}
+)""")
+    parts.append(f"""
+SELECT actor,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY actor ORDER BY {score} DESC, key ASC) AS INT) AS rank,
+       key AS members,
+       ROUND({score}, 9) AS score
+FROM st{steps}
+""")
+    return "".join(parts)
+
+
+SQL_SEMI_CLUSTERS = _sql_semi_clusters()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2296,6 +2410,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "densest_subgraph": q_densest_subgraph,
     "betweenness": q_betweenness,
     "matching": q_matching,
+    "semi_clusters": q_semi_clusters,
     **TEXT_QUERIES,
 }
 
@@ -2336,6 +2451,7 @@ _QUERY_PRIORITY: list[str] = [
     # --- tier 2: new this round ---
     "betweenness",
     "matching",
+    "semi_clusters",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "degrees",
@@ -2366,10 +2482,10 @@ _QUERY_PRIORITY: list[str] = [
     "clustering_coeff",
     "transitivity",
     "assortativity",
-    "link_prediction",
     # ----------------- driver's 50-query window ends here -----------------
     # --- tier 4: variants of tier-3 operators, green in prior rounds,
     #     plus r4-green rows rotated out to make room for r5 queries ---
+    "link_prediction",
     "densest_subgraph",
     "pagerank_step",
     "pagerank_step2",
@@ -2447,5 +2563,6 @@ ORACLE_SQL: dict[str, str] = {
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
+    "semi_clusters": SQL_SEMI_CLUSTERS,
     **TEXT_ORACLE_SQL,
 }

@@ -715,3 +715,73 @@ def oracle_matching(edges: list[Edge], max_rounds: int = 10_000) -> dict:
         for v, u in newly:
             mate[v] = u
     return {v: mate.get(v) for v in vs}
+
+
+def oracle_semiclusters(
+    edges: list[Edge], supersteps: int = 3, c_max: int = 3, m_max: int = 4,
+) -> dict:
+    """Pinned semi-clustering (algos/semicluster.py semantics, [P §5.3],
+    f_B = 1/2): returns {v: [(rank, members_str, score), ...]}.  I/B
+    are recomputed per member set from exact integer weights — the
+    engine's incremental updates are set functions, so they agree."""
+    w: dict = defaultdict(int)
+    nbrs: dict = defaultdict(set)
+    for s, d, wt in edges:
+        if s != d:
+            a, b = str(s), str(d)
+            w[(a, b)] += int(wt)
+            w[(b, a)] += int(wt)
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    # symmetrize() sums BOTH directions of a directed pair into the
+    # collapsed undirected weight; mirror that: w already added per
+    # directed input edge above.
+    vs = sorted(nbrs)
+    degw = {v: sum(w[(v, u)] for u in nbrs[v]) for v in vs}
+
+    def ib(members: tuple) -> tuple:
+        ms = set(members)
+        i = sum(
+            w[(a, b)] for a in members for b in nbrs[a]
+            if b in ms and a < b
+        )
+        bnd = sum(
+            w[(a, b)] for a in members for b in nbrs[a] if b not in ms
+        )
+        return i, bnd
+
+    def score(members: tuple, i: int, bnd: int) -> float:
+        n = len(members)
+        if n == 1:
+            return 0.0
+        return (2 * i - bnd) / float(n * (n - 1))
+
+    state = {v: {(v,): (0, degw[v])} for v in vs}
+    for _ in range(supersteps):
+        new = {v: dict(cl) for v, cl in state.items()}
+        for v in vs:
+            for u in nbrs[v]:
+                for members, (i, bnd) in state[u].items():
+                    if v in members:
+                        new[v][members] = (i, bnd)
+                    elif len(members) < m_max:
+                        m2 = tuple(sorted(members + (v,)))
+                        new[v][m2] = ib(m2)
+        state = {}
+        for v, cl in new.items():
+            ranked = sorted(
+                cl.items(),
+                key=lambda kv: (-score(kv[0], *kv[1]), ",".join(kv[0])),
+            )[:c_max]
+            state[v] = dict(ranked)
+    out = {}
+    for v in vs:
+        ranked = sorted(
+            state[v].items(),
+            key=lambda kv: (-score(kv[0], *kv[1]), ",".join(kv[0])),
+        )
+        out[v] = [
+            (r + 1, ",".join(m), round(score(m, *ibv), 9))
+            for r, (m, ibv) in enumerate(ranked)
+        ]
+    return out
