@@ -63,6 +63,10 @@ Workloads (all seed-deterministic, no external data):
   packing     — concat-and-chunk packing on an 80%-one-stratum corpus
                 (two-phase distributed prefix sum; records how many
                 tasks processed the dominant stratum)
+  matching    — local-max maximal matching (propose/accept-mutual
+                rounds, one struct-min combiner, shrinking frontier)
+  semicluster — semi-clustering [P §5.3] (top-C_max exploded cluster
+                rows per vertex, hub bookkeeping capped at 64)
 
 Scaling mode (``--scaling``): re-runs the same workloads at
 ``local[8]`` and ``local[32]`` (the sandbox stand-in for N vs 4N
@@ -760,6 +764,45 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             g_edges * 8 * bw_rounds / bw_sec)
         detail["betweenness_rounds"] = bw_rounds
         detail["betweenness_vertices"] = n_bc
+
+    if on("matching"):
+        # Local-max maximal matching on the shared zipf graph: two
+        # supersteps per round, one struct-min combiner; the active
+        # subgraph shrinks every round (matched vertices leave the
+        # sending side).
+        from mesos_pregel_spark.algos.matching import maximal_matching
+
+        t = time.monotonic()
+        mm, run_mm = maximal_matching(
+            spark, g, max_rounds=8, edge_partitions=nparts,
+        )
+        n_matched = mm.where("matched").count()
+        mm_sec = time.monotonic() - t
+        mm_steps = len(run_mm.metrics)
+        queries["matching"] = round(mm_sec, 3)
+        throughput["matching_edge_scans_per_sec"] = round(
+            2 * g_edges * mm_steps / mm_sec)
+        detail["matching_supersteps"] = mm_steps
+        detail["matching_matched_vertices"] = n_matched
+
+    if on("semicluster"):
+        # Semi-clustering on the shared zipf graph: message volume is
+        # O(E * C_max) exploded cluster rows per superstep; hub
+        # extension bookkeeping capped at 64 neighbors (cap_degree) so
+        # the per-vertex weight map stays bounded under zipf skew.
+        from mesos_pregel_spark.algos.semicluster import semi_clusters
+
+        t = time.monotonic()
+        sc_out = semi_clusters(
+            spark, g, supersteps=2, c_max=3, m_max=4, cap_degree=64,
+            edge_partitions=nparts,
+        )
+        n_sc_rows = sc_out.count()
+        sc_sec = time.monotonic() - t
+        queries["semicluster"] = round(sc_sec, 3)
+        throughput["semicluster_cluster_rows_per_sec"] = round(
+            2 * g_edges * 3 * 2 / sc_sec)  # sym edges x C_max x steps
+        detail["semicluster_kept_rows"] = n_sc_rows
 
     if on("packing"):
         # Concat-and-chunk packing on a SKEWED-stratum corpus: 80% of
