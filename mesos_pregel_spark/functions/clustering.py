@@ -1,0 +1,102 @@
+"""Embedding clustering — deterministic Lloyd's k-means over an
+``array<float>`` column.  Complements the IVF index
+(functions/similarity.py, whose coarse quantizer is deterministic
+sampling and whose docstring defers centroid TRAINING to this
+operator) and gives the training-data pipeline its standard
+corpus-partitioning primitive (cluster-balanced sampling, dedup
+within semantic cells, topic bucketing).
+
+Pinned semantics (cross-engine determinism first):
+
+- init: centroids = the k lowest ``vec_id`` vectors (deterministic
+  sampling, same convention as ivf_topk).
+- assignment: argmin of ROUND(squared-L2, 6) with cell-ascending
+  tie-break — rounding collapses float summation-order ulps between
+  engines (the recipe every cosine/IVF twin in this repo uses).
+- update: per-dimension mean, each component ROUNDED to 6dp — the
+  rounding re-synchronizes both engines' centroids every iteration,
+  so drift can never accumulate.  Cells with no assigned vectors
+  keep their previous centroid.
+- fixed ``iters`` (assign, update) pairs, then one final assignment
+  under the trained centroids — the returned rows.
+
+Execution shape (design-for-100x): centroids are tiny (k x dim
+doubles) and live as LITERAL expressions — assignment is ONE
+projection over the corpus per iteration (k fused zip_with/aggregate
+folds inside whole-stage codegen, no shuffle, no UDF); the update is
+one posexplode + hash aggregate (k x dim groups).  The only
+driver-side data is the k x dim centroid table per iteration —
+O(k*dim), independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dist2(e, cvec: list[float]):
+    """ROUND(squared-L2(e, literal centroid), 6) as a column."""
+    lit = F.array(*[F.lit(float(x)) for x in cvec])
+    return F.round(
+        F.aggregate(
+            F.zip_with(e, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def kmeans(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Train deterministic k-means and return the final assignment:
+    (vec_id, cell, dist2).  ``cell`` is the seed vector's vec_id."""
+    emb = embeddings.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    ).persist()
+    seeds = emb.orderBy("vec_id").limit(k).collect()
+    cents: dict = {r["vec_id"]: list(r["e"]) for r in seeds}
+
+    def assign() -> DataFrame:
+        pairs = F.array(*[
+            F.struct(
+                _dist2(F.col("e"), vec).alias("d2"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell, vec in sorted(cents.items())
+        ])
+        best = F.array_sort(pairs)[0]
+        return emb.select(
+            "vec_id", "e",
+            best["cell"].alias("cell"), best["d2"].alias("dist2"),
+        )
+
+    for _ in range(iters):
+        assigned = assign()
+        upd = (
+            assigned.select("cell", F.posexplode("e").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("cm"))
+            .collect()
+        )
+        new: dict = {}
+        for r in upd:
+            new.setdefault(r["cell"], {})[r["dim"]] = r["cm"]
+        # empty cells keep their previous centroid
+        cents = {
+            cell: (
+                [new[cell][i] for i in range(len(vec))]
+                if cell in new else vec
+            )
+            for cell, vec in cents.items()
+        }
+
+    out = assign().select("vec_id", "cell", "dist2").localCheckpoint()
+    emb.unpersist()
+    return out

@@ -2452,6 +2452,7 @@ _QUERY_PRIORITY: list[str] = [
     "betweenness",
     "matching",
     "semi_clusters",
+    "kmeans",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "degrees",
@@ -2481,8 +2482,8 @@ _QUERY_PRIORITY: list[str] = [
     "sessions",
     "clustering_coeff",
     "transitivity",
-    "assortativity",
     # ----------------- driver's 50-query window ends here -----------------
+    "assortativity",
     # --- tier 4: variants of tier-3 operators, green in prior rounds,
     #     plus r4-green rows rotated out to make room for r5 queries ---
     "link_prediction",

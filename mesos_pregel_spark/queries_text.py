@@ -58,6 +58,7 @@ from mesos_pregel_spark.functions.text import (
     token_stats,
 )
 from mesos_pregel_spark.sources.multimodal import decode_features, synthesize_media
+from mesos_pregel_spark.functions.clustering import kmeans
 from mesos_pregel_spark.functions.decontam import decontaminate
 from mesos_pregel_spark.functions.packing import pack_concat
 from mesos_pregel_spark.functions.sampling import (
@@ -844,6 +845,54 @@ FROM cum
 """
 
 
+# k-means twin: unrolled Lloyd iterations with the engine's pinned
+# determinism recipe — assignment by ROUND(squared-L2, 6) + cell-asc
+# tie-break, centroid components ROUND(AVG, 6) each iteration (the
+# rounding re-synchronizes both engines' centroids so drift cannot
+# accumulate), empty cells keep their previous centroid.
+_KMEANS_K, _KMEANS_ITERS = 8, 3
+
+
+def _sql_kmeans(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    d2 = ("ROUND(list_sum(list_transform(list_zip(e.v, c.c), "
+          "x -> (x[1] - x[2]) * (x[1] - x[2]))), 6)")
+    parts = [f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cell, v AS c FROM e ORDER BY vec_id LIMIT {k})"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+a{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM e, c{t-1} c) WHERE rn = 1
+),
+u{t} AS (
+  SELECT cell, list(cm ORDER BY dim) AS c FROM (
+    SELECT cell, dim, ROUND(AVG(val), 6) AS cm FROM (
+      SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+      FROM a{t})
+    GROUP BY cell, dim)
+  GROUP BY cell
+),
+c{t} AS (
+  SELECT p.cell, COALESCE(n.c, p.c) AS c
+  FROM c{t-1} p LEFT JOIN u{t} n ON n.cell = p.cell
+)""")
+    parts.append(f"""
+SELECT vec_id, cell, dist2 FROM (
+  SELECT e.vec_id, c.cell, {d2} AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY {d2} ASC, c.cell ASC) AS rn
+  FROM e, c{iters} c) WHERE rn = 1
+""")
+    return "".join(parts)
+
+
+SQL_KMEANS = _sql_kmeans()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -872,6 +921,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": lambda s, d: ann_lsh_topk(s, _emb(s, d)),
     "ann_multitable_topk": lambda s, d: ann_lsh_multitable_topk(s, _emb(s, d)),
     "ivf_topk": lambda s, d: ivf_topk(s, _emb(s, d)),
+    "kmeans": lambda s, d: kmeans(
+        s, _emb(s, d), k=_KMEANS_K, iters=_KMEANS_ITERS),
     # Arrow/mapInPandas multimodal feature plumbing — exact oracle since
     # round 4 (synthetic payload bytes are SQL-recomputable from the md5
     # hex pair; kernel stats are float64-exact)
@@ -904,6 +955,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_multitable_topk": SQL_ANN_MULTITABLE_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
+    "kmeans": SQL_KMEANS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
