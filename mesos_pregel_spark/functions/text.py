@@ -230,3 +230,53 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             nb > 0, (nb - nd).cast("double") / nb.cast("double")
         ).otherwise(F.lit(0.0)).alias("repetition"),
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k terms per document by smoothed tf-idf (the data
+    pipeline's standard keyword/topic-signal extractor).
+
+    Pinned semantics (cross-engine determinism):
+    - tokens: the repo's pinned tokenization (``tokens_col``), empty
+      tokens dropped;
+    - idf = ROUND(ln((N+1)/(df+1)) + 1, 6) — smoothed, and ROUNDED at
+      6dp so a 1-ulp libm difference between engines' ``ln`` cannot
+      surface (tf * idf6 is then an exact decimal product);
+    - score = ROUND(tf * idf, 6); ranking by (score DESC, term ASC).
+
+    Shape: two hash aggregates (tf per (doc, term); df per term), a
+    broadcast of the 1-row corpus count, and a per-document window
+    bounded by distinct terms per doc — no UDFs, no driver data.
+    Returns (doc_id, rank, term, score).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + 1).cast("double")
+              / (F.col("df") + 1).cast("double")) + 1.0,
+        6,
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            F.round(F.col("tf").cast("double") * idf, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "score")
+    )

@@ -2453,6 +2453,7 @@ _QUERY_PRIORITY: list[str] = [
     "matching",
     "semi_clusters",
     "kmeans",
+    "tfidf_topk",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "degrees",
@@ -2481,8 +2482,8 @@ _QUERY_PRIORITY: list[str] = [
     "graph_summary",
     "sessions",
     "clustering_coeff",
-    "transitivity",
     # ----------------- driver's 50-query window ends here -----------------
+    "transitivity",
     "assortativity",
     # --- tier 4: variants of tier-3 operators, green in prior rounds,
     #     plus r4-green rows rotated out to make room for r5 queries ---

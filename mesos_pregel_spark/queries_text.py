@@ -48,6 +48,7 @@ from mesos_pregel_spark.functions.similarity import (
 )
 from mesos_pregel_spark.functions.pipeline import clean_corpus
 from mesos_pregel_spark.functions.text import (
+    tfidf_topk,
     LANG_STOPWORDS,
     PII_PATTERNS,
     fingerprint,
@@ -893,6 +894,35 @@ SELECT vec_id, cell, dist2 FROM (
 SQL_KMEANS = _sql_kmeans()
 
 
+_TFIDF_K = 5
+
+# tf-idf twin: idf ROUNDED at 6dp before the tf product, so a 1-ulp
+# libm ln() difference between engines cannot reach the score.
+SQL_TFIDF_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ROUND(LN(CAST(n.n_docs + 1 AS DOUBLE)
+                                / CAST(df.df + 1 AS DOUBLE)) + 1.0, 6),
+               6) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, score FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+WHERE rank <= {_TFIDF_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -921,6 +951,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": lambda s, d: ann_lsh_topk(s, _emb(s, d)),
     "ann_multitable_topk": lambda s, d: ann_lsh_multitable_topk(s, _emb(s, d)),
     "ivf_topk": lambda s, d: ivf_topk(s, _emb(s, d)),
+    "tfidf_topk": lambda s, d: tfidf_topk(_docs(s, d), k=_TFIDF_K),
     "kmeans": lambda s, d: kmeans(
         s, _emb(s, d), k=_KMEANS_K, iters=_KMEANS_ITERS),
     # Arrow/mapInPandas multimodal feature plumbing — exact oracle since
@@ -956,6 +987,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "ann_multitable_topk": SQL_ANN_MULTITABLE_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "kmeans": SQL_KMEANS,
+    "tfidf_topk": SQL_TFIDF_TOPK,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
