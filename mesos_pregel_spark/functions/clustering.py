@@ -100,3 +100,34 @@ def kmeans(
     out = assign().select("vec_id", "cell", "dist2").localCheckpoint()
     emb.unpersist()
     return out
+
+
+def cluster_balanced_sample(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    per_cell: int = 10,
+    seed: str = "cbs42",
+) -> DataFrame:
+    """Cluster-balanced corpus sampling: train k-means, then keep the
+    ``per_cell`` deterministically-lowest md5(seed|vec_id) vectors in
+    every cell — equal representation across semantic cells regardless
+    of cell size (the standard defense against majority-topic capture
+    when subsampling a corpus for training).
+
+    Pure composition of two pinned primitives (kmeans + md5-order
+    pick), so the DuckDB twin is the kmeans unroll plus one window.
+    Returns (vec_id, cell, pick) for kept rows, pick = 1..per_cell in
+    md5 order.
+    """
+    from pyspark.sql import Window
+
+    assigned = kmeans(spark, embeddings, k=k, iters=iters)
+    u = F.md5(F.concat(F.lit(seed + "|"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("cell").orderBy(u.asc(), F.col("vec_id").asc())
+    return (
+        assigned.withColumn("pick", F.row_number().over(w).cast("int"))
+        .where(F.col("pick") <= per_cell)
+        .select("vec_id", "cell", "pick")
+    )

@@ -2454,6 +2454,7 @@ _QUERY_PRIORITY: list[str] = [
     "semi_clusters",
     "kmeans",
     "tfidf_topk",
+    "cluster_balanced_sample",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "degrees",
@@ -2481,8 +2482,8 @@ _QUERY_PRIORITY: list[str] = [
     "centralities",
     "graph_summary",
     "sessions",
-    "clustering_coeff",
     # ----------------- driver's 50-query window ends here -----------------
+    "clustering_coeff",
     "transitivity",
     "assortativity",
     # --- tier 4: variants of tier-3 operators, green in prior rounds,

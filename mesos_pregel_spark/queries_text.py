@@ -59,7 +59,7 @@ from mesos_pregel_spark.functions.text import (
     token_stats,
 )
 from mesos_pregel_spark.sources.multimodal import decode_features, synthesize_media
-from mesos_pregel_spark.functions.clustering import kmeans
+from mesos_pregel_spark.functions.clustering import cluster_balanced_sample, kmeans
 from mesos_pregel_spark.functions.decontam import decontaminate
 from mesos_pregel_spark.functions.packing import pack_concat
 from mesos_pregel_spark.functions.sampling import (
@@ -923,6 +923,21 @@ WHERE rank <= {_TFIDF_K}
 """
 
 
+_CBS_PER_CELL = 10
+
+# cluster-balanced sample twin: the kmeans unroll as a subquery + one
+# md5-order window pick per cell.
+SQL_CLUSTER_BALANCED_SAMPLE = f"""
+SELECT vec_id, cell, pick FROM (
+  SELECT vec_id, cell,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cell
+           ORDER BY MD5('cbs42|' || CAST(vec_id AS VARCHAR)) ASC,
+                    vec_id ASC) AS INT) AS pick
+  FROM ({_sql_kmeans()}) a
+) WHERE pick <= {_CBS_PER_CELL}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -952,6 +967,9 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_multitable_topk": lambda s, d: ann_lsh_multitable_topk(s, _emb(s, d)),
     "ivf_topk": lambda s, d: ivf_topk(s, _emb(s, d)),
     "tfidf_topk": lambda s, d: tfidf_topk(_docs(s, d), k=_TFIDF_K),
+    "cluster_balanced_sample": lambda s, d: cluster_balanced_sample(
+        s, _emb(s, d), k=_KMEANS_K, iters=_KMEANS_ITERS,
+        per_cell=_CBS_PER_CELL),
     "kmeans": lambda s, d: kmeans(
         s, _emb(s, d), k=_KMEANS_K, iters=_KMEANS_ITERS),
     # Arrow/mapInPandas multimodal feature plumbing — exact oracle since
@@ -988,6 +1006,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "ivf_topk": SQL_IVF_TOPK,
     "kmeans": SQL_KMEANS,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "cluster_balanced_sample": SQL_CLUSTER_BALANCED_SAMPLE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -100,3 +100,39 @@ def test_single_iteration_prefix(spark):
         for r in kmeans(spark, _df(spark, rows), k=3, iters=1).collect()
     }
     assert got == _py_kmeans(rows, k=3, iters=1)
+
+
+def test_cluster_balanced_sample(spark):
+    from mesos_pregel_spark.functions.clustering import (
+        cluster_balanced_sample,
+        kmeans,
+    )
+
+    rows = _mk_rows(n=60, dim=4, seed=13)
+    df = _df(spark, rows)
+    picked = cluster_balanced_sample(
+        spark, df, k=3, iters=2, per_cell=5
+    ).collect()
+    cells = {}
+    for r in picked:
+        cells.setdefault(r["cell"], []).append((r["pick"], r["vec_id"]))
+    # at most per_cell picks per cell, ranks contiguous from 1
+    for cell, picks in cells.items():
+        assert len(picks) <= 5
+        assert sorted(p for p, _v in picks) == list(range(1, len(picks) + 1))
+    # picks are drawn from the cell's actual kmeans assignment
+    assign = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans(spark, df, k=3, iters=2).collect()
+    }
+    for r in picked:
+        assert assign[r["vec_id"]] == r["cell"]
+    # md5 order is the pick order within a cell
+    import hashlib
+    for cell, picks in cells.items():
+        members = sorted(
+            (hashlib.md5(f"cbs42|{v}".encode()).hexdigest(), v)
+            for _p, v in picks
+        )
+        by_rank = [v for _p, v in sorted(picks)]
+        assert by_rank == [v for _h, v in members]
