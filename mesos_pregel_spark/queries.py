@@ -2483,11 +2483,11 @@ _QUERY_PRIORITY: list[str] = [
     "graph_summary",
     "sessions",
     # ----------------- driver's 50-query window ends here -----------------
+    # --- tier 4: variants of tier-3 operators, green in prior rounds,
+    #     plus r4-green rows rotated out to make room for r5 queries ---
     "clustering_coeff",
     "transitivity",
     "assortativity",
-    # --- tier 4: variants of tier-3 operators, green in prior rounds,
-    #     plus r4-green rows rotated out to make room for r5 queries ---
     "link_prediction",
     "densest_subgraph",
     "pagerank_step",
