@@ -67,6 +67,9 @@ Workloads (all seed-deterministic, no external data):
                 rounds, one struct-min combiner, shrinking frontier)
   semicluster — semi-clustering [P §5.3] (top-C_max exploded cluster
                 rows per vertex, hub bookkeeping capped at 64)
+  boruvka     — Borůvka minimum spanning forest (per-component
+                struct-min selection, mutual-pair break, pointer
+                jumping; the working edge set shrinks geometrically)
 
 Scaling mode (``--scaling``): re-runs the same workloads at
 ``local[8]`` and ``local[32]`` (the sandbox stand-in for N vs 4N
@@ -803,6 +806,28 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         throughput["semicluster_cluster_rows_per_sec"] = round(
             2 * g_edges * 3 * 2 / sc_sec)  # sym edges x C_max x steps
         detail["semicluster_kept_rows"] = n_sc_rows
+
+    if on("boruvka"):
+        # Borůvka MSF on the shared zipf graph: the round-1 struct-min
+        # dominates (full edge set); later rounds see the geometrically
+        # collapsed component-pair working set, so total work is a
+        # small multiple of one edge scan.
+        from mesos_pregel_spark.algos.boruvka import boruvka_msf
+
+        t = time.monotonic()
+        msf, run_msf = boruvka_msf(
+            spark, g, max_rounds=12, jump_depth=5, edge_partitions=nparts,
+        )
+        n_msf = msf.count()
+        msf_sec = time.monotonic() - t
+        msf_rounds = len(run_msf.metrics)
+        queries["boruvka"] = round(msf_sec, 3)
+        # work per round shrinks geometrically; charge the measured
+        # per-round working-set sizes, not rounds x full edge set
+        msf_scans = sum(m.get("n_work", 0) for m in run_msf.metrics)
+        throughput["boruvka_work_edges_per_sec"] = round(msf_scans / msf_sec)
+        detail["boruvka_rounds"] = msf_rounds
+        detail["boruvka_forest_edges"] = n_msf
 
     if on("packing"):
         # Concat-and-chunk packing on a SKEWED-stratum corpus: 80% of

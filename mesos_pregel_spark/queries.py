@@ -2356,6 +2356,111 @@ FROM st{steps}
 SQL_SEMI_CLUSTERS = _sql_semi_clusters()
 
 
+# Borůvka caps (pinned in algos/boruvka.py): parity is exact at ANY
+# shared (rounds, jumps) cap — converged rounds are no-ops — and the
+# driver-scale bipartite graph contracts well inside these (measured:
+# see the constants' test pin in tests/test_boruvka.py and the
+# strict_contract run in the bench workload).
+_MSF_ROUNDS = 10
+_MSF_JUMPS = 4
+
+
+def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest (algos/boruvka.py) of the
+    customer↔supplier bipartite graph under exact BIGINT count weights
+    with the (weight, lo, hi) total order — the unique MSF."""
+    from mesos_pregel_spark.algos.boruvka import boruvka_msf
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    forest, _run = boruvka_msf(
+        spark, e, max_rounds=_MSF_ROUNDS, jump_depth=_MSF_JUMPS,
+        edge_partitions=8,
+    )
+    return forest.select("lo", "hi", "weight")
+
+
+def _sql_boruvka(rounds: int = _MSF_ROUNDS, jumps: int = _MSF_JUMPS) -> str:
+    """Unrolled Borůvka rounds.  Per round: per-component minimum
+    cross edge under (weight, lo, hi) via ROW_NUMBER (explicit
+    multi-key order == the engine's struct-min), mutual-pair root
+    break, ``jumps`` pointer-jump CTEs, vertex relabel.  Selecting
+    over the raw relabeled edge set equals the engine's collapsed
+    working set (min over pair minima == global min) — see
+    algos/boruvka.py."""
+    parts = ["""
+WITH ed AS MATERIALIZED (
+  SELECT 'c:' || o_custkey AS lo, 's:' || l_suppkey AS hi,
+         COUNT(*) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+cmp0 AS MATERIALIZED (
+  SELECT lo AS id, lo AS comp FROM ed
+  UNION
+  SELECT hi, hi FROM ed
+)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+cd{k} AS (
+  SELECT ca AS c, cb AS oc, w, lo, hi FROM (
+    SELECT a.comp AS ca, b.comp AS cb, e.w, e.lo, e.hi
+    FROM ed e
+    JOIN cmp{k-1} a ON a.id = e.lo
+    JOIN cmp{k-1} b ON b.id = e.hi
+    WHERE a.comp <> b.comp) x
+  UNION ALL
+  SELECT cb, ca, w, lo, hi FROM (
+    SELECT a.comp AS ca, b.comp AS cb, e.w, e.lo, e.hi
+    FROM ed e
+    JOIN cmp{k-1} a ON a.id = e.lo
+    JOIN cmp{k-1} b ON b.id = e.hi
+    WHERE a.comp <> b.comp) y
+),
+sel{k} AS MATERIALIZED (
+  SELECT c, oc, w, lo, hi FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY c ORDER BY w, lo, hi) AS rn
+    FROM cd{k})
+  WHERE rn = 1
+),
+p0_{k} AS (
+  SELECT s.c,
+         CASE WHEN t.oc = s.c AND s.c < s.oc THEN s.c ELSE s.oc END AS p
+  FROM sel{k} s JOIN sel{k} t ON t.c = s.oc
+)""")
+        for j in range(1, jumps + 1):
+            parts.append(f""",
+p{j}_{k} AS (
+  SELECT a.c, b.p FROM p{j-1}_{k} a JOIN p{j-1}_{k} b ON b.c = a.p
+)""")
+        parts.append(f""",
+cmp{k} AS MATERIALIZED (
+  SELECT v.id, COALESCE(p.p, v.comp) AS comp
+  FROM cmp{k-1} v LEFT JOIN p{jumps}_{k} p ON p.c = v.comp
+)""")
+    unions = "\n  UNION ALL ".join(
+        f"SELECT lo, hi, w FROM sel{k}" for k in range(1, rounds + 1)
+    )
+    parts.append(f"""
+SELECT DISTINCT lo, hi, CAST(w AS BIGINT) AS weight FROM (
+  {unions}
+)
+""")
+    return "".join(parts)
+
+
+SQL_BORUVKA_MSF = _sql_boruvka()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2411,6 +2516,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
+    "boruvka_msf": q_boruvka_msf,
     **TEXT_QUERIES,
 }
 
@@ -2455,6 +2561,7 @@ _QUERY_PRIORITY: list[str] = [
     "kmeans",
     "tfidf_topk",
     "cluster_balanced_sample",
+    "boruvka_msf",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "degrees",
@@ -2481,10 +2588,11 @@ _QUERY_PRIORITY: list[str] = [
     "anf",
     "centralities",
     "graph_summary",
-    "sessions",
     # ----------------- driver's 50-query window ends here -----------------
     # --- tier 4: variants of tier-3 operators, green in prior rounds,
-    #     plus r4-green rows rotated out to make room for r5 queries ---
+    #     plus r4/r5-green rows rotated out to make room for new queries
+    #     (sessions: green r4 official row) ---
+    "sessions",
     "clustering_coeff",
     "transitivity",
     "assortativity",
@@ -2567,5 +2675,6 @@ ORACLE_SQL: dict[str, str] = {
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,
+    "boruvka_msf": SQL_BORUVKA_MSF,
     **TEXT_ORACLE_SQL,
 }
