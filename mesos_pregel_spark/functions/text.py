@@ -280,3 +280,73 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "score")
     )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """CCNet-style fluency score: per-document mean negative
+    log-probability per token under an add-one-smoothed unigram
+    language model trained on the corpus itself — the in-sandbox
+    stand-in for a KenLM n-gram perplexity filter (Wenzek et al.,
+    "CCNet", 2020 filters by LM perplexity; no n-gram LM toolkit
+    exists in this environment, so the model is the honest unigram).
+    Low nll = stopword-heavy "typical" prose; high nll = rare-token
+    soup — the pipeline filters by band, not by a single cutoff.
+
+    Pinned semantics (cross-engine determinism):
+    - tokens: the repo's pinned tokenization (``tokens_col``), empty
+      tokens dropped; documents with zero tokens emit no row (same
+      empty-doc rule as tfidf_topk);
+    - p(t) = (cnt(t) + 1) / (total_tokens + vocab) — add-one
+      smoothing over the corpus unigram counts;
+    - per-token logp_micro = CAST(ROUND(ln(p) * 1e6) AS BIGINT).
+      Rounding to micro-nats makes each per-token contribution an
+      exact INTEGER, so the per-document sum is order-independent —
+      STRICTLY stronger than tfidf's round-at-6dp pattern, which is
+      safe for per-row products but not for a SUM of thousands of
+      doubles whose partition order Spark does not pin;
+    - nll = ROUND(-sum_micro / (n_tokens * 1e6), 6): one division of
+      two exactly-representable integers (|sum_micro| < 2^53 up to
+      ~10^8-token documents), a single correctly-rounded IEEE op —
+      identical in Spark and DuckDB.
+
+    Shape (design-for-100x): one hash aggregate for corpus term
+    counts, a 1-row broadcast of (total, vocab), one term-keyed
+    equi-join of the token stream against the term table, and one
+    per-doc hash aggregate of exact integers — no UDFs, no windows,
+    no driver data.  Returns (doc_id, n_tokens, nll).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    cnt = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = cnt.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    logp = cnt.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("cnt") + 1).cast("double")
+                / (F.col("total") + F.col("vocab")).cast("double")
+            ) * 1e6
+        ).cast("bigint").alias("logp_micro"),
+    )
+    return (
+        toks.join(logp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("logp_micro").alias("sum_micro"),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            F.round(
+                -F.col("sum_micro").cast("double")
+                / (F.col("n_tokens").cast("double") * 1e6),
+                6,
+            ).alias("nll"),
+        )
+    )

@@ -49,6 +49,7 @@ from mesos_pregel_spark.functions.similarity import (
 from mesos_pregel_spark.functions.pipeline import clean_corpus
 from mesos_pregel_spark.functions.text import (
     tfidf_topk,
+    unigram_logprob,
     LANG_STOPWORDS,
     PII_PATTERNS,
     fingerprint,
@@ -938,6 +939,39 @@ SELECT vec_id, cell, pick FROM (
 """
 
 
+# unigram-LM fluency twin: per-token log-probs are rounded to integer
+# MICRO-nats before the per-document SUM, so the sum is exact integer
+# arithmetic — order-independent on both engines (see
+# functions/text.py::unigram_logprob; a 6dp-double sum would carry
+# partition-order ulps).
+SQL_UNIGRAM_QUALITY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+toks AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+cnt AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM cnt
+),
+logp AS (
+  SELECT term,
+         CAST(ROUND(LN(CAST(cnt + 1 AS DOUBLE)
+                       / CAST(total + vocab AS DOUBLE)) * 1e6, 0)
+              AS BIGINT) AS logp_micro
+  FROM cnt, tot
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-CAST(SUM(l.logp_micro) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS nll
+FROM toks t JOIN logp l USING (term)
+GROUP BY t.doc_id
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -985,6 +1019,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_ratio": lambda s, d: repetition_stats(_docs(s, d)),
     "pack_concat": lambda s, d: pack_concat(
         _docs(s, d), chunk_tokens=_PACK_CHUNK_TOKENS),
+    "unigram_quality": lambda s, d: unigram_logprob(_docs(s, d)),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -1014,4 +1049,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "pii_redact": SQL_PII_REDACT,
     "repetition_ratio": SQL_REPETITION,
     "pack_concat": SQL_PACK_CONCAT,
+    "unigram_quality": SQL_UNIGRAM_QUALITY,
 }
