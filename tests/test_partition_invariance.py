@@ -70,3 +70,21 @@ def test_scc_partition_invariance(spark, graph):
     a, _ = strongly_connected_components(spark, graph, edge_partitions=2)
     b, _ = strongly_connected_components(spark, graph, edge_partitions=16)
     assert _rows(a) == _rows(b)  # labels: exact
+
+
+def test_boruvka_partition_invariance(spark, graph):
+    from mesos_pregel_spark.algos.boruvka import boruvka_msf
+
+    a, _ = boruvka_msf(spark, graph, edge_partitions=2)
+    b, _ = boruvka_msf(spark, graph, edge_partitions=16)
+    assert _rows(a) == _rows(b)  # exact integers + strings
+
+
+def test_unigram_partition_invariance(spark):
+    from mesos_pregel_spark.functions.text import unigram_logprob
+    from mesos_pregel_spark.fixtures import generate_documents_dist
+
+    docs = generate_documents_dist(spark, 400, dup_frac=0.1, partitions=4)
+    a = unigram_logprob(docs.repartition(2))
+    b = unigram_logprob(docs.repartition(16))
+    assert _rows(a) == _rows(b)  # micro-nat integer sums: exact
