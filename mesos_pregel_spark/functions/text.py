@@ -350,3 +350,93 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
             ).alias("nll"),
         )
     )
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Bigram extension of ``unigram_logprob`` — one step closer to
+    CCNet's n-gram LM: each token after the first is scored by the
+    add-one-smoothed conditional p(t_i | t_{i-1}) =
+    (c2(t_{i-1}, t_i) + 1) / (c1(t_{i-1}) + vocab); the first token
+    falls back to the unigram p(t_0) = (c1 + 1) / (total + vocab).
+    The model is trained on the scored corpus itself, so every
+    observed bigram has c2 >= 1 and no unseen-event path exists.
+
+    Same pinned determinism contract as unigram_logprob: per-token
+    log-probs become exact INTEGER micro-nats before the per-doc sum
+    (order-independent), and nll is one correctly-rounded division of
+    exact integers, ROUND 6dp.  Empty docs emit no row.
+
+    Shape (design-for-100x): one per-doc LAG window (bounded by
+    document length), two corpus hash aggregates (unigram + bigram
+    counts), a 1-row broadcast of (total, vocab), three equi-joins of
+    the token stream against the count tables, one per-doc hash
+    aggregate of exact integers — no UDFs, no unbounded windows.
+    Returns (doc_id, n_tokens, nll).
+    """
+    from pyspark.sql import Window
+
+    seq = (
+        docs.select(
+            "doc_id",
+            F.posexplode(tokens_col(F.col("text"))).alias("pos", "term"),
+        )
+        .where(F.col("term") != "")
+        .withColumn(
+            "prev",
+            F.lag("term").over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+    )
+    c1 = seq.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    totals = c1.agg(
+        F.sum("c1").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    c2 = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    c1t = c1.select(F.col("term").alias("t_term"), F.col("c1").alias("c1t"))
+    c1p = c1.select(F.col("term").alias("p_term"), F.col("c1").alias("c1p"))
+    joined = (
+        seq.join(c1t, seq["term"] == c1t["t_term"])
+        .join(c1p, seq["prev"] == c1p["p_term"], "left_outer")
+        .join(c2, ["prev", "term"], "left_outer")
+        .crossJoin(F.broadcast(totals))
+    )
+    lp = F.when(
+        F.col("prev").isNull(),
+        F.round(
+            F.log(
+                (F.col("c1t") + 1).cast("double")
+                / (F.col("total") + F.col("vocab")).cast("double")
+            ) * 1e6
+        ),
+    ).otherwise(
+        F.round(
+            F.log(
+                (F.col("c2") + 1).cast("double")
+                / (F.col("c1p") + F.col("vocab")).cast("double")
+            ) * 1e6
+        )
+    ).cast("bigint")
+    return (
+        joined.select("doc_id", lp.alias("lp_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lp_micro").alias("sum_micro"),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            F.round(
+                -F.col("sum_micro").cast("double")
+                / (F.col("n_tokens").cast("double") * 1e6),
+                6,
+            ).alias("nll"),
+        )
+    )

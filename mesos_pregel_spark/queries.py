@@ -2563,6 +2563,7 @@ _QUERY_PRIORITY: list[str] = [
     "cluster_balanced_sample",
     "boruvka_msf",
     "unigram_quality",
+    "bigram_quality",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "degrees",
@@ -2587,11 +2588,11 @@ _QUERY_PRIORITY: list[str] = [
     "coloring_spec",
     "walks",
     "anf",
-    "centralities",
     # ----------------- driver's 50-query window ends here -----------------
     # --- tier 4: variants of tier-3 operators, green in prior rounds,
     #     plus r4/r5-green rows rotated out to make room for new queries
-    #     (graph_summary, sessions: green r4 official rows) ---
+    #     (centralities, graph_summary, sessions: green r4 official rows) ---
+    "centralities",
     "graph_summary",
     "sessions",
     "clustering_coeff",

@@ -50,6 +50,7 @@ from mesos_pregel_spark.functions.pipeline import clean_corpus
 from mesos_pregel_spark.functions.text import (
     tfidf_topk,
     unigram_logprob,
+    bigram_logprob,
     LANG_STOPWORDS,
     PII_PATTERNS,
     fingerprint,
@@ -972,6 +973,58 @@ FROM toks t JOIN logp l USING (term)
 GROUP BY t.doc_id
 """
 
+# bigram-LM twin: positional tokens via DuckDB's zipped parallel
+# unnests + a per-doc LAG; same integer micro-nat contract as the
+# unigram twin (functions/text.py::bigram_logprob).
+SQL_BIGRAM_QUALITY = f"""
+WITH arrs AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS arr FROM documents
+),
+seq0 AS (
+  SELECT doc_id, unnest(arr) AS term,
+         unnest(range(0, len(arr))) AS pos
+  FROM arrs
+),
+seq AS (
+  SELECT doc_id, pos, term,
+         LAG(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM seq0 WHERE term <> ''
+),
+c1 AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c1 FROM seq GROUP BY term
+),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM c1
+),
+c2 AS (
+  SELECT prev, term, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, term
+),
+lp AS (
+  SELECT s.doc_id,
+         CAST(CASE WHEN s.prev IS NULL THEN
+           ROUND(LN(CAST(t1.c1 + 1 AS DOUBLE)
+                    / CAST(tot.total + tot.vocab AS DOUBLE)) * 1e6, 0)
+         ELSE
+           ROUND(LN(CAST(b.c2 + 1 AS DOUBLE)
+                    / CAST(p1.c1 + tot.vocab AS DOUBLE)) * 1e6, 0)
+         END AS BIGINT) AS lp_micro
+  FROM seq s
+  JOIN c1 t1 ON t1.term = s.term
+  LEFT JOIN c1 p1 ON p1.term = s.prev
+  LEFT JOIN c2 b ON b.prev = s.prev AND b.term = s.term
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-CAST(SUM(lp_micro) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS nll
+FROM lp
+GROUP BY doc_id
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1020,6 +1073,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_concat": lambda s, d: pack_concat(
         _docs(s, d), chunk_tokens=_PACK_CHUNK_TOKENS),
     "unigram_quality": lambda s, d: unigram_logprob(_docs(s, d)),
+    "bigram_quality": lambda s, d: bigram_logprob(_docs(s, d)),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -1050,4 +1104,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "repetition_ratio": SQL_REPETITION,
     "pack_concat": SQL_PACK_CONCAT,
     "unigram_quality": SQL_UNIGRAM_QUALITY,
+    "bigram_quality": SQL_BIGRAM_QUALITY,
 }
