@@ -313,7 +313,10 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     counts, a 1-row broadcast of (total, vocab), one term-keyed
     equi-join of the token stream against the term table, and one
     per-doc hash aggregate of exact integers — no UDFs, no windows,
-    no driver data.  Returns (doc_id, n_tokens, nll).
+    no driver data.  The term join's key distribution is zipfian
+    (stopwords are hot keys), but the count table is |vocab| rows —
+    AQE broadcasts it when small and splits skewed shuffle partitions
+    otherwise.  Returns (doc_id, n_tokens, nll).
     """
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
