@@ -330,3 +330,68 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): LOCAL fingerprints that two
+    documents provably share whenever they have a common substring of
+    length >= w + k - 1, which is what makes partial-overlap /
+    plagiarism-style detection work where whole-document hashes
+    (``fingerprint``) and set-similarity sketches (MinHash) do not
+    localize the match.
+
+    Pinned semantics (cross-engine determinism):
+    - positions p = 1..max(len(norm)-k+1, 1) over the normalized
+      text; h(p) = md5 of the char k-gram at p (short docs emit their
+      whole text as the single gram, mirroring ``shingles``);
+    - a selection window is anchored at EVERY position p and covers
+      [p, min(p+w-1, end)] — anchoring at every position keeps the
+      classic full-window guarantee and still emits >=1 fingerprint
+      for docs shorter than w positions;
+    - each window selects its minimum h; ties break to the RIGHTMOST
+      position (the winnowing rule).  Both the min and the tie-break
+      ride ONE string key ``h || '|' || lpad(10^9 - p)`` — md5 hex is
+      fixed-width so string MIN == (h asc, p desc), identical in
+      Spark and DuckDB;
+    - output: DISTINCT (doc_id, pos, fp) of the selected grams.
+
+    Shape (design-for-100x): one explode of positioned grams and one
+    per-document sliding window frame (ROWS BETWEEN CURRENT ROW AND
+    w-1 FOLLOWING) bounded by document length — no self-join blowup;
+    the DuckDB twin mirrors the identical frame.  No UDFs, no
+    unbounded windows.
+    """
+    from pyspark.sql import Window
+
+    norm = normalize_text(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+        lambda i: F.substr(norm, i, F.lit(k)),
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "gram")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("p"),
+        F.concat(
+            F.md5("gram"), F.lit("|"),
+            F.lpad((F.lit(1_000_000_000) - F.col("pos0") - 1).cast("string"),
+                   10, "0"),
+        ).alias("key"),
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = pos.select(
+        "doc_id", F.min("key").over(frame).alias("sel_key")
+    ).distinct()
+    return sel.select(
+        "doc_id",
+        (F.lit(1_000_000_000)
+         - F.substring("sel_key", 34, 10).cast("long")).alias("pos"),
+        F.substring("sel_key", 1, 32).alias("fp"),
+    )

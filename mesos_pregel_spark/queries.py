@@ -2564,6 +2564,7 @@ _QUERY_PRIORITY: list[str] = [
     "boruvka_msf",
     "unigram_quality",
     "bigram_quality",
+    "winnow_fp",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "degrees",
@@ -2587,11 +2588,11 @@ _QUERY_PRIORITY: list[str] = [
     "coloring",
     "coloring_spec",
     "walks",
-    "anf",
     # ----------------- driver's 50-query window ends here -----------------
     # --- tier 4: variants of tier-3 operators, green in prior rounds,
     #     plus r4/r5-green rows rotated out to make room for new queries
-    #     (centralities, graph_summary, sessions: green r4 official rows) ---
+    #     (anf, centralities, graph_summary, sessions: green r4 rows) ---
+    "anf",
     "centralities",
     "graph_summary",
     "sessions",

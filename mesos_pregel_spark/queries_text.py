@@ -24,6 +24,7 @@ from mesos_pregel_spark.functions.dedup import (
     near_duplicates,
     release_dedup_caches,
     simhash,
+    winnow_fingerprints,
 )
 
 
@@ -1025,6 +1026,39 @@ FROM lp
 GROUP BY doc_id
 """
 
+# winnowing twin: identical per-doc sliding frame; the composite
+# string key (fixed-width md5 hex || reversed zero-padded position)
+# makes MIN == (hash asc, position desc) in both engines.
+_WINNOW_K, _WINNOW_W = 5, 4
+SQL_WINNOW_FP = f"""
+WITH npos AS (
+  SELECT doc_id, {_NORM} AS norm FROM documents
+),
+pos AS (
+  SELECT doc_id, norm,
+         unnest(range(1, GREATEST(len(norm) - {_WINNOW_K - 1}, 1) + 1)) AS p
+  FROM npos
+),
+keyed AS (
+  SELECT doc_id, p,
+         MD5(SUBSTR(norm, CAST(p AS INT), {_WINNOW_K})) || '|' ||
+         LPAD(CAST(1000000000 - p AS VARCHAR), 10, '0') AS key
+  FROM pos
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS sel_key
+  FROM keyed
+)
+SELECT doc_id,
+       CAST(1000000000 - CAST(SUBSTR(sel_key, 34, 10) AS BIGINT) AS BIGINT)
+         AS pos,
+       SUBSTR(sel_key, 1, 32) AS fp
+FROM sel
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1074,6 +1108,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _docs(s, d), chunk_tokens=_PACK_CHUNK_TOKENS),
     "unigram_quality": lambda s, d: unigram_logprob(_docs(s, d)),
     "bigram_quality": lambda s, d: bigram_logprob(_docs(s, d)),
+    "winnow_fp": lambda s, d: winnow_fingerprints(
+        _docs(s, d), k=_WINNOW_K, w=_WINNOW_W),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -1105,4 +1141,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "pack_concat": SQL_PACK_CONCAT,
     "unigram_quality": SQL_UNIGRAM_QUALITY,
     "bigram_quality": SQL_BIGRAM_QUALITY,
+    "winnow_fp": SQL_WINNOW_FP,
 }
