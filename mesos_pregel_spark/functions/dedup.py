@@ -395,3 +395,44 @@ def winnow_fingerprints(
          - F.substring("sel_key", 34, 10).cast("long")).alias("pos"),
         F.substring("sel_key", 1, 32).alias("fp"),
     )
+
+
+def overlap_candidates(
+    docs: DataFrame, k: int = 5, w: int = 4,
+    min_shared: int = 2, cap: int = 50,
+) -> DataFrame:
+    """Partial-overlap candidate pairs from shared winnowing
+    fingerprints — the companion discovery step to
+    :func:`winnow_fingerprints`: two documents sharing a substring of
+    length >= w + k - 1 share a fingerprint, so bucket-joining on
+    fingerprints surfaces plagiarism-style PARTIAL overlaps that
+    whole-document Jaccard misses at low global similarity.
+
+    Pinned semantics:
+    - fingerprint sets per doc (positions dropped, DISTINCT fp);
+    - fps carried by fewer than 2 or more than ``cap`` documents are
+      dropped — the > cap rule is the stop-gram guard (same
+      bounded-bucket economics as the LSH band join and the hub cap
+      in link_prediction: pair fan-out per fp is <= cap², never
+      all-pairs);
+    - candidate pair (doc_a < doc_b) kept when >= ``min_shared``
+      surviving fps are shared (suppresses single-gram coincidences);
+      shared_fps is the exact surviving-fp overlap count.
+    """
+    wf = (
+        winnow_fingerprints(docs, k=k, w=w)
+        .select("doc_id", "fp").distinct()
+    )
+    sz = wf.groupBy("fp").agg(F.count(F.lit(1)).alias("sz"))
+    kept = wf.join(
+        sz.where((F.col("sz") >= 2) & (F.col("sz") <= cap)).select("fp"),
+        "fp",
+    )
+    a = kept.select(F.col("fp").alias("fp"), F.col("doc_id").alias("doc_a"))
+    b = kept.select(F.col("fp").alias("fp2"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, (a["fp"] == b["fp2"]) & (a["doc_a"] < b["doc_b"]))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

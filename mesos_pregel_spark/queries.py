@@ -2565,6 +2565,7 @@ _QUERY_PRIORITY: list[str] = [
     "unigram_quality",
     "bigram_quality",
     "winnow_fp",
+    "overlap_candidates",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "degrees",
@@ -2587,11 +2588,11 @@ _QUERY_PRIORITY: list[str] = [
     "mis",
     "coloring",
     "coloring_spec",
-    "walks",
     # ----------------- driver's 50-query window ends here -----------------
     # --- tier 4: variants of tier-3 operators, green in prior rounds,
     #     plus r4/r5-green rows rotated out to make room for new queries
-    #     (anf, centralities, graph_summary, sessions: green r4 rows) ---
+    #     (walks, anf, centralities, graph_summary, sessions: r4 rows) ---
+    "walks",
     "anf",
     "centralities",
     "graph_summary",

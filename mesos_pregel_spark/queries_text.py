@@ -23,6 +23,7 @@ from mesos_pregel_spark.functions.dedup import (
     lsh_candidates,
     near_duplicates,
     release_dedup_caches,
+    overlap_candidates,
     simhash,
     winnow_fingerprints,
 )
@@ -1059,6 +1060,46 @@ SELECT doc_id,
 FROM sel
 """
 
+# overlap-candidates twin: winnow fp sets -> stop-gram cap -> bucket
+# pair join (functions/dedup.py::overlap_candidates).
+_OVERLAP_MIN_SHARED, _OVERLAP_CAP = 2, 50
+SQL_OVERLAP_CANDIDATES = f"""
+WITH npos AS (
+  SELECT doc_id, {_NORM} AS norm FROM documents
+),
+pos AS (
+  SELECT doc_id, norm,
+         unnest(range(1, GREATEST(len(norm) - {_WINNOW_K - 1}, 1) + 1)) AS p
+  FROM npos
+),
+keyed AS (
+  SELECT doc_id, p,
+         MD5(SUBSTR(norm, CAST(p AS INT), {_WINNOW_K})) || '|' ||
+         LPAD(CAST(1000000000 - p AS VARCHAR), 10, '0') AS key
+  FROM pos
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS sel_key
+  FROM keyed
+),
+wf AS (
+  SELECT DISTINCT doc_id, SUBSTR(sel_key, 1, 32) AS fp FROM sel
+),
+kept AS (
+  SELECT doc_id, fp FROM wf
+  WHERE fp IN (SELECT fp FROM wf GROUP BY fp
+               HAVING COUNT(*) BETWEEN 2 AND {_OVERLAP_CAP})
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_OVERLAP_MIN_SHARED}
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1110,6 +1151,9 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_quality": lambda s, d: bigram_logprob(_docs(s, d)),
     "winnow_fp": lambda s, d: winnow_fingerprints(
         _docs(s, d), k=_WINNOW_K, w=_WINNOW_W),
+    "overlap_candidates": lambda s, d: overlap_candidates(
+        _docs(s, d), k=_WINNOW_K, w=_WINNOW_W,
+        min_shared=_OVERLAP_MIN_SHARED, cap=_OVERLAP_CAP),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -1142,4 +1186,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "unigram_quality": SQL_UNIGRAM_QUALITY,
     "bigram_quality": SQL_BIGRAM_QUALITY,
     "winnow_fp": SQL_WINNOW_FP,
+    "overlap_candidates": SQL_OVERLAP_CANDIDATES,
 }

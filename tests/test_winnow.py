@@ -67,3 +67,37 @@ def test_moss_guarantee_and_normalization(spark):
     assert len(by_doc[2]) == 1
     # sub-k doc: one row, position 1
     assert {(p, len(fp)) for d, p, fp in got if d == 3} == {(1, 32)}
+
+
+def test_overlap_candidates(spark):
+    from mesos_pregel_spark.functions.dedup import overlap_candidates
+
+    shared = "a long shared passage that both documents quote verbatim"
+    docs = [
+        "first document begins here " + shared + " then diverges alpha",
+        "second one opens differently " + shared + " and ends with beta",
+        # candidate discovery is gram-level: keep the controls free of
+        # any 5-char overlap with each other or the pair above
+        "zzqzz qqzqq zqzqz qzqzq zzzqq",
+        "wvwwv vvwvv wvvvw vwvwv wwwvv",
+    ]
+    got = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in overlap_candidates(_df(spark, docs), K, W).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 2   # the quoting pair
+    for pair in got:                            # no unrelated pair slips in
+        assert pair == (0, 1)
+
+
+def test_overlap_cap_drops_stop_grams(spark):
+    from mesos_pregel_spark.functions.dedup import overlap_candidates
+
+    # every doc shares the ubiquitous prefix: with cap below the doc
+    # count, those fps are stop-grams and no pair may form from them
+    docs = [f"common prefix shared by all then unique tail {i} {i} {i}"
+            for i in range(8)]
+    got = overlap_candidates(_df(spark, docs), K, W, cap=7).collect()
+    prefix_only = overlap_candidates(_df(spark, docs), K, W, cap=50).collect()
+    assert len(got) == 0          # capped: ubiquitous fps dropped
+    assert len(prefix_only) > 0   # uncapped control: pairs exist
