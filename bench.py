@@ -70,6 +70,8 @@ Workloads (all seed-deterministic, no external data):
   boruvka     — Borůvka minimum spanning forest (per-component
                 struct-min selection, mutual-pair break, pointer
                 jumping; the working edge set shrinks geometrically)
+  winnow      — MOSS winnowing fingerprints + stop-gram-capped
+                overlap candidate pairs on the dedup corpus
 
 Scaling mode (``--scaling``): re-runs the same workloads at
 ``local[8]`` and ``local[32]`` (the sandbox stand-in for N vs 4N
@@ -806,6 +808,28 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         throughput["semicluster_cluster_rows_per_sec"] = round(
             2 * g_edges * 3 * 2 / sc_sec)  # sym edges x C_max x steps
         detail["semicluster_kept_rows"] = n_sc_rows
+
+    if on("winnow"):
+        # Winnowing fingerprints + capped overlap candidates on the
+        # same planted-near-dup corpus the dedup row uses: one
+        # per-doc sliding frame + one bounded bucket join.
+        from mesos_pregel_spark.functions.dedup import (
+            overlap_candidates,
+            winnow_fingerprints,
+        )
+
+        wdocs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .repartition(nparts, "doc_id").persist()
+        n_wdocs = wdocs.count()
+        t = time.monotonic()
+        n_fps = winnow_fingerprints(wdocs).count()
+        n_ovl = overlap_candidates(wdocs, min_shared=4).count()
+        wn_sec = time.monotonic() - t
+        queries["winnow"] = round(wn_sec, 3)
+        throughput["winnow_docs_per_sec"] = round(n_wdocs / wn_sec)
+        detail["winnow_fingerprints"] = n_fps
+        detail["winnow_overlap_pairs"] = n_ovl
+        wdocs.unpersist()
 
     if on("boruvka"):
         # Borůvka MSF on the shared zipf graph: the round-1 struct-min
