@@ -1,0 +1,139 @@
+"""Community-quality analytics over a vertex-labelling: per-community
+size / internal edges / volume / cut / conductance and Newman
+modularity, with EXACT integer arithmetic everywhere except the two
+final reported ratios.
+
+Semantics (Newman & Girvan 2004, standard undirected form):
+
+  Q = sum_c ( e_c / m  -  (vol_c / 2m)^2 )
+
+over the canonical undirected simple graph (self-loops dropped,
+multi-edges collapsed — the engine's triangle/k-truss substrate):
+m = |und|, e_c = internal edges of community c, vol_c = sum of
+distinct-neighbour degrees.  Per community the numerator is held as
+the exact integer 4*m*e_c - vol_c^2 over denominator 4*m^2, so the
+argsum is order-independent and both engines (Spark / the DuckDB
+twin) perform ONE double division of identical integers — the same
+no-FP-in-the-aggregate discipline as structure.densest_subgraph.
+
+Conductance(c) = cut_c / min(vol_c, 2m - vol_c) with cut_c =
+vol_c - 2*e_c, defined 0.0 when the denominator is 0 (a community
+holding the whole graph has cut 0).
+
+Scale shape: two hash aggregates over the labelled edge/degree tables
+(the label join is a plain equi-join on vertex id — broadcast when
+labels are small, shuffled otherwise, Catalyst/AQE's choice) plus one
+scalar m.  No iteration, no window over a whole community, nothing
+proportional to community size on a single task — a 100-TB edge set
+with a dominant community still distributes, because every per-
+community quantity is a partial-aggregable SUM/COUNT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mesos_pregel_spark.algos.triangles import canonical_undirected
+from mesos_pregel_spark.algos.structure import _und_degrees
+
+
+def community_stats(
+    spark: SparkSession, edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Per-community stats for ``labels`` (id, label) over the
+    canonical undirected form of ``edges`` (src, dst[, weight]).
+
+    Returns (label, n_vertices, internal_edges, volume, cut,
+    conductance, modularity_part) — one row per community that owns at
+    least one graph vertex.  All counts are exact longs; conductance
+    and modularity_part are the only doubles, each produced by a
+    single division of exact integers and rounded to 9 digits.
+    """
+    und = canonical_undirected(edges)
+    deg = _und_degrees(und)
+    m = und.count()
+
+    lab = labels.select("id", "label")
+    vol = (
+        deg.join(lab, "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("deg").cast("long").alias("volume"),
+        )
+    )
+    internal = (
+        und.join(lab.withColumnsRenamed({"id": "lo", "label": "l1"}), "lo")
+        .join(lab.withColumnsRenamed({"id": "hi", "label": "l2"}), "hi")
+        .where(F.col("l1") == F.col("l2"))
+        .groupBy(F.col("l1").alias("label"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+
+    e_in = F.coalesce("internal_edges", F.lit(0)).cast("long")
+    cut = (F.col("volume") - 2 * e_in).cast("long")
+    cond_den = F.least(F.col("volume"), F.lit(2 * m) - F.col("volume"))
+    # exact integer numerator / denominator; ONE double division each
+    mod_num = (F.lit(4 * m) * e_in - F.col("volume") * F.col("volume")).cast(
+        "long"
+    )
+    mod_den = float(4 * m * m) if m else 1.0
+    return (
+        vol.join(internal, "label", "left_outer")
+        .select(
+            "label",
+            "n_vertices",
+            e_in.alias("internal_edges"),
+            "volume",
+            cut.alias("cut"),
+            F.round(
+                F.when(cond_den == 0, F.lit(0.0)).otherwise(
+                    cut.cast("double") / cond_den.cast("double")
+                ),
+                9,
+            ).alias("conductance"),
+            F.round(mod_num.cast("double") / F.lit(mod_den), 9).alias(
+                "modularity_part"
+            ),
+        )
+    )
+
+
+def modularity(
+    spark: SparkSession, edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Global Newman modularity of ``labels`` over ``edges``.
+
+    One row: (n_communities, modularity).  The sum runs over the exact
+    integer numerators (order-independent), then divides once.
+    """
+    und = canonical_undirected(edges)
+    deg = _und_degrees(und)
+    m = und.count()
+    lab = labels.select("id", "label")
+
+    vol = (
+        deg.join(lab, "id")
+        .groupBy("label")
+        .agg(F.sum("deg").cast("long").alias("volume"))
+    )
+    internal = (
+        und.join(lab.withColumnsRenamed({"id": "lo", "label": "l1"}), "lo")
+        .join(lab.withColumnsRenamed({"id": "hi", "label": "l2"}), "hi")
+        .where(F.col("l1") == F.col("l2"))
+        .groupBy(F.col("l1").alias("label"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    e_in = F.coalesce("internal_edges", F.lit(0)).cast("long")
+    num = (F.lit(4 * m) * e_in - F.col("volume") * F.col("volume")).cast("long")
+    den = float(4 * m * m) if m else 1.0
+    return (
+        vol.join(internal, "label", "left_outer")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.round(F.sum(num).cast("double") / F.lit(den), 9).alias(
+                "modularity"
+            ),
+        )
+    )

@@ -307,10 +307,11 @@ def q_ppr_step4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lpa_steps(steps: int) -> str:
-    """k-step unrolled sync-LPA oracle: per step, per-(dst, label)
-    weight sums over the symmetric edges, argmax with the pinned
-    smallest-label tie-break, keep-own-label when no messages."""
+def _lpa_cte(steps: int) -> str:
+    """The k-step unrolled sync-LPA CTE chain (no final SELECT):
+    per step, per-(dst, label) weight sums over the symmetric edges,
+    argmax with the pinned smallest-label tie-break, keep-own-label
+    when no messages.  Final labels live in CTE ``l{steps}``."""
     parts = ["""
 , l0 AS MATERIALIZED (
   SELECT s AS actor, s AS label FROM (SELECT DISTINCT s FROM symw)
@@ -331,10 +332,13 @@ l{k} AS MATERIALIZED (
   SELECT p.actor, COALESCE(w.label, p.label) AS label
   FROM l{k-1} p LEFT JOIN win{k} w ON w.actor = p.actor
 )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _sql_lpa_steps(steps: int) -> str:
+    return _SQL_EDGES + _lpa_cte(steps) + f"""
 SELECT actor, label FROM l{steps}
-""")
-    return _SQL_EDGES + "".join(parts)
+"""
 
 
 SQL_LPA_STEP3 = _sql_lpa_steps(3)
@@ -2065,6 +2069,87 @@ FROM members m, best b WHERE m.k = b.k
 SQL_DENSEST_SUBGRAPH = _sql_densest()
 
 
+# ---------------------------------------------------------------------------
+# community analytics: per-community stats + Newman modularity over the
+# engine's own LPA labels (algos/communities.py)
+# ---------------------------------------------------------------------------
+
+def q_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community (size, internal edges, volume, cut, conductance,
+    modularity contribution) for the 20-superstep LPA communities of
+    the events actor graph.  All counts exact longs; the two ratios
+    are single divisions of exact integers (no FP in any aggregate),
+    mirrored by the twin's BIGINT arithmetic."""
+    from mesos_pregel_spark.algos.communities import community_stats
+
+    e = _graph_edges(spark, sf_dir)
+    labels, _run = label_propagation(
+        spark, e, max_supersteps=20, edge_partitions=8
+    )
+    return community_stats(spark, e, labels)
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Newman modularity of the 20-superstep LPA labelling —
+    one row (n_communities, modularity); the sum runs over exact
+    integer numerators, then divides once."""
+    from mesos_pregel_spark.algos.communities import modularity
+
+    e = _graph_edges(spark, sf_dir)
+    labels, _run = label_propagation(
+        spark, e, max_supersteps=20, edge_partitions=8
+    )
+    return modularity(spark, e, labels)
+
+
+# Shared community CTE: LPA l20 labels + canonical undirected substrate
+# + per-community exact-integer sufficient statistics.
+_COMMUNITY_CTE = """,
+cund AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src_actor, dst_actor) AS lo,
+                  GREATEST(src_actor, dst_actor) AS hi
+  FROM edges),
+cdeg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT lo AS id FROM cund UNION ALL SELECT hi FROM cund) u GROUP BY id),
+cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM cund),
+cvol AS (
+  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(SUM(d.deg) AS BIGINT) AS volume
+  FROM cdeg d JOIN l20 l ON d.id = l.actor GROUP BY l.label),
+cint AS (
+  SELECT l1.label, CAST(COUNT(*) AS BIGINT) AS e_in
+  FROM cund u JOIN l20 l1 ON u.lo = l1.actor
+              JOIN l20 l2 ON u.hi = l2.actor
+  WHERE l1.label = l2.label GROUP BY l1.label),
+cstats AS (
+  SELECT v.label, v.n_vertices,
+         COALESCE(i.e_in, 0) AS internal_edges,
+         v.volume,
+         v.volume - 2 * COALESCE(i.e_in, 0) AS cut,
+         4 * cm.m * COALESCE(i.e_in, 0) - v.volume * v.volume AS mod_num,
+         LEAST(v.volume, 2 * cm.m - v.volume) AS cond_den,
+         cm.m AS m
+  FROM cvol v LEFT JOIN cint i ON v.label = i.label CROSS JOIN cm)
+"""
+
+SQL_COMMUNITY_STATS = _SQL_EDGES + _lpa_cte(20) + _COMMUNITY_CTE + """
+SELECT label, n_vertices, internal_edges, volume, cut,
+       ROUND(CASE WHEN cond_den = 0 THEN 0.0
+                  ELSE CAST(cut AS DOUBLE) / CAST(cond_den AS DOUBLE) END,
+             9) AS conductance,
+       ROUND(CAST(mod_num AS DOUBLE) / CAST(4 * m * m AS DOUBLE), 9)
+         AS modularity_part
+FROM cstats
+"""
+
+SQL_MODULARITY = _SQL_EDGES + _lpa_cte(20) + _COMMUNITY_CTE + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       ROUND(CAST(SUM(mod_num) AS DOUBLE)
+             / CAST(4 * MAX(m) * MAX(m) AS DOUBLE), 9) AS modularity
+FROM cstats
+"""
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -2513,6 +2598,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assortativity": q_assortativity,
     "link_prediction": q_link_prediction,
     "densest_subgraph": q_densest_subgraph,
+    "community_stats": q_community_stats,
+    "modularity": q_modularity,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -2566,17 +2653,17 @@ _QUERY_PRIORITY: list[str] = [
     "bigram_quality",
     "winnow_fp",
     "overlap_candidates",
+    "community_stats",
+    "modularity",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "degrees",
-    "pagerank_step8",
     "pagerank_full",
     "pagerank_conv",
     "ppr_step4",
     "cc_full",
     "lpa_full",
     "sssp",
-    "hits_step4",
     "kcore",
     "msbfs",
     "landmark_distances",
@@ -2604,6 +2691,8 @@ _QUERY_PRIORITY: list[str] = [
     "densest_subgraph",
     "pagerank_step",
     "pagerank_step2",
+    "pagerank_step8",
+    "hits_step4",
     "pagerank_weighted_step2",
     "cc_step",
     "cc_jump",
@@ -2676,6 +2765,8 @@ ORACLE_SQL: dict[str, str] = {
     "assortativity": SQL_ASSORTATIVITY,
     "link_prediction": SQL_LINK_PREDICTION,
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,
+    "community_stats": SQL_COMMUNITY_STATS,
+    "modularity": SQL_MODULARITY,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,
