@@ -222,6 +222,81 @@ def link_prediction(
     return out
 
 
+# Fixed-point scale for resource-allocation scores: each shared
+# neighbour v contributes the exact integer RA_SCALE div deg(v), so the
+# per-pair sum is order-independent and cross-engine identical (the
+# float 1/deg sum would depend on reduction order).  12 digits keeps
+# the truncation error (< deg/RA_SCALE per term) far below any real
+# score gap while the sum of ~1e12-sized longs stays well inside int64
+# for any plausible top-k candidate set.
+RA_SCALE = 10**12
+
+
+def link_prediction_ra(
+    spark: SparkSession,
+    edges: DataFrame,
+    min_common: int = 2,
+    top_k: int = 100,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Top-k non-adjacent vertex pairs by the resource-allocation
+    index RA(a,b) = sum_{v in N(a) ∩ N(b)} 1/deg(v) (Zhou, Lü &
+    Zhang 2009) — the log-free cousin of Adamic–Adar, preferred here
+    because 1/deg is exactly representable as a scaled integer while
+    1/ln(deg) is not.
+
+    Same wedge enumeration, anti-join, and hub-cap semantics as
+    ``link_prediction``; each wedge center v carries the exact long
+    ``RA_SCALE div deg(v)``, summed per pair (one map-side-combinable
+    hash aggregate), and the ONLY double is the final reported
+    ``ra = ra_num / RA_SCALE``.  Ordering is all-integer:
+    (ra_num DESC, cn DESC, lo, hi), LIMIT top_k — deterministic."""
+    und = canonical_undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = _und_degrees(und)
+    adj = und.select(
+        F.col("lo").alias("v"), F.col("hi").alias("nbr")
+    ).unionByName(und.select(F.col("hi").alias("v"), F.col("lo").alias("nbr")))
+    if max_degree is not None:
+        centers = deg.where(F.col("deg") <= max_degree).select(
+            F.col("id").alias("v")
+        )
+        adj = adj.join(centers, "v", "left_semi")
+    # integral divide (Spark `div`), never float division
+    adj_w = adj.join(deg.withColumnsRenamed({"id": "v"}), "v").select(
+        "v", "nbr", F.expr(f"{RA_SCALE} div deg").alias("ra_unit")
+    )
+    a = adj_w.alias("a")
+    b = adj.alias("b")
+    pair = (
+        a.join(b, F.col("a.v") == F.col("b.v"))
+        .where(F.col("a.nbr") < F.col("b.nbr"))
+        .groupBy(F.col("a.nbr").alias("lo"), F.col("b.nbr").alias("hi"))
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum("ra_unit").cast("long").alias("ra_num"),
+        )
+    )
+    cand = (
+        pair.join(und, ["lo", "hi"], "left_anti")
+        .where(F.col("cn") >= min_common)
+        .select(
+            "lo", "hi", "cn",
+            (F.col("ra_num").cast("double") / F.lit(float(RA_SCALE)))
+            .alias("ra"),
+            "ra_num",
+        )
+    )
+    out = truncate_plan(
+        cand.orderBy(
+            F.desc("ra_num"), F.desc("cn"), F.asc("lo"), F.asc("hi")
+        )
+        .limit(top_k)
+        .drop("ra_num")
+    )
+    und.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # densest subgraph (greedy peel, 2(1+eps)-approx)
 # ---------------------------------------------------------------------------

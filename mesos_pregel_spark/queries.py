@@ -2000,6 +2000,51 @@ ORDER BY jaccard DESC, cn DESC, lo, hi LIMIT {_LINKPRED_TOPK}
 """
 
 
+def q_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted links by resource-allocation index; the score
+    is an exact scaled-integer sum (RA_SCALE div deg per shared
+    neighbour) on both engines, ordered all-integer, so the LIMIT is
+    deterministic and the twin bit-exact."""
+    from mesos_pregel_spark.algos.structure import link_prediction_ra
+
+    out = link_prediction_ra(
+        spark, _parts_edges(spark, sf_dir),
+        min_common=_LINKPRED_MIN_COMMON, top_k=_LINKPRED_TOPK,
+    )
+    return out.select(
+        F.col("lo").alias("part_a"), F.col("hi").alias("part_b"),
+        "cn", "ra",
+    )
+
+
+SQL_LINK_PREDICTION_RA = _SQL_PARTS + f"""
+, adj AS MATERIALIZED (
+  SELECT lo AS v, hi AS nbr FROM und
+  UNION ALL SELECT hi, lo FROM und
+),
+adjw AS (
+  SELECT a.v, a.nbr, 1000000000000 // d.deg AS ra_unit
+  FROM adj a JOIN pdeg d ON d.id = a.v
+),
+pair AS (
+  SELECT a.nbr AS lo, b.nbr AS hi,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(a.ra_unit) AS BIGINT) AS ra_num
+  FROM adjw a JOIN adj b ON a.v = b.v AND a.nbr < b.nbr
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.lo, p.hi, p.cn, p.ra_num,
+         CAST(p.ra_num AS DOUBLE) / 1000000000000.0 AS ra
+  FROM pair p
+  LEFT JOIN und u ON u.lo = p.lo AND u.hi = p.hi
+  WHERE u.lo IS NULL AND p.cn >= {_LINKPRED_MIN_COMMON}
+)
+SELECT lo AS part_a, hi AS part_b, cn, ra FROM cand
+ORDER BY ra_num DESC, cn DESC, lo, hi LIMIT {_LINKPRED_TOPK}
+"""
+
+
 _DENSEST_ROUNDS = 8
 
 
@@ -2597,6 +2642,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
     "link_prediction": q_link_prediction,
+    "link_prediction_ra": q_link_prediction_ra,
     "densest_subgraph": q_densest_subgraph,
     "community_stats": q_community_stats,
     "modularity": q_modularity,
@@ -2655,9 +2701,9 @@ _QUERY_PRIORITY: list[str] = [
     "overlap_candidates",
     "community_stats",
     "modularity",
+    "link_prediction_ra",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
-    "degrees",
     "pagerank_full",
     "pagerank_conv",
     "ppr_step4",
@@ -2679,6 +2725,7 @@ _QUERY_PRIORITY: list[str] = [
     # --- tier 4: variants of tier-3 operators, green in prior rounds,
     #     plus r4/r5-green rows rotated out to make room for new queries
     #     (walks, anf, centralities, graph_summary, sessions: r4 rows) ---
+    "degrees",
     "walks",
     "anf",
     "centralities",
@@ -2764,6 +2811,7 @@ ORACLE_SQL: dict[str, str] = {
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,
     "link_prediction": SQL_LINK_PREDICTION,
+    "link_prediction_ra": SQL_LINK_PREDICTION_RA,
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,
     "community_stats": SQL_COMMUNITY_STATS,
     "modularity": SQL_MODULARITY,

@@ -9,11 +9,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from mesos_pregel_spark.algos.structure import (
+    RA_SCALE,
     clustering_coefficients,
     degree_assortativity,
     densest_subgraph,
     global_clustering,
     link_prediction,
+    link_prediction_ra,
 )
 
 
@@ -151,6 +153,53 @@ def test_link_prediction_max_degree_caps_centers(spark):
     # the cap must change the result here (z is the top wedge center)
     uncapped = _oracle_link_prediction(_und(pairs), 1, 20)
     assert got != uncapped
+
+
+def _oracle_link_prediction_ra(und, min_common, top_k, max_degree=None):
+    """RA(a,b) = sum over shared neighbours v of RA_SCALE // deg(v),
+    exact integers throughout; only the reported ra divides once."""
+    adj = _adj(und)
+    centers = {
+        v for v in adj if max_degree is None or len(adj[v]) <= max_degree
+    }
+    cn = defaultdict(int)
+    ra_num = defaultdict(int)
+    for v in centers:
+        unit = RA_SCALE // len(adj[v])
+        nbrs = sorted(adj[v])
+        for i, a in enumerate(nbrs):
+            for b in nbrs[i + 1:]:
+                cn[(a, b)] += 1
+                ra_num[(a, b)] += unit
+    rows = []
+    for (a, b), c in cn.items():
+        if (a, b) in und or c < min_common:
+            continue
+        rows.append((a, b, c, ra_num[(a, b)]))
+    rows.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+    return [(a, b, c, n / float(RA_SCALE)) for a, b, c, n in rows[:top_k]]
+
+
+def test_link_prediction_ra(spark):
+    got = [
+        (r["lo"], r["hi"], r["cn"], r["ra"])
+        for r in link_prediction_ra(
+            spark, _df(spark, PAIRS), min_common=1, top_k=10
+        ).collect()
+    ]
+    assert got == _oracle_link_prediction_ra(_und(PAIRS), 1, 10)
+
+
+def test_link_prediction_ra_hub_cap(spark):
+    pairs = PAIRS + [("z", v) for v in "abcdef"]
+    got = [
+        (r["lo"], r["hi"], r["cn"], r["ra"])
+        for r in link_prediction_ra(
+            spark, _df(spark, pairs), min_common=1, top_k=20, max_degree=4
+        ).collect()
+    ]
+    assert got == _oracle_link_prediction_ra(_und(pairs), 1, 20, max_degree=4)
+    assert got != _oracle_link_prediction_ra(_und(pairs), 1, 20)
 
 
 def _oracle_densest(und, max_rounds=24):
