@@ -423,6 +423,33 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         )
         queries["lpa"] = round(time.monotonic() - t, 3)
 
+    if on("communities"):
+        from mesos_pregel_spark.algos.communities import (
+            community_stats,
+            modularity as newman_modularity,
+        )
+
+        # labels are an input, not the measured work: time the two
+        # labelled-edge aggregation passes (stats + global Q), which is
+        # what a snapshot-quality job re-runs per refresh
+        labels_c, _run_lc = label_propagation(
+            spark, g, max_supersteps=5, edge_partitions=nparts
+        )
+        labels_c = labels_c.persist(StorageLevel.MEMORY_AND_DISK)
+        labels_c.count()
+        t = time.monotonic()
+        cs = community_stats(spark, g, labels_c)
+        n_comm = cs.count()
+        mod_row = newman_modularity(spark, g, labels_c).collect()[0]
+        c_sec = time.monotonic() - t
+        queries["communities"] = round(c_sec, 3)
+        # each pass joins labels onto both endpoints of |und| edges
+        throughput["communities_edge_label_joins_per_sec"] = round(
+            4 * g_edges / c_sec)
+        detail["communities_count"] = n_comm
+        detail["communities_modularity"] = mod_row["modularity"]
+        labels_c.unpersist()
+
     if on("hits"):
         from mesos_pregel_spark.algos.hits import hits as run_hits_algo
 
