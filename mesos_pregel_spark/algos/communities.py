@@ -137,3 +137,110 @@ def modularity(
             ),
         )
     )
+
+
+def greedy_modularity(
+    spark: SparkSession,
+    edges: DataFrame,
+    steps: int = 4,
+) -> DataFrame:
+    """Synchronous Louvain-style local-move community detection:
+    ``steps`` rounds where EVERY vertex simultaneously considers the
+    neighbouring communities' exact-integer modularity scores against
+    the PREVIOUS round's labelling (so a round is order-independent,
+    unlike classic sequential Louvain).
+
+    Pinned transition rule (all quantities exact integers):
+
+      score(v, c) = 2m * k_vc - deg(v) * (vol(c) - deg(v) * [c = l(v)])
+
+    where k_vc = |N(v) in c| under the previous labels, vol(c) = the
+    previous community volume, and the own-community volume excludes
+    v's own degree (the standard stay-vs-move correction, Blondel et
+    al. 2008 eq. 2 with the constant terms dropped).  v moves to the
+    best candidate among {own} ∪ {neighbour communities c with
+    c < l(v) AND score(v,c) > score(v, own)} — the MONOTONE min-label
+    restriction used by distributed Louvain variants (Lu, Halappanavar
+    & Kalyanaraman 2015 §4) to kill the synchronous two-cycle where
+    adjacent singletons endlessly swap labels: per-vertex labels never
+    increase, so the process terminates, and every accepted move has
+    strictly positive gain under last round's volumes.  Ties break
+    toward the smallest label; l0(v) = v.  Deterministic, so an
+    unrolled SQL twin reproduces it bit-for-bit.
+
+    Scale shape per round: one adjacency-label equi-join (the scatter),
+    two hash aggregates (k_vc and community volumes), one min_by argmax
+    — every aggregate map-side combinable, nothing proportional to a
+    community's size on one task.  Returns labels (id, label).
+    """
+    from mesos_pregel_spark.plans.truncate import truncate_plan
+
+    und = canonical_undirected(edges).persist()
+    deg = truncate_plan(_und_degrees(und)).persist()
+    m = und.count()
+    adj = und.select(
+        F.col("lo").alias("v"), F.col("hi").alias("nbr")
+    ).unionByName(
+        und.select(F.col("hi").alias("v"), F.col("lo").alias("nbr"))
+    ).persist()
+
+    labels = truncate_plan(deg.select(F.col("id").alias("v"),
+                                      F.col("id").alias("label")))
+    for _ in range(steps):
+        prev = labels.persist()
+        vol = prev.join(deg.withColumnsRenamed({"id": "v"}), "v").groupBy(
+            "label"
+        ).agg(F.sum("deg").cast("long").alias("vol"))
+        nbr_lab = adj.join(
+            prev.withColumnsRenamed({"v": "nbr", "label": "c"}), "nbr"
+        ).select("v", "c", F.lit(1).alias("k"))
+        own = prev.select("v", F.col("label").alias("c"),
+                          F.lit(0).alias("k"))
+        cand = (
+            nbr_lab.unionByName(own)
+            .groupBy("v", "c")
+            .agg(F.sum("k").cast("long").alias("kvc"))
+        )
+        scored = (
+            cand.join(deg.withColumnsRenamed({"id": "v"}), "v")
+            .join(vol.withColumnsRenamed({"label": "c"}), "c")
+            .join(prev, "v")
+            .select(
+                "v", "c", "label",
+                (
+                    F.lit(2 * m) * F.col("kvc")
+                    - F.col("deg")
+                    * (
+                        F.col("vol")
+                        - F.when(F.col("c") == F.col("label"),
+                                 F.col("deg")).otherwise(F.lit(0))
+                    )
+                ).cast("long").alias("score"),
+            )
+        )
+        own_score = scored.where(F.col("c") == F.col("label")).select(
+            "v", F.col("score").alias("own_score")
+        )
+        allowed = scored.join(own_score, "v").where(
+            (F.col("c") == F.col("label"))
+            | ((F.col("c") < F.col("label"))
+               & (F.col("score") > F.col("own_score")))
+        )
+        labels = truncate_plan(
+            allowed.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score")).alias("ns"),
+                        F.col("c").alias("label"),
+                    )
+                ).alias("b")
+            )
+            .select("v", F.col("b.label").alias("label"))
+        )
+        labels.count()
+        prev.unpersist()
+    und.unpersist()
+    deg.unpersist()
+    adj.unpersist()
+    return labels.withColumnsRenamed({"v": "id"})

@@ -2195,6 +2195,70 @@ FROM cstats
 """
 
 
+_GREEDY_MOD_STEPS = 4
+
+
+def q_greedy_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain-style synchronous local-move communities on the parts
+    co-order graph, 4 pinned rounds of the exact-integer monotone
+    min-label rule (algos/communities.py::greedy_modularity); the twin
+    unrolls the same 4 rounds, so the full labelling is bit-exact."""
+    from mesos_pregel_spark.algos.communities import greedy_modularity
+
+    out = greedy_modularity(
+        spark, _parts_edges(spark, sf_dir), steps=_GREEDY_MOD_STEPS
+    )
+    return out.select(
+        F.col("id").alias("part"), F.col("label").alias("community")
+    )
+
+
+def _sql_greedy_modularity(steps: int) -> str:
+    parts = ["""
+, gadj AS MATERIALIZED (
+  SELECT lo AS v, hi AS nbr FROM und UNION ALL SELECT hi, lo FROM und),
+gmm AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+g0 AS MATERIALIZED (SELECT id AS v, id AS label FROM pdeg)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+vol{k} AS (
+  SELECT label, CAST(SUM(deg) AS BIGINT) AS vol
+  FROM g{k-1} g JOIN pdeg d ON d.id = g.v GROUP BY label),
+cand{k} AS (
+  SELECT v, c, CAST(SUM(k) AS BIGINT) AS kvc FROM (
+    SELECT a.v, g.label AS c, 1 AS k
+    FROM gadj a JOIN g{k-1} g ON g.v = a.nbr
+    UNION ALL SELECT v, label AS c, 0 AS k FROM g{k-1}) u
+  GROUP BY v, c),
+sc{k} AS (
+  SELECT c.v, c.c, g.label,
+         2 * gmm.m * c.kvc
+           - d.deg * (vl.vol - CASE WHEN c.c = g.label
+                                    THEN d.deg ELSE 0 END) AS score
+  FROM cand{k} c
+  JOIN pdeg d ON d.id = c.v
+  JOIN vol{k} vl ON vl.label = c.c
+  JOIN g{k-1} g ON g.v = c.v
+  CROSS JOIN gmm),
+g{k} AS MATERIALIZED (
+  SELECT v, c AS label FROM (
+    SELECT s.v, s.c, s.score,
+           ROW_NUMBER() OVER (PARTITION BY s.v
+                              ORDER BY s.score DESC, s.c ASC) AS rn
+    FROM sc{k} s
+    JOIN (SELECT v, score AS own FROM sc{k} WHERE c = label) o
+      ON o.v = s.v
+    WHERE s.c = s.label OR (s.c < s.label AND s.score > o.own)) r
+  WHERE rn = 1)""")
+    parts.append(f"""
+SELECT v AS part, label AS community FROM g{steps}
+""")
+    return _SQL_PARTS + "".join(parts)
+
+
+SQL_GREEDY_MODULARITY = _sql_greedy_modularity(_GREEDY_MOD_STEPS)
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -2646,6 +2710,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "densest_subgraph": q_densest_subgraph,
     "community_stats": q_community_stats,
     "modularity": q_modularity,
+    "greedy_modularity": q_greedy_modularity,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -2702,6 +2767,7 @@ _QUERY_PRIORITY: list[str] = [
     "community_stats",
     "modularity",
     "link_prediction_ra",
+    "greedy_modularity",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "pagerank_full",
@@ -2815,6 +2881,7 @@ ORACLE_SQL: dict[str, str] = {
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,
     "community_stats": SQL_COMMUNITY_STATS,
     "modularity": SQL_MODULARITY,
+    "greedy_modularity": SQL_GREEDY_MODULARITY,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,

@@ -120,3 +120,78 @@ def test_multi_edges_and_self_loops_collapse(spark):
     assert rows["X"]["internal_edges"] == 1  # a-b once
     assert rows["X"]["volume"] == 3  # deg a=1, b=2
     assert rows["Y"]["volume"] == 1
+
+
+def _oracle_greedy_modularity(pairs, steps):
+    """Brute-force synchronous local-move with the pinned monotone
+    min-label restriction: candidates are own community plus
+    strictly-smaller-labelled neighbour communities whose exact-integer
+    score strictly beats staying."""
+    from collections import defaultdict
+
+    und = set()
+    for a, b in pairs:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(n) for v, n in adj.items()}
+    m = len(und)
+    lab = {v: v for v in adj}
+    for _ in range(steps):
+        vol = defaultdict(int)
+        for v in adj:
+            vol[lab[v]] += deg[v]
+        new = {}
+        for v in adj:
+            kvc = defaultdict(int)
+            kvc[lab[v]] += 0
+            for u in adj[v]:
+                kvc[lab[u]] += 1
+            scores = {
+                c: 2 * m * k
+                - deg[v] * (vol[c] - (deg[v] if c == lab[v] else 0))
+                for c, k in kvc.items()
+            }
+            own = scores[lab[v]]
+            pool = [
+                (-s, c)
+                for c, s in scores.items()
+                if c == lab[v] or (c < lab[v] and s > own)
+            ]
+            new[v] = min(pool)[1]
+        lab = new
+    return lab
+
+
+@pytest.mark.parametrize("steps", [1, 2, 4])
+def test_greedy_modularity_vs_oracle(spark, steps):
+    from mesos_pregel_spark.algos.communities import greedy_modularity
+
+    pairs = TWO_TRIANGLES + [
+        ("f", "g"), ("g", "h"), ("h", "f"),   # third triangle off f
+        ("x", "y"),                            # isolated dumbbell edge
+        ("b", "a"), ("a", "a"),                # reverse dup + self loop
+    ]
+    got = {
+        r["id"]: r["label"]
+        for r in greedy_modularity(spark, _edges(spark, pairs), steps=steps)
+        .collect()
+    }
+    assert got == _oracle_greedy_modularity(pairs, steps)
+
+
+def test_greedy_modularity_finds_planted_communities(spark):
+    from mesos_pregel_spark.algos.communities import greedy_modularity
+
+    lab = {
+        r["id"]: r["label"]
+        for r in greedy_modularity(
+            spark, _edges(spark, TWO_TRIANGLES), steps=4
+        ).collect()
+    }
+    assert len({lab[v] for v in "abc"}) == 1
+    assert len({lab[v] for v in "def"}) == 1
+    assert lab["a"] != lab["d"]
