@@ -2259,6 +2259,57 @@ SELECT v AS part, label AS community FROM g{steps}
 SQL_GREEDY_MODULARITY = _sql_greedy_modularity(_GREEDY_MOD_STEPS)
 
 
+_HARMONIC_PIVOTS = 8
+_HARMONIC_DEPTH = 6
+
+
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sampled harmonic centrality on the parts co-order graph:
+    8 md5-min pivots, hop BFS truncated at depth 6, per-vertex sum of
+    the exact longs HC_SCALE div d (algos/harmonic.py) — one 64-bit
+    mask column carries all 8 frontiers, and the only double is the
+    final reported ratio."""
+    from mesos_pregel_spark.algos.harmonic import HC_SCALE, harmonic_sampled
+
+    out, _run = harmonic_sampled(
+        spark, _parts_edges(spark, sf_dir),
+        n_pivots=_HARMONIC_PIVOTS, max_depth=_HARMONIC_DEPTH,
+        edge_partitions=8,
+    )
+    return out.select(
+        F.col("id").alias("part"),
+        "n_reached",
+        F.round(F.col("hnum").cast("double") / F.lit(1e12), 9).alias(
+            "harmonic"
+        ),
+    )
+
+
+SQL_HARMONIC = _SQL_PARTS.replace("WITH op", "WITH RECURSIVE op") + f""",
+hadj AS MATERIALIZED (
+  SELECT lo AS v, hi AS nbr FROM und UNION ALL SELECT hi, lo FROM und),
+hsrc AS (
+  SELECT id AS s FROM pdeg
+  ORDER BY MD5(CAST(id AS VARCHAR)), id LIMIT {_HARMONIC_PIVOTS}),
+hbfs AS (
+  SELECT s, s AS v, 0 AS d FROM hsrc
+  UNION
+  SELECT b.s, a.nbr AS v, b.d + 1 AS d
+  FROM hbfs b JOIN hadj a ON a.v = b.v
+  WHERE b.d < {_HARMONIC_DEPTH}
+),
+hmin AS (SELECT s, v, MIN(d) AS d FROM hbfs GROUP BY s, v),
+hagg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         CAST(SUM({10**12} // d) AS BIGINT) AS hnum
+  FROM hmin WHERE d >= 1 GROUP BY v)
+SELECT p.id AS part,
+       CAST(COALESCE(h.n_reached, 0) AS BIGINT) AS n_reached,
+       ROUND(CAST(COALESCE(h.hnum, 0) AS DOUBLE) / 1e12, 9) AS harmonic
+FROM pdeg p LEFT JOIN hagg h ON h.v = p.id
+"""
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -2711,6 +2762,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "community_stats": q_community_stats,
     "modularity": q_modularity,
     "greedy_modularity": q_greedy_modularity,
+    "harmonic": q_harmonic,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -2768,6 +2820,7 @@ _QUERY_PRIORITY: list[str] = [
     "modularity",
     "link_prediction_ra",
     "greedy_modularity",
+    "harmonic",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "pagerank_full",
@@ -2882,6 +2935,7 @@ ORACLE_SQL: dict[str, str] = {
     "community_stats": SQL_COMMUNITY_STATS,
     "modularity": SQL_MODULARITY,
     "greedy_modularity": SQL_GREEDY_MODULARITY,
+    "harmonic": SQL_HARMONIC,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,
