@@ -1,0 +1,122 @@
+"""Corpus-composition reporting for training-data pipelines: source
+mixing weights (temperature sampling), vocabulary/Zipf summary, and a
+sequence-length histogram.  These are the one-pass aggregates a data
+recipe consults before sampling/packing a 100-TB corpus (mixture
+weights a la GPT-3 Table 2.2 / LLaMA data recipe; length histograms
+drive pack_concat's chunk budget).
+
+Cross-engine determinism discipline (same as unigram_logprob): every
+aggregate is a SUM/COUNT of exact integers; the single reported ratio
+per row divides two exactly-representable integers once.  The only
+transcendental is sqrt in the temperature weight, snapped to an exact
+integer micro-weight BEFORE the order-dependent sum, so partition
+order can never change a digit.
+
+Shape (design-for-100x): each operator is one or two hash aggregates
+over the token stream or the per-doc stats — map-side combinable,
+no windows over unbounded partitions, no UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mesos_pregel_spark.functions.text import tokens_col
+
+# sqrt(n_tokens) snapped to micro-units: the per-source weight is the
+# exact long round(sqrt(n)*1e6), so the normalizing denominator is an
+# integer sum (order-independent) and mix_weight is ONE division.
+_MIX_MICRO = 10**6
+
+
+def source_mix(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Per-source mixture table: document/token counts, the raw token
+    share, and a temperature-flattened sampling weight w_s proportional
+    to n_tokens^alpha (alpha=0.5 pinned: sqrt is the one correctly-
+    rounded IEEE transcendental available identically in Spark and
+    DuckDB; other alphas would need pow, which is not).
+
+    Returns (source, n_docs, n_tokens, token_share, mix_weight),
+    ordered deterministically by the caller if needed."""
+    if alpha != 0.5:
+        raise ValueError("alpha is pinned to 0.5 (sqrt) for determinism")
+    per_source = docs.select(
+        "source", F.size(tokens_col(F.col("text"))).cast("long").alias("nt")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    w_micro = F.round(
+        F.sqrt(F.col("n_tokens").cast("double")) * _MIX_MICRO
+    ).cast("long")
+    per_source = per_source.select(
+        "source", "n_docs", "n_tokens", w_micro.alias("w_micro")
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+        F.sum("w_micro").cast("long").alias("tot_w"),
+    )
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("tot_tokens"), 9
+        ).alias("token_share"),
+        F.round(
+            F.col("w_micro").cast("double") / F.col("tot_w"), 9
+        ).alias("mix_weight"),
+    )
+
+
+def vocab_stats(docs: DataFrame) -> DataFrame:
+    """One-row corpus vocabulary summary: total token count, vocabulary
+    size, hapax-legomenon count (terms seen exactly once), and the
+    type-token ratio — the Zipf-tail health check before vocab/BPE
+    training.  Empty tokens are dropped (same rule as unigram_quality).
+
+    Returns (total_tokens, vocab_size, hapax, type_token_ratio)."""
+    terms = (
+        docs.select(
+            F.explode(tokens_col(F.col("text"))).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return terms.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum((F.col("cnt") == 1).cast("long")).cast("long").alias("hapax"),
+    ).select(
+        "total_tokens",
+        "vocab_size",
+        "hapax",
+        F.round(
+            F.col("vocab_size").cast("double") / F.col("total_tokens"), 9
+        ).alias("type_token_ratio"),
+    )
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Power-of-two sequence-length histogram: bucket b holds documents
+    with 2^b <= n_tokens < 2^(b+1).  The bucket index is computed as
+    LENGTH(bin(n_tokens)) - 1 — pure integer/string ops, because
+    floor(log2(n)) via libm log division can land on the wrong side of
+    a power-of-two boundary and the two engines' libm need not agree.
+
+    Returns (bucket, n_docs, sum_tokens) — the packing planner's input
+    (which chunk size covers which share of the corpus)."""
+    nt = F.size(tokens_col(F.col("text"))).cast("long")
+    return (
+        docs.select(
+            (F.length(F.bin(nt)) - 1).cast("long").alias("bucket"),
+            nt.alias("nt"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("sum_tokens"),
+        )
+    )

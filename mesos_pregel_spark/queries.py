@@ -2821,6 +2821,9 @@ _QUERY_PRIORITY: list[str] = [
     "link_prediction_ra",
     "greedy_modularity",
     "harmonic",
+    "source_mix",
+    "vocab_stats",
+    "length_histogram",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "pagerank_full",

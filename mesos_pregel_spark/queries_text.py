@@ -64,6 +64,11 @@ from mesos_pregel_spark.functions.text import (
 )
 from mesos_pregel_spark.sources.multimodal import decode_features, synthesize_media
 from mesos_pregel_spark.functions.clustering import cluster_balanced_sample, kmeans
+from mesos_pregel_spark.functions.composition import (
+    length_histogram,
+    source_mix,
+    vocab_stats,
+)
 from mesos_pregel_spark.functions.decontam import decontaminate
 from mesos_pregel_spark.functions.packing import pack_concat
 from mesos_pregel_spark.functions.sampling import (
@@ -1104,6 +1109,65 @@ HAVING COUNT(*) >= {_OVERLAP_MIN_SHARED}
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# corpus composition (functions/composition.py): mixture weights, vocab
+# summary, sequence-length histogram
+# ---------------------------------------------------------------------------
+
+SQL_SOURCE_MIX = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           AS w_micro
+  FROM per_src
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(SUM(w_micro) AS BIGINT) AS tot_w
+  FROM w
+)
+SELECT w.source, w.n_docs, w.n_tokens,
+       ROUND(CAST(w.n_tokens AS DOUBLE) / tot.tot_tokens, 9) AS token_share,
+       ROUND(CAST(w.w_micro AS DOUBLE) / tot.tot_w, 9) AS mix_weight
+FROM w CROSS JOIN tot
+"""
+
+SQL_VOCAB_STATS = f"""
+WITH terms AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents) t
+  WHERE token <> '' GROUP BY token
+),
+agg AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM terms
+)
+SELECT total_tokens, vocab_size, hapax,
+       ROUND(CAST(vocab_size AS DOUBLE) / total_tokens, 9)
+         AS type_token_ratio
+FROM agg
+"""
+
+SQL_LENGTH_HISTOGRAM = f"""
+WITH lens AS (
+  SELECT CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT CAST(LENGTH(bin(nt)) - 1 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS sum_tokens
+FROM lens GROUP BY 1
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": lambda s, d: token_stats(_docs(s, d)),
     "quality_score": lambda s, d: quality_score(_docs(s, d)),
@@ -1154,6 +1218,9 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "overlap_candidates": lambda s, d: overlap_candidates(
         _docs(s, d), k=_WINNOW_K, w=_WINNOW_W,
         min_shared=_OVERLAP_MIN_SHARED, cap=_OVERLAP_CAP),
+    "source_mix": lambda s, d: source_mix(_docs(s, d)),
+    "vocab_stats": lambda s, d: vocab_stats(_docs(s, d)),
+    "length_histogram": lambda s, d: length_histogram(_docs(s, d)),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -1187,4 +1254,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "bigram_quality": SQL_BIGRAM_QUALITY,
     "winnow_fp": SQL_WINNOW_FP,
     "overlap_candidates": SQL_OVERLAP_CANDIDATES,
+    "source_mix": SQL_SOURCE_MIX,
+    "vocab_stats": SQL_VOCAB_STATS,
+    "length_histogram": SQL_LENGTH_HISTOGRAM,
 }
