@@ -450,6 +450,35 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         detail["communities_modularity"] = mod_row["modularity"]
         labels_c.unpersist()
 
+    if on("harmonic"):
+        from mesos_pregel_spark.algos.harmonic import harmonic_sampled
+
+        t = time.monotonic()
+        hc, run_hc = harmonic_sampled(
+            spark, g, n_pivots=16, max_depth=10, edge_partitions=nparts
+        )
+        hc.count()
+        hc_sec = time.monotonic() - t
+        queries["harmonic"] = round(hc_sec, 3)
+        hc_steps = len(run_hc.metrics)
+        # one symmetric edge pass per BFS level
+        throughput["harmonic_edge_scans_per_sec"] = round(
+            2 * g_edges * hc_steps / hc_sec)
+        detail["harmonic_supersteps"] = hc_steps
+
+    if on("greedy_mod"):
+        from mesos_pregel_spark.algos.communities import greedy_modularity
+
+        t = time.monotonic()
+        gm_labels = greedy_modularity(spark, g, steps=3)
+        gm_n = gm_labels.select("label").distinct().count()
+        gm_sec = time.monotonic() - t
+        queries["greedy_mod"] = round(gm_sec, 3)
+        # each round scatters labels over the 2|E| symmetric adjacency
+        throughput["greedy_mod_edge_label_joins_per_sec"] = round(
+            2 * g_edges * 3 / gm_sec)
+        detail["greedy_mod_communities"] = gm_n
+
     if on("hits"):
         from mesos_pregel_spark.algos.hits import hits as run_hits_algo
 
