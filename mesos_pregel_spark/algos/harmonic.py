@@ -53,8 +53,11 @@ def harmonic_sampled(
     pivots: Sequence | None = None,
 ) -> tuple[DataFrame, PregelRun]:
     """Exact truncated harmonic centrality from ``n_pivots`` md5-min
-    pivots.  Returns (hc(id, n_reached, hnum), run) — ``hnum`` is the
-    exact scaled-integer numerator; callers report hnum / HC_SCALE."""
+    pivots.  Returns (hc(id, n_reached, hnum, ecc_lb), run) — ``hnum``
+    is the exact scaled-integer numerator (callers report
+    hnum / HC_SCALE) and ``ecc_lb`` = max over reaching pivots of
+    d(s, v), the standard pivot-sampled eccentricity LOWER bound
+    (0 where no pivot reaches v)."""
     if not 0 < n_pivots <= 63:
         raise ValueError(f"need 1..63 pivots, got {n_pivots}")
     nparts = edge_partitions or spark.sparkContext.defaultParallelism
@@ -93,6 +96,7 @@ def harmonic_sampled(
                 init_mask.alias("fresh"),
                 F.lit(0).cast("long").alias("hnum"),
                 F.lit(0).cast("long").alias("n_reached"),
+                F.lit(0).cast("long").alias("ecc_lb"),
             ),
             durable=False,
         )
@@ -115,6 +119,9 @@ def harmonic_sampled(
                 new_bits.alias("fresh"),
                 (state["hnum"] + nb * F.lit(HC_SCALE // t)).alias("hnum"),
                 (state["n_reached"] + nb).alias("n_reached"),
+                # depth is monotone: any fresh bit at t raises the bound
+                F.when(nb > 0, F.lit(t)).otherwise(state["ecc_lb"])
+                .cast("long").alias("ecc_lb"),
             ))
             aggs = run.aggregators(state, [
                 F.sum(F.bit_count(F.col("fresh")).cast("long")).alias(
@@ -125,6 +132,6 @@ def harmonic_sampled(
             run.next_superstep()
             if not aggs["new_bits"]:
                 break
-        return state.select("id", "n_reached", "hnum"), run
+        return state.select("id", "n_reached", "hnum", "ecc_lb"), run
     finally:
         e.unpersist()

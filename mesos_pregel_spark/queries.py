@@ -2309,6 +2309,47 @@ SELECT p.id AS part,
 FROM pdeg p LEFT JOIN hagg h ON h.v = p.id
 """
 
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled eccentricity lower bounds on the parts co-order
+    graph — ecc_lb(v) = max over the 8 md5-min pivots of d(pivot, v),
+    truncated at depth 6; rides the same bit-packed BFS run as
+    q_harmonic (the max-depth column is exact integers)."""
+    from mesos_pregel_spark.algos.harmonic import harmonic_sampled
+
+    out, _run = harmonic_sampled(
+        spark, _parts_edges(spark, sf_dir),
+        n_pivots=_HARMONIC_PIVOTS, max_depth=_HARMONIC_DEPTH,
+        edge_partitions=8,
+    )
+    return out.select(
+        F.col("id").alias("part"), "n_reached", "ecc_lb"
+    )
+
+
+SQL_ECCENTRICITY = _SQL_PARTS.replace("WITH op", "WITH RECURSIVE op") + f""",
+hadj AS MATERIALIZED (
+  SELECT lo AS v, hi AS nbr FROM und UNION ALL SELECT hi, lo FROM und),
+hsrc AS (
+  SELECT id AS s FROM pdeg
+  ORDER BY MD5(CAST(id AS VARCHAR)), id LIMIT {_HARMONIC_PIVOTS}),
+hbfs AS (
+  SELECT s, s AS v, 0 AS d FROM hsrc
+  UNION
+  SELECT b.s, a.nbr AS v, b.d + 1 AS d
+  FROM hbfs b JOIN hadj a ON a.v = b.v
+  WHERE b.d < {_HARMONIC_DEPTH}
+),
+hmin AS (SELECT s, v, MIN(d) AS d FROM hbfs GROUP BY s, v),
+hagg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         CAST(MAX(d) AS BIGINT) AS ecc_lb
+  FROM hmin WHERE d >= 1 GROUP BY v)
+SELECT p.id AS part,
+       CAST(COALESCE(h.n_reached, 0) AS BIGINT) AS n_reached,
+       CAST(COALESCE(h.ecc_lb, 0) AS BIGINT) AS ecc_lb
+FROM pdeg p LEFT JOIN hagg h ON h.v = p.id
+"""
+
 
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
@@ -2763,6 +2804,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "modularity": q_modularity,
     "greedy_modularity": q_greedy_modularity,
     "harmonic": q_harmonic,
+    "eccentricity": q_eccentricity,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -2821,6 +2863,7 @@ _QUERY_PRIORITY: list[str] = [
     "link_prediction_ra",
     "greedy_modularity",
     "harmonic",
+    "eccentricity",
     "source_mix",
     "vocab_stats",
     "length_histogram",
@@ -2939,6 +2982,7 @@ ORACLE_SQL: dict[str, str] = {
     "modularity": SQL_MODULARITY,
     "greedy_modularity": SQL_GREEDY_MODULARITY,
     "harmonic": SQL_HARMONIC,
+    "eccentricity": SQL_ECCENTRICITY,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,

@@ -34,6 +34,7 @@ def _oracle(pairs, n_pivots, max_depth):
     )[:n_pivots]
     hnum = defaultdict(int)
     nreach = defaultdict(int)
+    ecc = defaultdict(int)
     for s in pivots:
         dist = {s: 0}
         q = deque([s])
@@ -49,7 +50,8 @@ def _oracle(pairs, n_pivots, max_depth):
             if 1 <= d <= max_depth:
                 hnum[v] += HC_SCALE // d
                 nreach[v] += 1
-    return {v: (nreach[v], hnum[v]) for v in verts}
+                ecc[v] = max(ecc[v], d)
+    return {v: (nreach[v], hnum[v], ecc[v]) for v in verts}
 
 
 PAIRS = [
@@ -65,7 +67,8 @@ def test_harmonic_vs_oracle(spark):
     out, run = harmonic_sampled(
         spark, _df(spark, PAIRS), n_pivots=4, max_depth=10
     )
-    got = {r["id"]: (r["n_reached"], r["hnum"]) for r in out.collect()}
+    got = {r["id"]: (r["n_reached"], r["hnum"], r["ecc_lb"])
+           for r in out.collect()}
     assert got == _oracle(PAIRS, 4, 10)
     assert run.metrics
 
@@ -76,7 +79,8 @@ def test_harmonic_depth_truncation(spark):
     out, _run = harmonic_sampled(
         spark, _df(spark, path), n_pivots=3, max_depth=2
     )
-    got = {r["id"]: (r["n_reached"], r["hnum"]) for r in out.collect()}
+    got = {r["id"]: (r["n_reached"], r["hnum"], r["ecc_lb"])
+           for r in out.collect()}
     assert got == _oracle(path, 3, 2)
     deep = _oracle(path, 3, 10)
     assert got != {v: deep[v] for v in got}
