@@ -703,6 +703,62 @@ FROM h{steps}
 
 SQL_HITS_STEP4 = _sql_hits_steps(4)
 
+def q_salsa_step4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step SALSA on the events actor graph (bounded-iteration
+    Jacobi; the oracle unrolls the same 4 degree-normalized steps —
+    algos/salsa.py)."""
+    from mesos_pregel_spark.algos.salsa import salsa
+
+    scores, _run = salsa(
+        spark, _graph_edges(spark, sf_dir), max_supersteps=4,
+        edge_partitions=8,
+    )
+    return scores.select(
+        F.col("id").alias("actor"),
+        F.round("authority", 9).alias("authority"),
+        F.round("hub", 9).alias("hub"),
+    )
+
+
+def _sql_salsa_steps(steps: int) -> str:
+    """k-step unrolled SALSA oracle: auth sums hub/outdeg over forward
+    edges, hub sums auth/indeg over reversed edges — exactly
+    algos/salsa.py; no per-step normalization (row-stochastic)."""
+    parts = ["""
+, sed AS MATERIALIZED (SELECT DISTINCT src_actor AS s, dst_actor AS d FROM edges),
+sdeg AS MATERIALIZED (
+  SELECT v.actor,
+         COALESCE(o.c, 0) AS outdeg, COALESCE(i.c, 0) AS indeg
+  FROM verts v
+  LEFT JOIN (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM sed GROUP BY s) o
+    ON o.s = v.actor
+  LEFT JOIN (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM sed GROUP BY d) i
+    ON i.d = v.actor),
+s0 AS MATERIALIZED (SELECT actor, 1.0 AS auth, 1.0 AS hub FROM verts)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+s{k} AS MATERIALIZED (
+  SELECT v.actor,
+         COALESCE(am.x, 0.0) AS auth,
+         COALESCE(hm.x, 0.0) AS hub
+  FROM verts v
+  LEFT JOIN (SELECT e.d AS actor, SUM(p.hub / dg.outdeg) AS x
+             FROM sed e JOIN s{k-1} p ON e.s = p.actor
+             JOIN sdeg dg ON dg.actor = e.s
+             GROUP BY e.d) am ON am.actor = v.actor
+  LEFT JOIN (SELECT e.s AS actor, SUM(p.auth / dg.indeg) AS x
+             FROM sed e JOIN s{k-1} p ON e.d = p.actor
+             JOIN sdeg dg ON dg.actor = e.d
+             GROUP BY e.s) hm ON hm.actor = v.actor
+)""")
+    parts.append(f"""
+SELECT actor, ROUND(auth, 9) AS authority, ROUND(hub, 9) AS hub FROM s{steps}
+""")
+    return _SQL_EDGES + "".join(parts)
+
+
+SQL_SALSA_STEP4 = _sql_salsa_steps(4)
+
 
 # k-core on the bipartite customer↔supplier graph (the events actor
 # graph is a near-clique at every sf — nothing to peel); k=10 peels a
@@ -2805,6 +2861,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "greedy_modularity": q_greedy_modularity,
     "harmonic": q_harmonic,
     "eccentricity": q_eccentricity,
+    "salsa_step4": q_salsa_step4,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -2864,6 +2921,7 @@ _QUERY_PRIORITY: list[str] = [
     "greedy_modularity",
     "harmonic",
     "eccentricity",
+    "salsa_step4",
     "source_mix",
     "vocab_stats",
     "length_histogram",
@@ -2983,6 +3041,7 @@ ORACLE_SQL: dict[str, str] = {
     "greedy_modularity": SQL_GREEDY_MODULARITY,
     "harmonic": SQL_HARMONIC,
     "eccentricity": SQL_ECCENTRICITY,
+    "salsa_step4": SQL_SALSA_STEP4,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,
