@@ -2407,6 +2407,38 @@ FROM pdeg p LEFT JOIN hagg h ON h.v = p.id
 """
 
 
+def q_four_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex exact K4 counts on the parts co-order graph
+    (algos/cliques.py — degree-ordered DAG enumeration; the twin uses
+    the simpler id-canonical DAG, counts are orientation-independent)."""
+    from mesos_pregel_spark.algos.cliques import four_clique_count
+
+    per_vertex, _total = four_clique_count(spark, _parts_edges(spark, sf_dir))
+    return per_vertex.select(F.col("id").alias("part"), "k4")
+
+
+SQL_FOUR_CLIQUES = _SQL_PARTS + """
+, ktri AS MATERIALIZED (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+  JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+k4 AS MATERIALIZED (
+  SELECT t.a, t.b, t.c, e4.hi AS d
+  FROM ktri t
+  JOIN und e4 ON e4.lo = t.c
+  JOIN und e5 ON e5.lo = t.a AND e5.hi = e4.hi
+  JOIN und e6 ON e6.lo = t.b AND e6.hi = e4.hi),
+kc AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS k4 FROM (
+    SELECT a AS id FROM k4 UNION ALL SELECT b FROM k4
+    UNION ALL SELECT c FROM k4 UNION ALL SELECT d FROM k4) u
+  GROUP BY id)
+SELECT p.id AS part, CAST(COALESCE(kc.k4, 0) AS BIGINT) AS k4
+FROM pdeg p LEFT JOIN kc ON kc.id = p.id
+"""
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -2862,6 +2894,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "harmonic": q_harmonic,
     "eccentricity": q_eccentricity,
     "salsa_step4": q_salsa_step4,
+    "four_cliques": q_four_cliques,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -2922,6 +2955,7 @@ _QUERY_PRIORITY: list[str] = [
     "harmonic",
     "eccentricity",
     "salsa_step4",
+    "four_cliques",
     "source_mix",
     "vocab_stats",
     "length_histogram",
@@ -3042,6 +3076,7 @@ ORACLE_SQL: dict[str, str] = {
     "harmonic": SQL_HARMONIC,
     "eccentricity": SQL_ECCENTRICITY,
     "salsa_step4": SQL_SALSA_STEP4,
+    "four_cliques": SQL_FOUR_CLIQUES,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,
