@@ -504,3 +504,180 @@ def transitivity_apply_delta(
         "deg": new_deg,
         "triangles": state["triangles"] - removed_tris + added_tris,
     }
+
+
+# ---------------------------------------------------------------------------
+# incremental community stats: per-community sufficient statistics
+# under edge deltas with FIXED labels (r5)
+# ---------------------------------------------------------------------------
+#
+# With the labelling held fixed (the snapshot's LPA / greedy-modularity
+# communities), every community_stats quantity is incrementally
+# maintainable with exact integer updates: volumes and member counts
+# are vertex-table aggregates of the maintained degree table, and e_in
+# changes only by the delta edges whose endpoints share a label — so a
+# micro-batch never re-joins labels onto the historical edge set.
+# Vertices first seen in a delta get their own id as a singleton label
+# (pinned); labels persist once assigned.
+
+
+def community_state(
+    spark: SparkSession, edges: DataFrame, labels: DataFrame
+) -> dict:
+    """Build the incremental state from scratch: canonical edge set,
+    degree table, per-vertex labels (every graph vertex labelled —
+    unlabelled ones default to their own id), per-label internal-edge
+    counts, and the scalar edge count m."""
+    from mesos_pregel_spark.algos.structure import _und_degrees
+    from mesos_pregel_spark.algos.triangles import canonical_undirected
+
+    und = truncate_plan(canonical_undirected(edges))
+    deg = truncate_plan(_und_degrees(und))
+    label_type = dict(labels.dtypes)["label"]
+    lab = truncate_plan(
+        deg.select("id")
+        .join(labels.select("id", "label"), "id", "left_outer")
+        .select(
+            "id",
+            F.coalesce("label", F.col("id").cast(label_type)).alias("label"),
+        )
+    )
+    e_in = truncate_plan(
+        und.join(lab.withColumnsRenamed({"id": "lo", "label": "l1"}), "lo")
+        .join(lab.withColumnsRenamed({"id": "hi", "label": "l2"}), "hi")
+        .where(F.col("l1") == F.col("l2"))
+        .groupBy(F.col("l1").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    return {"und": und, "deg": deg, "labels": lab, "e_in": e_in,
+            "m": und.count()}
+
+
+def community_from_state(spark: SparkSession, state: dict) -> DataFrame:
+    """Per-community stats from the maintained state — schema and
+    values identical to algos/communities.py::community_stats on the
+    full edge set with the state's labels."""
+    m = state["m"]
+    vol = (
+        state["deg"].join(state["labels"], "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("deg").cast("long").alias("volume"),
+        )
+    )
+    e_in = F.coalesce("e_in", F.lit(0)).cast("long")
+    cut = (F.col("volume") - 2 * e_in).cast("long")
+    cond_den = F.least(F.col("volume"), F.lit(2 * m) - F.col("volume"))
+    mod_num = (F.lit(4 * m) * e_in - F.col("volume") * F.col("volume")).cast(
+        "long"
+    )
+    mod_den = float(4 * m * m) if m else 1.0
+    return (
+        vol.join(state["e_in"], "label", "left_outer")
+        .select(
+            "label",
+            "n_vertices",
+            e_in.alias("internal_edges"),
+            "volume",
+            cut.alias("cut"),
+            F.round(
+                F.when(cond_den == 0, F.lit(0.0)).otherwise(
+                    cut.cast("double") / cond_den.cast("double")
+                ),
+                9,
+            ).alias("conductance"),
+            F.round(mod_num.cast("double") / F.lit(mod_den), 9).alias(
+                "modularity_part"
+            ),
+        )
+    )
+
+
+def community_apply_delta(
+    spark: SparkSession,
+    state: dict,
+    add_edges: DataFrame | None = None,
+    remove_edges: DataFrame | None = None,
+) -> dict:
+    """Fold an edge delta into the community state (labels fixed; new
+    vertices become own-id singletons).  Equals community_state on the
+    final edge set with the final labels exactly (pytest-pinned).
+    Cost shape: the delta tables drive everything — degree deltas are
+    a delta-endpoint aggregate, e_in deltas touch only delta edges
+    joined to the (broadcastable) label table, and the only historical
+    touches are the canonical-set anti/semi joins that define the
+    delta, exactly as in assortativity_apply_delta."""
+    from mesos_pregel_spark.algos.triangles import canonical_undirected
+
+    und = state["und"]
+    zero = und.limit(0)
+    add = truncate_plan(
+        canonical_undirected(add_edges).join(und, ["lo", "hi"], "left_anti")
+        if add_edges is not None else zero
+    )
+    rem = truncate_plan(
+        canonical_undirected(remove_edges).join(und, ["lo", "hi"], "left_semi")
+        if remove_edges is not None else zero
+    )
+    m_new = state["m"] + add.count() - rem.count()
+
+    def endpoints(df, sign):
+        return (
+            df.select(F.col("lo").alias("id"))
+            .unionByName(df.select(F.col("hi").alias("id")))
+            .groupBy("id").agg((F.lit(sign) * F.count(F.lit(1))).alias("dd"))
+        )
+
+    ddeg = truncate_plan(
+        endpoints(add, 1).unionByName(endpoints(rem, -1))
+        .groupBy("id").agg(F.sum("dd").alias("ddeg"))
+    )
+    new_deg = truncate_plan(
+        state["deg"].join(ddeg, "id", "full_outer")
+        .select(
+            "id",
+            (F.coalesce("deg", F.lit(0)) + F.coalesce("ddeg", F.lit(0)))
+            .cast("long").alias("deg"),
+        )
+        .where(F.col("deg") > 0)
+    )
+    # labels persist; vertices first seen in this delta become own-id
+    # singletons
+    label_type = dict(state["labels"].dtypes)["label"]
+    new_lab = truncate_plan(
+        new_deg.select("id")
+        .join(state["labels"], "id", "left_outer")
+        .select(
+            "id",
+            F.coalesce("label", F.col("id").cast(label_type)).alias("label"),
+        )
+        .unionByName(
+            state["labels"].join(new_deg.select("id"), "id", "left_anti")
+        )
+    )
+
+    def ein_delta(df, sign):
+        return (
+            df.join(new_lab.withColumnsRenamed({"id": "lo", "label": "l1"}),
+                    "lo")
+            .join(new_lab.withColumnsRenamed({"id": "hi", "label": "l2"}),
+                  "hi")
+            .where(F.col("l1") == F.col("l2"))
+            .groupBy(F.col("l1").alias("label"))
+            .agg((F.lit(sign) * F.count(F.lit(1))).alias("de"))
+        )
+
+    new_e_in = truncate_plan(
+        state["e_in"].select("label", F.col("e_in").alias("de"))
+        .unionByName(ein_delta(add, 1))
+        .unionByName(ein_delta(rem, -1))
+        .groupBy("label")
+        .agg(F.sum("de").cast("long").alias("e_in"))
+        .where(F.col("e_in") > 0)
+    )
+    new_und = truncate_plan(
+        und.join(rem, ["lo", "hi"], "left_anti").unionByName(add)
+    )
+    return {"und": new_und, "deg": new_deg, "labels": new_lab,
+            "e_in": new_e_in, "m": m_new}

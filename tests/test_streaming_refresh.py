@@ -390,3 +390,65 @@ def test_incremental_transitivity_matches_batch(spark):
     want2 = global_clustering(spark, g2).collect()[0]
     assert (got2["triangles"], got2["wedges"], got2["transitivity"]) == (
         want2["triangles"], want2["wedges"], want2["transitivity"])
+
+
+def test_incremental_community_stats_matches_batch(spark):
+    """Per-community sufficient statistics under add+remove deltas
+    with fixed labels equal the batch community_stats on the final
+    edge set exactly — including new-vertex singleton labelling,
+    community disappearance (all internal edges removed), and a
+    no-op delta (absent removal + already-present addition)."""
+    from mesos_pregel_spark.algos.communities import community_stats
+    from mesos_pregel_spark.streaming.refresh import (
+        community_apply_delta,
+        community_from_state,
+        community_state,
+    )
+
+    base = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5),
+            (5, 6)]
+    labels = {0: "L", 1: "L", 2: "L", 3: "R", 4: "R", 5: "R", 6: "R"}
+    g0 = _df(spark, [(a, b, 1.0) for a, b in base])
+    lab0 = spark.createDataFrame(
+        list(labels.items()), "id long, label string"
+    )
+
+    def batch(edge_pairs, lab_map):
+        g = _df(spark, [(a, b, 1.0) for a, b in sorted(edge_pairs)])
+        lab = spark.createDataFrame(
+            list(lab_map.items()), "id long, label string"
+        )
+        return {
+            tuple(r) for r in community_stats(spark, g, lab).collect()
+        }
+
+    def compare(state, edge_pairs, lab_map):
+        got = {tuple(r) for r in community_from_state(spark, state).collect()}
+        assert got == batch(edge_pairs, lab_map)
+
+    state = community_state(spark, g0, lab0)
+    compare(state, {(min(a, b), max(a, b)) for a, b in base}, labels)
+
+    # delta 1: new vertices 7, 8 (own-id singletons), an intra-L add,
+    # an inter-community add, a no-op re-add, a no-op absent removal
+    adds = [(6, 7, 1.0), (7, 8, 1.0), (0, 1, 1.0), (1, 0, 1.0),
+            (2, 4, 1.0)]
+    rems = [(40, 41, 1.0)]
+    state = community_apply_delta(
+        spark, state,
+        add_edges=_df(spark, adds), remove_edges=_df(spark, rems),
+    )
+    final = {(min(a, b), max(a, b)) for a, b in base}
+    final |= {(6, 7), (7, 8), (2, 4)}
+    lab1 = {**labels, 7: "7", 8: "8"}
+    compare(state, final, lab1)
+
+    # delta 2: removals only — kill all of L's internal edges so the
+    # community's e_in row vanishes but its members remain
+    state = community_apply_delta(
+        spark, state,
+        remove_edges=_df(spark, [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)]),
+    )
+    final2 = final - {(0, 1), (1, 2), (0, 2)}
+    lab2 = {k: v for k, v in lab1.items() if k != 0}  # 0 is degree-0 now
+    compare(state, final2, lab2)
