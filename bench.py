@@ -505,6 +505,20 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         detail["triangles_total"] = total_tri
         detail["triangles_kernel"] = tri_kernel
 
+    if on("cliques"):
+        from mesos_pregel_spark.algos.cliques import four_clique_count
+
+        t = time.monotonic()
+        _pv4, total_k4 = four_clique_count(spark, g)
+        k4_sec = time.monotonic() - t
+        queries["cliques"] = round(k4_sec, 3)
+        detail["k4_total"] = total_k4
+        # dominated by the triangle-extension joins over the oriented
+        # table; report per-triangle extension throughput
+        if detail.get("triangles_total"):
+            throughput["cliques_tri_extensions_per_sec"] = round(
+                detail["triangles_total"] / k4_sec)
+
     if on("ktruss"):
         from mesos_pregel_spark.algos.ktruss import k_truss
 
