@@ -407,3 +407,85 @@ def densest_subgraph(
     )
     und.unpersist()
     return out, run
+
+
+def avg_neighbor_degree(
+    spark: SparkSession, edges: DataFrame
+) -> DataFrame:
+    """The degree-correlation profile knn(k) (Pastor-Satorras et al.
+    2001): for each degree class k, the mean degree of the neighbors
+    of degree-k vertices.  Per class the numerator Σ_{v: deg v = k} W(v)
+    (W = sum of neighbor degrees) and the denominator k·n_k are exact
+    longs; knn is ONE division — the no-FP-in-the-aggregate discipline.
+
+    Returns (deg, n_vertices, sum_neighbor_deg, knn).  One degree join
+    over the symmetric adjacency + two hash aggregates — scales."""
+    und = canonical_undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = _und_degrees(und)
+    both = und.unionByName(
+        und.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    )
+    w = (
+        both.join(deg.withColumnsRenamed({"id": "hi", "deg": "dn"}), "hi")
+        .groupBy(F.col("lo").alias("id"))
+        .agg(F.sum("dn").cast("long").alias("w"))
+    )
+    out = truncate_plan(
+        deg.join(w, "id")
+        .groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.sum("w").cast("long").alias("sum_neighbor_deg"),
+        )
+        .select(
+            "deg", "n_vertices", "sum_neighbor_deg",
+            F.round(
+                F.col("sum_neighbor_deg").cast("double")
+                / (F.col("deg") * F.col("n_vertices")).cast("double"),
+                9,
+            ).alias("knn"),
+        )
+    )
+    und.unpersist()
+    return out
+
+
+def edge_embeddedness(
+    spark: SparkSession,
+    edges: DataFrame,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-k edges by embeddedness = |N(lo) ∩ N(hi)| (the edge's
+    triangle support — Granovetter-style tie strength; 0-support
+    edges are bridges).  Exact integers, all-integer ordering
+    (cn DESC, lo, hi) ⇒ deterministic LIMIT.
+
+    One wedge join over the degree-oriented DAG (each common neighbor
+    found once from its lower-rank corner), then counts keyed by the
+    CLOSING edge — the same hub-bounded shape as the triangle kernel."""
+    from mesos_pregel_spark.algos.triangles import canonical_undirected
+
+    und = canonical_undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    adj = und.select(
+        F.col("lo").alias("v"), F.col("hi").alias("nbr")
+    ).unionByName(und.select(F.col("hi").alias("v"), F.col("lo").alias("nbr")))
+    a, b = adj.alias("a"), adj.alias("b")
+    # common neighbor v of the pair (a.nbr < b.nbr); keep only pairs
+    # that ARE edges (semi join) — support per existing edge
+    pair_cn = (
+        a.join(b, F.col("a.v") == F.col("b.v"))
+        .where(F.col("a.nbr") < F.col("b.nbr"))
+        .groupBy(F.col("a.nbr").alias("lo"), F.col("b.nbr").alias("hi"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+        .join(und, ["lo", "hi"], "left_semi")
+    )
+    out = truncate_plan(
+        und.join(pair_cn, ["lo", "hi"], "left_outer")
+        .select(
+            "lo", "hi", F.coalesce("cn", F.lit(0)).cast("long").alias("cn")
+        )
+        .orderBy(F.desc("cn"), F.asc("lo"), F.asc("hi"))
+        .limit(top_k)
+    )
+    und.unpersist()
+    return out

@@ -2439,6 +2439,107 @@ FROM pdeg p LEFT JOIN kc ON kc.id = p.id
 """
 
 
+def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-correlation profile knn(k) on the parts co-order graph —
+    exact integer numerator/denominator per degree class, one division
+    (algos/structure.py::avg_neighbor_degree)."""
+    from mesos_pregel_spark.algos.structure import avg_neighbor_degree
+
+    return avg_neighbor_degree(spark, _parts_edges(spark, sf_dir))
+
+
+SQL_AVG_NEIGHBOR_DEGREE = _SQL_PARTS + """
+, bothn AS (
+  SELECT lo AS v, hi AS nbr FROM und UNION ALL SELECT hi, lo FROM und),
+wsum AS (
+  SELECT b.v AS id, CAST(SUM(d.deg) AS BIGINT) AS w
+  FROM bothn b JOIN pdeg d ON d.id = b.nbr GROUP BY b.v)
+SELECT CAST(p.deg AS BIGINT) AS deg,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(w.w) AS BIGINT) AS sum_neighbor_deg,
+       ROUND(CAST(SUM(w.w) AS DOUBLE)
+             / CAST(p.deg * COUNT(*) AS DOUBLE), 9) AS knn
+FROM pdeg p JOIN wsum w ON w.id = p.id
+GROUP BY p.deg
+"""
+
+
+_EMBED_TOPK = 100
+
+
+def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 parts co-order edges by embeddedness (common-neighbor
+    support; all-integer ordering ⇒ deterministic LIMIT)."""
+    from mesos_pregel_spark.algos.structure import edge_embeddedness
+
+    out = edge_embeddedness(
+        spark, _parts_edges(spark, sf_dir), top_k=_EMBED_TOPK
+    )
+    return out.select(
+        F.col("lo").alias("part_a"), F.col("hi").alias("part_b"), "cn"
+    )
+
+
+SQL_EDGE_EMBEDDEDNESS = _SQL_PARTS + f"""
+, eadj AS MATERIALIZED (
+  SELECT lo AS v, hi AS nbr FROM und UNION ALL SELECT hi, lo FROM und),
+ecn AS (
+  SELECT a.nbr AS lo, b.nbr AS hi, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM eadj a JOIN eadj b ON a.v = b.v AND a.nbr < b.nbr GROUP BY 1, 2),
+sup AS (
+  SELECT u.lo, u.hi, CAST(COALESCE(c.cn, 0) AS BIGINT) AS cn
+  FROM und u LEFT JOIN ecn c ON c.lo = u.lo AND c.hi = u.hi)
+SELECT lo AS part_a, hi AS part_b, cn FROM sup
+ORDER BY cn DESC, lo, hi LIMIT {_EMBED_TOPK}
+"""
+
+
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex butterfly (2x2 biclique) counts on the DIRECTED
+    customer→supplier bipartite graph (the msbfs substrate) — the
+    bipartite analogue of per-vertex triangle counts
+    (algos/bipartite.py)."""
+    from mesos_pregel_spark.algos.bipartite import butterfly_counts
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    be = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("l"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("r"),
+        )
+        .distinct()
+    )
+    per_vertex, _total = butterfly_counts(spark, be)
+    return per_vertex.select(F.col("id").alias("actor"), "butterflies")
+
+
+SQL_BUTTERFLIES = """
+WITH be AS MATERIALIZED (
+  SELECT DISTINCT 'c:' || o_custkey AS l, 's:' || l_suppkey AS r
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+blp AS (
+  SELECT a.l AS x1, b.l AS x2, CAST(COUNT(*) AS BIGINT) AS k
+  FROM be a JOIN be b ON a.r = b.r AND a.l < b.l GROUP BY 1, 2),
+brp AS (
+  SELECT a.r AS x1, b.r AS x2, CAST(COUNT(*) AS BIGINT) AS k
+  FROM be a JOIN be b ON a.l = b.l AND a.r < b.r GROUP BY 1, 2),
+bfall AS (
+  SELECT x1, x2, CAST(k * (k - 1) // 2 AS BIGINT) AS bf
+  FROM (SELECT * FROM blp UNION ALL SELECT * FROM brp) p WHERE k >= 2),
+pv AS (
+  SELECT id, CAST(SUM(bf) AS BIGINT) AS butterflies FROM (
+    SELECT x1 AS id, bf FROM bfall UNION ALL SELECT x2, bf FROM bfall) u
+  GROUP BY id),
+bverts AS (
+  SELECT DISTINCT id FROM (SELECT l AS id FROM be UNION ALL SELECT r FROM be))
+SELECT v.id AS actor,
+       CAST(COALESCE(pv.butterflies, 0) AS BIGINT) AS butterflies
+FROM bverts v LEFT JOIN pv ON pv.id = v.id
+"""
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -2895,6 +2996,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eccentricity": q_eccentricity,
     "salsa_step4": q_salsa_step4,
     "four_cliques": q_four_cliques,
+    "avg_neighbor_degree": q_avg_neighbor_degree,
+    "edge_embeddedness": q_edge_embeddedness,
+    "butterflies": q_butterflies,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -2956,6 +3060,9 @@ _QUERY_PRIORITY: list[str] = [
     "eccentricity",
     "salsa_step4",
     "four_cliques",
+    "avg_neighbor_degree",
+    "edge_embeddedness",
+    "butterflies",
     "source_mix",
     "vocab_stats",
     "length_histogram",
@@ -3077,6 +3184,9 @@ ORACLE_SQL: dict[str, str] = {
     "eccentricity": SQL_ECCENTRICITY,
     "salsa_step4": SQL_SALSA_STEP4,
     "four_cliques": SQL_FOUR_CLIQUES,
+    "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
+    "edge_embeddedness": SQL_EDGE_EMBEDDEDNESS,
+    "butterflies": SQL_BUTTERFLIES,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,
