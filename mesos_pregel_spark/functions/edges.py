@@ -68,6 +68,48 @@ def build_edges_generic(
     )
 
 
+def build_edges_windowed(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: list[str],
+    actor: F.Column,
+    ts_col: str = "ts",
+    window_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Temporal variant of :func:`build_edges_generic`: each
+    consecutive-pair edge is attributed to the tumbling window of its
+    SOURCE row, window_idx = epoch-microseconds div window_us — pure
+    integer arithmetic on NTZ wall-clock values (the sessionization
+    discipline: ``timestampdiff`` from the NTZ epoch equals DuckDB's
+    ``epoch_us`` exactly, no session-timezone dependence).  Consecutive
+    pairs still link across window boundaries; only the ATTRIBUTION is
+    windowed, so the per-window tables sum to the global edge table.
+
+    Output (window_idx, src_actor, dst_actor, weight) — the input to
+    time-sliced link analysis (per-day PageRank, community drift).
+    Same plan shape as the global builder: one window pass + one hash
+    aggregate whose key gains the window index (still map-side
+    combinable)."""
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        f"{ts_col})"
+    )
+    w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    linked = (
+        df.select(
+            partition_col, *order_cols,
+            us.alias("_us"), actor.alias("src_actor"),
+        )
+        .withColumn("dst_actor", F.lead("src_actor").over(w))
+        .where(F.col("dst_actor").isNotNull())
+        .where(F.col("src_actor") != F.col("dst_actor"))
+    )
+    return linked.groupBy(
+        F.expr(f"_us div {window_us}").cast("long").alias("window_idx"),
+        "src_actor", "dst_actor",
+    ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
+
+
 def build_edges(transcripts: DataFrame) -> DataFrame:
     """X1–X5: transcripts → (src_actor, dst_actor, weight) edge table.
 

@@ -2540,6 +2540,39 @@ FROM bverts v LEFT JOIN pv ON pv.id = v.id
 """
 
 
+_EDGE_WINDOW_US = 86_400_000_000  # 1-day tumbling windows
+
+
+def q_edges_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-windowed transition edges over the events table — the
+    time-sliced input to per-window link analysis; attribution by the
+    SOURCE event's day index (epoch-us div 86400e6, NTZ-safe integer
+    arithmetic on both engines)."""
+    from mesos_pregel_spark.functions.edges import build_edges_windowed
+
+    return build_edges_windowed(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
+        F.col("event_type"), window_us=_EDGE_WINDOW_US,
+    ).select("window_idx", "src_actor", "dst_actor", "weight")
+
+
+SQL_EDGES_DAILY = f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
+         event_type AS src_actor,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
+  FROM events
+)
+SELECT CAST(window_idx AS BIGINT) AS window_idx, src_actor, dst_actor,
+       CAST(COUNT(*) AS DOUBLE) AS weight
+FROM seq
+WHERE dst_actor IS NOT NULL AND src_actor <> dst_actor
+GROUP BY 1, 2, 3
+"""
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -2999,6 +3032,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "avg_neighbor_degree": q_avg_neighbor_degree,
     "edge_embeddedness": q_edge_embeddedness,
     "butterflies": q_butterflies,
+    "edges_daily": q_edges_daily,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -3063,6 +3097,7 @@ _QUERY_PRIORITY: list[str] = [
     "avg_neighbor_degree",
     "edge_embeddedness",
     "butterflies",
+    "edges_daily",
     "source_mix",
     "vocab_stats",
     "length_histogram",
@@ -3187,6 +3222,7 @@ ORACLE_SQL: dict[str, str] = {
     "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
     "edge_embeddedness": SQL_EDGE_EMBEDDEDNESS,
     "butterflies": SQL_BUTTERFLIES,
+    "edges_daily": SQL_EDGES_DAILY,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,

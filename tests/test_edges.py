@@ -121,3 +121,34 @@ def test_generator_deterministic_and_skewed(spark):
          e.groupBy("dst_actor").agg(F.sum("weight").alias("weight")).collect()}
     total = sum(w.values())
     assert w.get("role:assistant", 0) + w.get("role:user", 0) > 0.5 * total
+
+
+def test_windowed_edges_sum_to_global(spark, tiny):
+    """build_edges_windowed attributes each consecutive pair to the
+    SOURCE row's tumbling window; summing weights over window_idx must
+    reproduce build_edges_generic exactly, including pairs that cross a
+    window boundary (conv A spans two 2-second windows here)."""
+    from mesos_pregel_spark.functions.edges import (
+        actor_col,
+        build_edges_generic,
+        build_edges_windowed,
+    )
+
+    wdf = build_edges_windowed(
+        tiny, "conv_id", ["turn_idx"], actor_col(),
+        ts_col="ts", window_us=2_000_000,
+    )
+    # boundary-crossing pair exists: windows differ within one conv
+    assert wdf.select("window_idx").distinct().count() > 1
+    summed = {
+        (r["src_actor"], r["dst_actor"]): r["w"]
+        for r in wdf.groupBy("src_actor", "dst_actor")
+        .agg(F.sum("weight").alias("w")).collect()
+    }
+    glob = {
+        (r["src_actor"], r["dst_actor"]): r["weight"]
+        for r in build_edges_generic(
+            tiny, "conv_id", ["turn_idx"], actor_col()
+        ).collect()
+    }
+    assert summed == glob
