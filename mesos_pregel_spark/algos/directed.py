@@ -1,0 +1,128 @@
+"""Directed-graph analytics: reciprocity and the directed triangle
+census (cyclic vs transitive motifs) — the direction-aware cousins of
+A4's undirected triangle kernel.
+
+Semantics (standard network-science definitions; Wasserman-Faust triad
+census restricted to the two closed-triangle classes, Garlaschelli-
+Loffredo 2004 for reciprocity): over the DISTINCT directed edge set
+(src, dst), src != dst —
+
+- reciprocity r = |{(u,v) in E : (v,u) in E}| / |E|.  The numerator
+  counts ORDERED mutual pairs (both directions of a mutual dyad), the
+  standard definition.
+- a CYCLIC triangle is a directed 3-cycle u->v->w->u; each cycle is
+  counted once via its unique rotation starting at the minimum vertex
+  (u < v AND u < w).
+- a TRANSITIVE triplet is an ordered triple (u->v, v->w, u->w) of
+  distinct vertices — the directed path that is "closed the consistent
+  way"; counted once per ordered occurrence (the directed analogue of
+  the wedge-closure ratio's numerator).
+
+Pinned arithmetic: every count is an exact long from hash aggregates
+of equi-joins; reciprocity is ONE rounded double division of exact
+longs (no-FP-in-the-aggregate discipline).
+
+Execution shape (design-for-100×): all joins are equi-joins on one or
+two integer/string keys over the distinct edge set — no cross joins,
+no Python.  The path join's row count is Σ_v indeg(v)·outdeg(v); the
+`max_degree` cap (drop vertices whose total distinct degree exceeds
+the cap, documented bias — same knob as bipartite.butterfly_counts)
+bounds it on hub-skewed graphs when an approximate census suffices.
+AQE handles residual key skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from mesos_pregel_spark.plans.truncate import truncate_plan
+
+
+def _distinct_directed(edges: DataFrame, max_degree: int | None) -> DataFrame:
+    src, dst = edges.columns[0], edges.columns[1]
+    de = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if max_degree is not None:
+        deg = (
+            de.select(F.col("src").alias("id"))
+            .unionByName(de.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") <= max_degree)
+            .select("id")
+        )
+        de = (
+            de.join(deg.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(deg.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+    return de
+
+
+def reciprocity(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """One row (total_edges, mutual_edges, reciprocity): the fraction
+    of distinct directed edges whose reverse also exists.  One
+    left-semi self-join + two counts; r rounded to 9dp, 0.0 on an
+    empty edge set (pinned in the SQL twin)."""
+    de = _distinct_directed(edges, None).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        rev = de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        out = truncate_plan(
+            de.join(rev, ["src", "dst"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("mutual_edges"))
+            .crossJoin(F.broadcast(
+                de.agg(F.count(F.lit(1)).cast("long").alias("total_edges"))
+            ))
+            .select(
+                "total_edges",
+                "mutual_edges",
+                F.when(F.col("total_edges") > 0,
+                       F.round(
+                           F.col("mutual_edges").cast("double")
+                           / F.col("total_edges").cast("double"), 9))
+                .otherwise(F.lit(0.0)).alias("reciprocity"),
+            )
+        )
+    finally:
+        de.unpersist()
+    return out
+
+
+def triangle_census(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """One row (cyclic_triangles, transitive_triplets) — exact counts
+    of the two closed directed-triangle motifs over the distinct edge
+    set.  Cycles are min-vertex-rooted so each directed 3-cycle counts
+    once; transitive triplets count once per ordered occurrence."""
+    de = _distinct_directed(edges, max_degree).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        e1, e2, e3 = de.alias("e1"), de.alias("e2"), de.alias("e3")
+        cyc = (
+            e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+            .join(e3, (F.col("e2.dst") == F.col("e3.src"))
+                  & (F.col("e3.dst") == F.col("e1.src")))
+            .where((F.col("e1.src") < F.col("e1.dst"))
+                   & (F.col("e1.src") < F.col("e2.dst")))
+            .agg(F.count(F.lit(1)).cast("long").alias("cyclic_triangles"))
+        )
+        tra = (
+            e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+            .where(F.col("e1.src") != F.col("e2.dst"))
+            .join(e3, (F.col("e3.src") == F.col("e1.src"))
+                  & (F.col("e3.dst") == F.col("e2.dst")), "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("transitive_triplets"))
+        )
+        out = truncate_plan(cyc.crossJoin(F.broadcast(tra)))
+    finally:
+        de.unpersist()
+    return out

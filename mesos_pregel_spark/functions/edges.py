@@ -110,6 +110,44 @@ def build_edges_windowed(
     ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
 
 
+def window_rank_drift(wedges: DataFrame) -> DataFrame:
+    """Per-window actor ranking with drift, over a
+    :func:`build_edges_windowed` table: each actor's weighted
+    out-strength per window, its dense rank within the window
+    (heaviest = 1; equal strengths share a rank), and the rank delta
+    vs the PREVIOUS window the actor appeared in (NULL on first
+    appearance) — the time-sliced "who is rising/falling" read-out.
+
+    Scale shape: the ranking input is the per-(window, actor) SUMMARY
+    (one hash aggregate, orders of magnitude smaller than the edge
+    table).  Because dense rank depends only on the strength VALUE,
+    it is computed on the per-window DISTINCT-strength table (bounded
+    by the strength range, heavy-tailed ⇒ tiny) and joined back — no
+    per-window sort ever sees the full actor list, so a hot window
+    cannot serialize into one task.  The drift LAG partitions by
+    actor — maximal parallelism.  Strengths are exact-integer-valued
+    doubles (sums of counts), so every comparison and the final
+    integer delta are exact."""
+    wdeg = wedges.groupBy(
+        "window_idx", F.col("src_actor").alias("actor")
+    ).agg(F.sum("weight").alias("out_weight"))
+    vals = wdeg.select("window_idx", "out_weight").distinct()
+    ranked = vals.withColumn(
+        "rnk",
+        F.dense_rank().over(
+            Window.partitionBy("window_idx").orderBy(F.desc("out_weight"))
+        ).cast("long"),
+    )
+    drift = Window.partitionBy("actor").orderBy("window_idx")
+    return (
+        wdeg.join(ranked, ["window_idx", "out_weight"])
+        .withColumn(
+            "rank_delta", F.col("rnk") - F.lag("rnk").over(drift)
+        )
+        .select("window_idx", "actor", "out_weight", "rnk", "rank_delta")
+    )
+
+
 def build_edges(transcripts: DataFrame) -> DataFrame:
     """X1–X5: transcripts → (src_actor, dst_actor, weight) edge table.
 

@@ -2573,6 +2573,145 @@ GROUP BY 1, 2, 3
 """
 
 
+def _parts_seq_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed co-purchase sequence graph: consecutive lineitems of
+    an order (l_linenumber order) link their partkeys — the X1–X5
+    generic builder instantiated on a third table, giving a directed
+    substrate where BOTH directions of a dyad genuinely occur (unlike
+    the bipartite msbfs substrate).
+
+    X2 stable-ordering note: (l_orderkey, l_linenumber) is NOT a key
+    in the synthetic data, so l_partkey is the tiebreak — remaining
+    ties have EQUAL partkey, so the actor sequence (and hence the
+    edge multiset) is total-order-invariant on both engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return build_edges_generic(
+        li, "l_orderkey", ["l_linenumber", "l_partkey"], F.col("l_partkey")
+    )
+
+
+_SQL_PARTS_SEQ = """
+WITH seq AS (
+  SELECT l_orderkey, l_partkey AS src,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+  FROM lineitem),
+de AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM seq
+  WHERE dst IS NOT NULL AND src <> dst)
+"""
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity of the parts co-purchase sequence
+    graph (algos/directed.py — exact long counts, one rounded
+    division)."""
+    from mesos_pregel_spark.algos.directed import reciprocity
+
+    return reciprocity(
+        spark,
+        _parts_seq_edges(spark, sf_dir).select(
+            F.col("src_actor").alias("src"),
+            F.col("dst_actor").alias("dst"),
+        ),
+    )
+
+
+SQL_RECIPROCITY = _SQL_PARTS_SEQ + """
+, m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS mutual_edges
+  FROM de a
+  WHERE EXISTS (SELECT 1 FROM de b WHERE b.src = a.dst AND b.dst = a.src)),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_edges FROM de)
+SELECT t.total_edges, m.mutual_edges,
+       CASE WHEN t.total_edges > 0
+            THEN ROUND(CAST(m.mutual_edges AS DOUBLE) / t.total_edges, 9)
+            ELSE 0.0 END AS reciprocity
+FROM t, m
+"""
+
+
+def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic vs transitive directed-triangle census on the parts
+    co-purchase sequence graph (algos/directed.py — min-vertex-rooted
+    cycles, ordered transitive triplets)."""
+    from mesos_pregel_spark.algos.directed import triangle_census
+
+    return triangle_census(
+        spark,
+        _parts_seq_edges(spark, sf_dir).select(
+            F.col("src_actor").alias("src"),
+            F.col("dst_actor").alias("dst"),
+        ),
+    )
+
+
+SQL_TRIAD_CENSUS = _SQL_PARTS_SEQ + """
+, cyc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cyclic_triangles
+  FROM de e1
+  JOIN de e2 ON e1.dst = e2.src
+  JOIN de e3 ON e2.dst = e3.src AND e3.dst = e1.src
+  WHERE e1.src < e1.dst AND e1.src < e2.dst),
+tra AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS transitive_triplets
+  FROM de e1
+  JOIN de e2 ON e1.dst = e2.src
+  WHERE e1.src <> e2.dst
+    AND EXISTS (SELECT 1 FROM de e3
+                WHERE e3.src = e1.src AND e3.dst = e2.dst))
+SELECT cyc.cyclic_triangles, tra.transitive_triplets FROM cyc, tra
+"""
+
+
+def q_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day actor ranking with drift over the day-windowed edge
+    table (functions/edges.py::window_rank_drift — dense rank from
+    the distinct-strength table, drift LAG partitioned by actor)."""
+    from mesos_pregel_spark.functions.edges import (
+        build_edges_windowed,
+        window_rank_drift,
+    )
+
+    wedges = build_edges_windowed(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
+        F.col("event_type"), window_us=_EDGE_WINDOW_US,
+    )
+    return window_rank_drift(wedges)
+
+
+SQL_RANK_DRIFT = f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
+         event_type AS src_actor,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
+  FROM events
+),
+wedges AS (
+  SELECT CAST(window_idx AS BIGINT) AS window_idx, src_actor,
+         CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM seq
+  WHERE dst_actor IS NOT NULL AND src_actor <> dst_actor
+  GROUP BY 1, 2, dst_actor
+),
+wdeg AS (
+  SELECT window_idx, src_actor AS actor, SUM(weight) AS out_weight
+  FROM wedges GROUP BY 1, 2
+),
+r AS (
+  SELECT *, CAST(DENSE_RANK() OVER (
+    PARTITION BY window_idx ORDER BY out_weight DESC) AS BIGINT) AS rnk
+  FROM wdeg
+)
+SELECT window_idx, actor, out_weight, rnk,
+       rnk - LAG(rnk) OVER (
+         PARTITION BY actor ORDER BY window_idx) AS rank_delta
+FROM r
+"""
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -3033,6 +3172,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edge_embeddedness": q_edge_embeddedness,
     "butterflies": q_butterflies,
     "edges_daily": q_edges_daily,
+    "reciprocity": q_reciprocity,
+    "triad_census": q_triad_census,
+    "rank_drift": q_rank_drift,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -3098,6 +3240,9 @@ _QUERY_PRIORITY: list[str] = [
     "edge_embeddedness",
     "butterflies",
     "edges_daily",
+    "reciprocity",
+    "triad_census",
+    "rank_drift",
     "source_mix",
     "vocab_stats",
     "length_histogram",
@@ -3223,6 +3368,9 @@ ORACLE_SQL: dict[str, str] = {
     "edge_embeddedness": SQL_EDGE_EMBEDDEDNESS,
     "butterflies": SQL_BUTTERFLIES,
     "edges_daily": SQL_EDGES_DAILY,
+    "reciprocity": SQL_RECIPROCITY,
+    "triad_census": SQL_TRIAD_CENSUS,
+    "rank_drift": SQL_RANK_DRIFT,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,
