@@ -110,6 +110,55 @@ def build_edges_windowed(
     ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
 
 
+def window_edge_drift(wedges: DataFrame) -> DataFrame:
+    """Structural drift between CALENDAR-consecutive windows of a
+    :func:`build_edges_windowed` table: for each pair (w, w+1) both
+    present, the Jaccard similarity of their DISTINCT edge sets —
+    the day-over-day "how much did the interaction graph change"
+    read-out (1.0 = identical wiring, 0.0 = full turnover).
+
+    Exact arithmetic: intersection and per-window sizes are long
+    counts from equi-joins/aggregates; union = |A| + |B| − |A∩B|;
+    jaccard is ONE rounded division.  Scale shape: one distinct, one
+    per-window size aggregate, and a self-equi-join on
+    (window_idx+1, src, dst) — all shuffle on compound keys, no
+    window functions, no per-window serialization."""
+    pairs = wedges.select("window_idx", "src_actor", "dst_actor").distinct()
+    sizes = pairs.groupBy("window_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nxt = pairs.select(
+        (F.col("window_idx") - 1).alias("window_idx"),
+        "src_actor", "dst_actor",
+    )
+    inter = (
+        pairs.join(nxt, ["window_idx", "src_actor", "dst_actor"], "left_semi")
+        .groupBy("window_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("intersect_edges"))
+    )
+    s2 = sizes.select(
+        (F.col("window_idx") - 1).alias("window_idx"),
+        F.col("n").alias("n_next"),
+    )
+    return (
+        sizes.join(s2, "window_idx")
+        .join(inter, "window_idx", "left_outer")
+        .select(
+            "window_idx",
+            (F.col("window_idx") + 1).alias("next_idx"),
+            F.coalesce("intersect_edges", F.lit(0)).alias("intersect_edges"),
+            (F.col("n") + F.col("n_next")
+             - F.coalesce("intersect_edges", F.lit(0))).alias("union_edges"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersect_edges").cast("double")
+                / F.col("union_edges").cast("double"), 9),
+        )
+    )
+
+
 def window_rank_drift(wedges: DataFrame) -> DataFrame:
     """Per-window actor ranking with drift, over a
     :func:`build_edges_windowed` table: each actor's weighted

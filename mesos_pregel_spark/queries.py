@@ -2712,6 +2712,95 @@ FROM r
 """
 
 
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club profile over the parts co-order graph
+    (algos/structure.py::rich_club — two histograms + suffix sums
+    over the tiny distinct-degree table)."""
+    from mesos_pregel_spark.algos.structure import rich_club
+
+    return rich_club(spark, _parts_edges(spark, sf_dir))
+
+
+SQL_RICH_CLUB = _SQL_PARTS + """
+, vh AS (SELECT deg AS k, CAST(COUNT(*) AS BIGINT) AS n_at
+         FROM pdeg GROUP BY 1),
+eh AS (
+  SELECT LEAST(dl.deg, dh.deg) AS k, CAST(COUNT(*) AS BIGINT) AS e_at
+  FROM und e
+  JOIN pdeg dl ON dl.id = e.lo
+  JOIN pdeg dh ON dh.id = e.hi
+  GROUP BY 1),
+m AS (SELECT vh.k, vh.n_at, COALESCE(eh.e_at, 0) AS e_at
+      FROM vh LEFT JOIN eh ON eh.k = vh.k),
+s AS (SELECT k,
+        SUM(n_at) OVER (ORDER BY k DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_at
+          AS n_rich,
+        SUM(e_at) OVER (ORDER BY k DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - e_at
+          AS rich_edges
+      FROM m)
+SELECT k, CAST(n_rich AS BIGINT) AS n_rich,
+       CAST(rich_edges AS BIGINT) AS rich_edges,
+       ROUND(CAST(2 * rich_edges AS DOUBLE)
+             / (n_rich * (n_rich - 1)), 9) AS phi
+FROM s WHERE n_rich >= 2
+"""
+
+
+def q_edge_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day edge-set Jaccard drift of the events interaction
+    graph (functions/edges.py::window_edge_drift over the edges_daily
+    substrate)."""
+    from mesos_pregel_spark.functions.edges import (
+        build_edges_windowed,
+        window_edge_drift,
+    )
+
+    wedges = build_edges_windowed(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
+        F.col("event_type"), window_us=_EDGE_WINDOW_US,
+    )
+    return window_edge_drift(wedges)
+
+
+SQL_EDGE_DRIFT = f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
+         event_type AS src_actor,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
+  FROM events
+),
+pairs AS (
+  SELECT DISTINCT CAST(window_idx AS BIGINT) AS window_idx,
+         src_actor, dst_actor
+  FROM seq
+  WHERE dst_actor IS NOT NULL AND src_actor <> dst_actor
+),
+sizes AS (
+  SELECT window_idx, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY 1
+),
+inter AS (
+  SELECT a.window_idx, CAST(COUNT(*) AS BIGINT) AS i
+  FROM pairs a
+  JOIN pairs b ON b.window_idx = a.window_idx + 1
+    AND b.src_actor = a.src_actor AND b.dst_actor = a.dst_actor
+  GROUP BY 1
+)
+SELECT s1.window_idx, s1.window_idx + 1 AS next_idx,
+       CAST(COALESCE(i, 0) AS BIGINT) AS intersect_edges,
+       CAST(s1.n + s2.n - COALESCE(i, 0) AS BIGINT) AS union_edges,
+       ROUND(CAST(COALESCE(i, 0) AS DOUBLE)
+             / (s1.n + s2.n - COALESCE(i, 0)), 9) AS jaccard
+FROM sizes s1
+JOIN sizes s2 ON s2.window_idx = s1.window_idx + 1
+LEFT JOIN inter ON inter.window_idx = s1.window_idx
+"""
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -3175,6 +3264,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reciprocity": q_reciprocity,
     "triad_census": q_triad_census,
     "rank_drift": q_rank_drift,
+    "rich_club": q_rich_club,
+    "edge_drift": q_edge_drift,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -3243,6 +3334,8 @@ _QUERY_PRIORITY: list[str] = [
     "reciprocity",
     "triad_census",
     "rank_drift",
+    "rich_club",
+    "edge_drift",
     "source_mix",
     "vocab_stats",
     "length_histogram",
@@ -3371,6 +3464,8 @@ ORACLE_SQL: dict[str, str] = {
     "reciprocity": SQL_RECIPROCITY,
     "triad_census": SQL_TRIAD_CENSUS,
     "rank_drift": SQL_RANK_DRIFT,
+    "rich_club": SQL_RICH_CLUB,
+    "edge_drift": SQL_EDGE_DRIFT,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,

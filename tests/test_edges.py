@@ -152,3 +152,28 @@ def test_windowed_edges_sum_to_global(spark, tiny):
         ).collect()
     }
     assert summed == glob
+
+
+def test_window_edge_drift_hand_case(spark):
+    """Jaccard drift over calendar-consecutive windows: identical
+    windows → 1.0, disjoint → 0.0, gaps (w+1 absent) emit no row."""
+    from mesos_pregel_spark.functions.edges import window_edge_drift
+
+    rows = [
+        (0, "a", "b", 1.0), (0, "b", "c", 2.0),
+        (1, "a", "b", 5.0), (1, "b", "c", 1.0),   # identical to w0
+        (2, "x", "y", 1.0),                        # full turnover
+        (4, "a", "b", 1.0),                        # gap: no (3,4) row
+    ]
+    wedges = spark.createDataFrame(
+        rows, "window_idx long, src_actor string, dst_actor string, weight double"
+    )
+    got = {
+        (r["window_idx"], r["next_idx"]):
+        (r["intersect_edges"], r["union_edges"], r["jaccard"])
+        for r in window_edge_drift(wedges).collect()
+    }
+    assert got == {
+        (0, 1): (2, 2, 1.0),
+        (1, 2): (0, 3, 0.0),
+    }

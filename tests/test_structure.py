@@ -279,3 +279,50 @@ def test_densest_partition_invariance(spark):
     a, _ = densest_subgraph(spark, df, edge_partitions=1)
     b, _ = densest_subgraph(spark, df, edge_partitions=7)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_rich_club_vs_brute(spark):
+    """rich_club vs a brute-force induced-subgraph oracle on a
+    deterministic pseudo-random graph — the oracle rebuilds the
+    deg>k induced subgraph per k instead of suffix-summing."""
+    import random as _random
+
+    from mesos_pregel_spark.algos.structure import rich_club
+
+    rng = _random.Random(5)
+    raw = list({(rng.randrange(20), rng.randrange(20)) for _ in range(120)})
+    e = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    deg = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    expect = {}
+    for k in sorted(set(deg.values())):
+        rich = {v for v, d in deg.items() if d > k}
+        if len(rich) < 2:
+            continue
+        re_ = sum(1 for a, b in e if a in rich and b in rich)
+        expect[k] = (
+            len(rich), re_,
+            round(2 * re_ / (len(rich) * (len(rich) - 1)), 9),
+        )
+    df = spark.createDataFrame(
+        [(int(a), int(b), 1.0) for a, b in raw], "src long, dst long, weight double"
+    )
+    got = {
+        r["k"]: (r["n_rich"], r["rich_edges"], r["phi"])
+        for r in rich_club(spark, df).collect()
+    }
+    assert got == expect
+
+
+def test_rich_club_star_no_rows(spark):
+    """A star: hub deg n-1, leaves deg 1 — at k=1 only the hub
+    survives (n_rich=1 < 2), so no row qualifies."""
+    from mesos_pregel_spark.algos.structure import rich_club
+
+    df = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1, 6)], "src long, dst long, weight double"
+    )
+    rows = rich_club(spark, df).collect()
+    assert [r["k"] for r in rows] == []
