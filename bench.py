@@ -966,6 +966,65 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         packed.unpersist()
         pdocs.unpersist()
 
+    if on("triads"):
+        # Directed triangle census + reciprocity + rich-club profile
+        # on the shared zipf graph.  The census path join is
+        # Σ_v indeg·outdeg, which the zipf head dominates — the
+        # max_degree cap (the documented approximate-census knob)
+        # bounds it; reciprocity and rich_club run uncapped (both are
+        # histogram/semi-join shaped).
+        from mesos_pregel_spark.algos.directed import (
+            reciprocity,
+            triangle_census,
+        )
+        from mesos_pregel_spark.algos.structure import rich_club
+
+        t = time.monotonic()
+        rec = reciprocity(spark, g).collect()[0]
+        cen = triangle_census(spark, g, max_degree=256).collect()[0]
+        n_rc = rich_club(spark, g).count()
+        td_sec = time.monotonic() - t
+        queries["triads"] = round(td_sec, 3)
+        throughput["triads_edges_per_sec"] = round(
+            rec["total_edges"] / td_sec)
+        detail["triads_distinct_edges"] = rec["total_edges"]
+        detail["triads_reciprocity"] = rec["reciprocity"]
+        detail["triads_cyclic"] = cen["cyclic_triangles"]
+        detail["triads_transitive"] = cen["transitive_triplets"]
+        detail["triads_rich_club_rows"] = n_rc
+
+    if on("temporal"):
+        # Day-windowed transition edges + per-window rank drift +
+        # day-over-day edge-set Jaccard over the real events table —
+        # the time-sliced link-analysis pipeline end to end.
+        from mesos_pregel_spark.functions.edges import (
+            build_edges_windowed,
+            window_edge_drift,
+            window_rank_drift,
+        )
+
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(nparts, "user_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_ev = ev.count()
+        t = time.monotonic()
+        wedges = build_edges_windowed(
+            ev, "user_id", ["ts", "event_id"], F.col("event_type")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_we = wedges.count()
+        n_rd = window_rank_drift(wedges).count()
+        n_dr = window_edge_drift(wedges).count()
+        tp_sec = time.monotonic() - t
+        queries["temporal"] = round(tp_sec, 3)
+        throughput["temporal_events_per_sec"] = round(n_ev / tp_sec)
+        detail["temporal_window_edges"] = n_we
+        detail["temporal_rank_rows"] = n_rd
+        detail["temporal_drift_rows"] = n_dr
+        wedges.unpersist()
+        ev.unpersist()
+
     spark_probe_end = spark_probe(spark)
     spark.stop()
     cpu_mops_end = cpu_probe()

@@ -65,27 +65,46 @@ def _distinct_directed(edges: DataFrame, max_degree: int | None) -> DataFrame:
 
 
 def reciprocity(spark: SparkSession, edges: DataFrame) -> DataFrame:
-    """One row (total_edges, mutual_edges, reciprocity): the fraction
-    of distinct directed edges whose reverse also exists.  One
-    left-semi self-join + two counts; r rounded to 9dp, 0.0 on an
-    empty edge set (pinned in the SQL twin)."""
+    """One row (total_edges, mutual_edges, n_vertices, reciprocity,
+    rho): the fraction r of distinct directed edges whose reverse also
+    exists, plus the density-corrected reciprocity rho of
+    Garlaschelli-Loffredo 2004 — rho = (r − a)/(1 − a) with edge
+    density a = m/(n(n−1)), which algebra reduces to ONE division of
+    exact longs: (mut·N − m²)/(m·N − m²), N = n(n−1).  rho > 0 means
+    more mutual dyads than a density-matched random digraph (NULL when
+    the graph is complete or empty — the correction is undefined).
+    One left-semi self-join + three counts; ratios rounded to 9dp,
+    r = 0.0 on an empty edge set (pinned in the SQL twin)."""
     de = _distinct_directed(edges, None).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         rev = de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        nv = (
+            de.select(F.col("src").alias("id"))
+            .unionByName(de.select(F.col("dst").alias("id")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+        )
+        m, mut = F.col("total_edges"), F.col("mutual_edges")
+        cap = F.col("n_vertices") * (F.col("n_vertices") - 1)
         out = truncate_plan(
             de.join(rev, ["src", "dst"], "left_semi")
             .agg(F.count(F.lit(1)).cast("long").alias("mutual_edges"))
             .crossJoin(F.broadcast(
                 de.agg(F.count(F.lit(1)).cast("long").alias("total_edges"))
             ))
+            .crossJoin(F.broadcast(nv))
             .select(
                 "total_edges",
                 "mutual_edges",
-                F.when(F.col("total_edges") > 0,
-                       F.round(
-                           F.col("mutual_edges").cast("double")
-                           / F.col("total_edges").cast("double"), 9))
+                "n_vertices",
+                F.when(m > 0,
+                       F.round(mut.cast("double") / m.cast("double"), 9))
                 .otherwise(F.lit(0.0)).alias("reciprocity"),
+                F.when(m * cap - m * m > 0,
+                       F.round(
+                           (mut * cap - m * m).cast("double")
+                           / (m * cap - m * m).cast("double"), 9))
+                .alias("rho"),
             )
         )
     finally:

@@ -2622,12 +2622,24 @@ SQL_RECIPROCITY = _SQL_PARTS_SEQ + """
   SELECT CAST(COUNT(*) AS BIGINT) AS mutual_edges
   FROM de a
   WHERE EXISTS (SELECT 1 FROM de b WHERE b.src = a.dst AND b.dst = a.src)),
-t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_edges FROM de)
-SELECT t.total_edges, m.mutual_edges,
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_edges FROM de),
+v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM (
+    SELECT DISTINCT id FROM (
+      SELECT src AS id FROM de UNION ALL SELECT dst FROM de)))
+SELECT t.total_edges, m.mutual_edges, v.n_vertices,
        CASE WHEN t.total_edges > 0
             THEN ROUND(CAST(m.mutual_edges AS DOUBLE) / t.total_edges, 9)
-            ELSE 0.0 END AS reciprocity
-FROM t, m
+            ELSE 0.0 END AS reciprocity,
+       CASE WHEN t.total_edges * v.n_vertices * (v.n_vertices - 1)
+                 - t.total_edges * t.total_edges > 0
+            THEN ROUND(
+              CAST(m.mutual_edges * v.n_vertices * (v.n_vertices - 1)
+                   - t.total_edges * t.total_edges AS DOUBLE)
+              / (t.total_edges * v.n_vertices * (v.n_vertices - 1)
+                 - t.total_edges * t.total_edges), 9)
+            ELSE NULL END AS rho
+FROM t, m, v
 """
 
 

@@ -18,6 +18,20 @@ def _df(spark, edges):
     )
 
 
+def _brute_rho(edges):
+    """Garlaschelli-Loffredo rho via the exact-integer reduction,
+    None when the density correction is undefined (complete/empty)."""
+    e = {(s, d) for s, d in edges if s != d}
+    verts = {v for p in e for v in p}
+    m = len(e)
+    mut = sum(1 for (s, d) in e if (d, s) in e)
+    cap = len(verts) * (len(verts) - 1)
+    den = m * cap - m * m
+    if den <= 0:
+        return None
+    return round((mut * cap - m * m) / den, 9)
+
+
 def _brute(edges):
     e = {(s, d) for s, d in edges if s != d}
     verts = {v for p in e for v in p}
@@ -52,6 +66,7 @@ def test_micro_graphs(spark, name):
     r = reciprocity(spark, _df(spark, edges)).collect()[0]
     assert (r["total_edges"], r["mutual_edges"]) == (total, mutual)
     assert r["reciprocity"] == round(mutual / total, 9)
+    assert r["rho"] == _brute_rho(edges)
     c = triangle_census(spark, _df(spark, edges)).collect()[0]
     assert (c["cyclic_triangles"], c["transitive_triplets"]) == (cyc, tra)
 
@@ -63,6 +78,7 @@ def test_full_k3_closed_form(spark):
     assert (c["cyclic_triangles"], c["transitive_triplets"]) == (2, 6)
     r = reciprocity(spark, _df(spark, GRAPHS["full_k3"])).collect()[0]
     assert r["reciprocity"] == 1.0
+    assert r["rho"] is None          # complete digraph: a = 1, undefined
 
 
 def test_random_graph_vs_brute(spark):
@@ -73,6 +89,7 @@ def test_random_graph_vs_brute(spark):
     total, mutual, cyc, tra = _brute(edges)
     r = reciprocity(spark, _df(spark, edges)).collect()[0]
     assert (r["total_edges"], r["mutual_edges"]) == (total, mutual)
+    assert r["rho"] == _brute_rho(edges)
     c = triangle_census(spark, _df(spark, edges)).collect()[0]
     assert (c["cyclic_triangles"], c["transitive_triplets"]) == (cyc, tra)
 
