@@ -159,6 +159,52 @@ def window_edge_drift(wedges: DataFrame) -> DataFrame:
     )
 
 
+def window_bursts(wedges: DataFrame, z_threshold: int = 2,
+                  min_windows: int = 3) -> DataFrame:
+    """Burst detection over a :func:`build_edges_windowed` table: flag
+    (window, actor) cells whose out-strength x sits more than
+    ``z_threshold`` population standard deviations ABOVE the actor's
+    own mean across all its windows — the anomaly read-out of the
+    temporal link graph (which actor suddenly spiked).
+
+    Determinism contract: strengths are exact-integer-valued doubles,
+    so per-actor n, S = Σx, S2 = Σx² are exact longs and the flag
+    condition is PURE INTEGER algebra — x·n − S > 0 AND
+    (x·n − S)² > k²·(n·S2 − S²) (the z > k test with both sides
+    multiplied by n²·σ²; σ = 0 cells can never pass since x·n = S).
+    The reported z = (x·n − S)/sqrt(n·S2 − S²) spends the module's one
+    correctly-rounded transcendental on sqrt and rounds to 6dp AFTER —
+    rounding can never flip membership, which the integer test decides.
+
+    Scale shape: one hash aggregate to per-(window, actor) strengths,
+    one per-actor aggregate joined back (both map-side combinable),
+    one codegen filter — no window functions at all."""
+    wdeg = wedges.groupBy(
+        "window_idx", F.col("src_actor").alias("actor")
+    ).agg(F.sum("weight").cast("long").alias("x"))
+    stats = wdeg.groupBy("actor").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    num = F.col("x") * F.col("n") - F.col("s")
+    var = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    k2 = z_threshold * z_threshold
+    return (
+        wdeg.join(stats, "actor")
+        .where(F.col("n") >= min_windows)
+        .where((num > 0) & (num * num > k2 * var))
+        .select(
+            "window_idx", "actor",
+            F.col("x").cast("double").alias("out_weight"),
+            "n",
+            F.round(
+                num.cast("double") / F.sqrt(var.cast("double")), 6
+            ).alias("z"),
+        )
+    )
+
+
 def window_rank_drift(wedges: DataFrame) -> DataFrame:
     """Per-window actor ranking with drift, over a
     :func:`build_edges_windowed` table: each actor's weighted

@@ -2813,6 +2813,56 @@ LEFT JOIN inter ON inter.window_idx = s1.window_idx
 """
 
 
+def q_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bursty (day, actor) cells of the events interaction graph —
+    out-strength > 2 population sigmas above the actor's own mean
+    (functions/edges.py::window_bursts — integer-algebra flag, one
+    correctly-rounded sqrt only in the reported z)."""
+    from mesos_pregel_spark.functions.edges import (
+        build_edges_windowed,
+        window_bursts,
+    )
+
+    wedges = build_edges_windowed(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
+        F.col("event_type"), window_us=_EDGE_WINDOW_US,
+    )
+    return window_bursts(wedges)
+
+
+SQL_BURSTS = f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
+         event_type AS src_actor,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
+  FROM events
+),
+wdeg AS (
+  SELECT CAST(window_idx AS BIGINT) AS window_idx,
+         src_actor AS actor, CAST(COUNT(*) AS BIGINT) AS x
+  FROM seq
+  WHERE dst_actor IS NOT NULL AND src_actor <> dst_actor
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT actor, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM wdeg GROUP BY 1
+)
+SELECT w.window_idx, w.actor, CAST(w.x AS DOUBLE) AS out_weight, st.n,
+       ROUND((w.x * st.n - st.s)
+             / SQRT(CAST(st.n * st.s2 - st.s * st.s AS DOUBLE)), 6) AS z
+FROM wdeg w JOIN stats st USING (actor)
+WHERE st.n >= 3
+  AND w.x * st.n - st.s > 0
+  AND (w.x * st.n - st.s) * (w.x * st.n - st.s)
+      > 4 * (st.n * st.s2 - st.s * st.s)
+"""
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -3278,6 +3328,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_drift": q_rank_drift,
     "rich_club": q_rich_club,
     "edge_drift": q_edge_drift,
+    "bursts": q_bursts,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -3348,6 +3399,7 @@ _QUERY_PRIORITY: list[str] = [
     "rank_drift",
     "rich_club",
     "edge_drift",
+    "bursts",
     "source_mix",
     "vocab_stats",
     "length_histogram",
@@ -3478,6 +3530,7 @@ ORACLE_SQL: dict[str, str] = {
     "rank_drift": SQL_RANK_DRIFT,
     "rich_club": SQL_RICH_CLUB,
     "edge_drift": SQL_EDGE_DRIFT,
+    "bursts": SQL_BURSTS,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,

@@ -177,3 +177,39 @@ def test_window_edge_drift_hand_case(spark):
         (0, 1): (2, 2, 1.0),
         (1, 2): (0, 3, 0.0),
     }
+
+
+def test_window_bursts_replication(spark):
+    """window_bursts vs a python replication of the integer flag
+    ((x*n - s)^2 > 4*(n*s2 - s^2), x above mean) and the 6dp z."""
+    import math
+
+    from mesos_pregel_spark.functions.edges import window_bursts
+
+    # population z is bounded by sqrt(n-1), so a one-spike series
+    # needs n >= 6 to ever exceed the k=2 threshold
+    series = {
+        "a": [3, 3, 3, 3, 3, 3, 3, 30],   # clear spike, z ~ 2.65
+        "b": [5, 5, 5, 5, 5, 5, 5, 5],    # sigma = 0: never flagged
+        "c": [1, 2, 1, 2, 1, 2, 1, 2],    # wobble: below threshold
+    }
+    rows = [
+        (w, actor, "x", float(x))
+        for actor, xs in series.items() for w, x in enumerate(xs)
+    ]
+    wedges = spark.createDataFrame(
+        rows, "window_idx long, src_actor string, dst_actor string, weight double"
+    )
+    expect = {}
+    for actor, xs in series.items():
+        n, s, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+        for w, x in enumerate(xs):
+            num, var = x * n - s, n * s2 - s * s
+            if n >= 3 and num > 0 and num * num > 4 * var:
+                expect[(w, actor)] = (
+                    float(x), n, round(num / math.sqrt(var), 6))
+    got = {
+        (r["window_idx"], r["actor"]): (r["out_weight"], r["n"], r["z"])
+        for r in window_bursts(wedges).collect()
+    }
+    assert got == expect and list(expect) == [(7, "a")]
