@@ -2863,6 +2863,92 @@ WHERE st.n >= 3
 """
 
 
+def q_pagerank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day weighted PageRank (2 steps): ONE run of the standard
+    engine over the WINDOW-EXPANDED composite graph — vertex id =
+    'window:actor', edges only within their window by construction —
+    so 30 days (or 30,000) cost one superstep pipeline, never a
+    driver-side loop over windows.  Teleport mass is 0.15/N_total
+    (N = all (window, actor) pairs), making scores comparable across
+    windows; per-window normalization is one extra aggregate if
+    wanted."""
+    from mesos_pregel_spark.functions.edges import build_edges_windowed
+
+    wedges = build_edges_windowed(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
+        F.col("event_type"), window_us=_EDGE_WINDOW_US,
+    )
+    comp = wedges.select(
+        F.concat_ws(":", "window_idx", "src_actor").alias("src"),
+        F.concat_ws(":", "window_idx", "dst_actor").alias("dst"),
+        "weight",
+    )
+    ranks, _run = pagerank(
+        spark, comp, tol=0.0, max_supersteps=2,
+        edge_partitions=8, weighted=True,
+    )
+    return ranks.select(
+        F.expr("CAST(substring_index(id, ':', 1) AS BIGINT)")
+        .alias("window_idx"),
+        F.expr("substring(id, instr(id, ':') + 1)").alias("actor"),
+        F.round("pagerank", 9).alias("pagerank"),
+    )
+
+
+SQL_PAGERANK_DAILY = f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
+         event_type AS src_actor,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
+  FROM events
+),
+wedges AS MATERIALIZED (
+  SELECT CAST(window_idx AS BIGINT) AS window_idx,
+         src_actor, dst_actor, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM seq
+  WHERE dst_actor IS NOT NULL AND src_actor <> dst_actor
+  GROUP BY 1, 2, 3
+),
+verts AS MATERIALIZED (
+  SELECT DISTINCT window_idx, actor FROM (
+    SELECT window_idx, src_actor AS actor FROM wedges
+    UNION ALL SELECT window_idx, dst_actor FROM wedges)
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+wd AS (SELECT window_idx, src_actor, SUM(weight) AS w
+       FROM wedges GROUP BY 1, 2),
+wp1 AS MATERIALIZED (
+  SELECT v.window_idx, v.actor,
+         0.15/(SELECT n FROM n) + 0.85*COALESCE(c.s, 0.0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.window_idx, e.dst_actor AS actor,
+           SUM((1.0/(SELECT n FROM n)) * e.weight / wd.w) AS s
+    FROM wedges e
+    JOIN wd ON e.window_idx = wd.window_idx
+           AND e.src_actor = wd.src_actor
+    GROUP BY 1, 2) c
+  ON v.window_idx = c.window_idx AND v.actor = c.actor
+),
+wp2 AS MATERIALIZED (
+  SELECT v.window_idx, v.actor,
+         0.15/(SELECT n FROM n) + 0.85*COALESCE(c.s, 0.0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.window_idx, e.dst_actor AS actor,
+           SUM(p.pr * e.weight / wd.w) AS s
+    FROM wedges e
+    JOIN wd ON e.window_idx = wd.window_idx
+           AND e.src_actor = wd.src_actor
+    JOIN wp1 p ON p.window_idx = e.window_idx
+              AND p.actor = e.src_actor
+    GROUP BY 1, 2) c
+  ON v.window_idx = c.window_idx AND v.actor = c.actor
+)
+SELECT window_idx, actor, ROUND(pr, 9) AS pagerank FROM wp2
+"""
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -3329,6 +3415,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rich_club": q_rich_club,
     "edge_drift": q_edge_drift,
     "bursts": q_bursts,
+    "pagerank_daily": q_pagerank_daily,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -3400,6 +3487,7 @@ _QUERY_PRIORITY: list[str] = [
     "rich_club",
     "edge_drift",
     "bursts",
+    "pagerank_daily",
     "source_mix",
     "vocab_stats",
     "length_histogram",
@@ -3531,6 +3619,7 @@ ORACLE_SQL: dict[str, str] = {
     "rich_club": SQL_RICH_CLUB,
     "edge_drift": SQL_EDGE_DRIFT,
     "bursts": SQL_BURSTS,
+    "pagerank_daily": SQL_PAGERANK_DAILY,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,

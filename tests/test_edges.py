@@ -213,3 +213,34 @@ def test_window_bursts_replication(spark):
         for r in window_bursts(wedges).collect()
     }
     assert got == expect and list(expect) == [(7, "a")]
+
+
+def test_pagerank_daily_window_isolation(spark):
+    """The window-expanded composite graph must not leak rank across
+    windows: two windows with IDENTICAL wiring score identically,
+    and a third window with different wiring scores differently."""
+    from mesos_pregel_spark.algos.pagerank import pagerank
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "a", "b", 2.0), (0, "b", "c", 1.0),
+        (1, "a", "b", 2.0), (1, "b", "c", 1.0),   # clone of window 0
+        (2, "c", "a", 5.0),                        # different wiring
+    ]
+    wedges = spark.createDataFrame(
+        rows, "window_idx long, src_actor string, dst_actor string, weight double"
+    )
+    comp = wedges.select(
+        F.concat_ws(":", "window_idx", "src_actor").alias("src"),
+        F.concat_ws(":", "window_idx", "dst_actor").alias("dst"),
+        "weight",
+    )
+    ranks, _ = pagerank(spark, comp, tol=0.0, max_supersteps=2,
+                        edge_partitions=4, weighted=True)
+    by_win = {}
+    for r in ranks.collect():
+        w, actor = r["id"].split(":", 1)
+        by_win.setdefault(int(w), {})[actor] = r["pagerank"]
+    assert by_win[0] == by_win[1]
+    assert by_win[2] != by_win[0]
+    assert set(by_win[2]) == {"a", "c"}     # b never appears in w2
