@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mesos_pregel_spark.fixtures import TRANSCRIPT_SCHEMA
+from mesos_pregel_spark.plans.truncate import truncate_plan
 
 REQUIRED_COLUMNS = [f.name for f in TRANSCRIPT_SCHEMA.fields]
 
@@ -123,7 +124,14 @@ def window_edge_drift(wedges: DataFrame) -> DataFrame:
     per-window size aggregate, and a self-equi-join on
     (window_idx+1, src, dst) — all shuffle on compound keys, no
     window functions, no per-window serialization."""
-    pairs = wedges.select("window_idx", "src_actor", "dst_actor").distinct()
+    # lazy plan-truncate: all three consumers below share ONE scan of
+    # the windowed build instead of re-deriving the distinct pair
+    # table per branch (the summary is |windows|x|edges-per-window|,
+    # small by construction)
+    pairs = truncate_plan(
+        wedges.select("window_idx", "src_actor", "dst_actor").distinct(),
+        eager=False,
+    )
     sizes = pairs.groupBy("window_idx").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
@@ -179,9 +187,12 @@ def window_bursts(wedges: DataFrame, z_threshold: int = 2,
     Scale shape: one hash aggregate to per-(window, actor) strengths,
     one per-actor aggregate joined back (both map-side combinable),
     one codegen filter — no window functions at all."""
-    wdeg = wedges.groupBy(
-        "window_idx", F.col("src_actor").alias("actor")
-    ).agg(F.sum("weight").cast("long").alias("x"))
+    wdeg = truncate_plan(
+        wedges.groupBy(
+            "window_idx", F.col("src_actor").alias("actor")
+        ).agg(F.sum("weight").cast("long").alias("x")),
+        eager=False,
+    )
     stats = wdeg.groupBy("actor").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s"),
@@ -223,9 +234,12 @@ def window_rank_drift(wedges: DataFrame) -> DataFrame:
     actor — maximal parallelism.  Strengths are exact-integer-valued
     doubles (sums of counts), so every comparison and the final
     integer delta are exact."""
-    wdeg = wedges.groupBy(
-        "window_idx", F.col("src_actor").alias("actor")
-    ).agg(F.sum("weight").alias("out_weight"))
+    wdeg = truncate_plan(
+        wedges.groupBy(
+            "window_idx", F.col("src_actor").alias("actor")
+        ).agg(F.sum("weight").alias("out_weight")),
+        eager=False,
+    )
     vals = wdeg.select("window_idx", "out_weight").distinct()
     ranked = vals.withColumn(
         "rnk",
