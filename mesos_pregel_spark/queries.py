@@ -2949,6 +2949,68 @@ SELECT window_idx, actor, ROUND(pr, 9) AS pagerank FROM wp2
 """
 
 
+def q_cc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day connected components — the same window-expanded
+    composite-graph trick as pagerank_daily (ONE engine run, vertex id
+    = window:actor).  Component labels are the min composite id; the
+    shared window prefix strips off, leaving the min ACTOR of the
+    component within its day — exactly the windowed recursive-closure
+    twin's MIN."""
+    from mesos_pregel_spark.algos.cc import connected_components
+    from mesos_pregel_spark.functions.edges import build_edges_windowed
+
+    wedges = build_edges_windowed(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
+        F.col("event_type"), window_us=_EDGE_WINDOW_US,
+    )
+    comp = wedges.select(
+        F.concat_ws(":", "window_idx", "src_actor").alias("src"),
+        F.concat_ws(":", "window_idx", "dst_actor").alias("dst"),
+        "weight",
+    )
+    comps, _run = connected_components(spark, comp, edge_partitions=8)
+    return comps.select(
+        F.expr("CAST(substring_index(id, ':', 1) AS BIGINT)")
+        .alias("window_idx"),
+        F.expr("substring(id, instr(id, ':') + 1)").alias("actor"),
+        F.expr("substring(component, instr(component, ':') + 1)")
+        .alias("component"),
+    )
+
+
+SQL_CC_DAILY = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+         epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
+         event_type AS src_actor,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
+  FROM events
+),
+wedges AS (
+  SELECT DISTINCT CAST(window_idx AS BIGINT) AS window_idx,
+         src_actor, dst_actor
+  FROM seq
+  WHERE dst_actor IS NOT NULL AND src_actor <> dst_actor
+),
+wsym AS (
+  SELECT DISTINCT window_idx, s, d FROM (
+    SELECT window_idx, src_actor AS s, dst_actor AS d FROM wedges
+    UNION ALL
+    SELECT window_idx, dst_actor, src_actor FROM wedges)
+),
+reach AS (
+  SELECT window_idx, s AS actor, s AS c FROM wsym
+  UNION
+  SELECT sym.window_idx, sym.d AS actor, r.c
+  FROM reach r JOIN wsym sym
+    ON sym.window_idx = r.window_idx AND sym.s = r.actor
+)
+SELECT window_idx, actor, MIN(c) AS component
+FROM reach GROUP BY 1, 2
+"""
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -3416,6 +3478,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edge_drift": q_edge_drift,
     "bursts": q_bursts,
     "pagerank_daily": q_pagerank_daily,
+    "cc_daily": q_cc_daily,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -3488,6 +3551,7 @@ _QUERY_PRIORITY: list[str] = [
     "edge_drift",
     "bursts",
     "pagerank_daily",
+    "cc_daily",
     "source_mix",
     "vocab_stats",
     "length_histogram",
@@ -3620,6 +3684,7 @@ ORACLE_SQL: dict[str, str] = {
     "edge_drift": SQL_EDGE_DRIFT,
     "bursts": SQL_BURSTS,
     "pagerank_daily": SQL_PAGERANK_DAILY,
+    "cc_daily": SQL_CC_DAILY,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,
