@@ -1,0 +1,161 @@
+"""Property-based tests (hypothesis) for the X-layer edge builders and
+the directed/rich-club kernels — randomized micro-inputs against pure
+python replications, derandomized so CI is stable.
+
+These generalize the fixed-seed oracle tests: hypothesis explores the
+corner lattice (empty partitions, single rows, all-equal actors,
+boundary window sizes) that hand fixtures under-sample."""
+
+import pytest
+
+pytest.importorskip("hypothesis")
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# a sequence table: per partition key, rows at unique positions with a
+# small actor vocabulary (ties impossible: position is unique per key)
+seq_tables = st.dictionaries(
+    st.integers(0, 3),                                  # partition key
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=8),
+    min_size=1, max_size=4,
+)
+
+
+def _py_edges(table):
+    out = {}
+    for _key, actors in table.items():
+        for a, b in zip(actors, actors[1:]):
+            if a != b:
+                out[(a, b)] = out.get((a, b), 0) + 1
+    return out
+
+
+@given(table=seq_tables)
+@SET
+def test_build_edges_generic_matches_python(spark, table):
+    from mesos_pregel_spark.functions.edges import build_edges_generic
+
+    rows = [
+        (k, i, actor)
+        for k, actors in table.items() for i, actor in enumerate(actors)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k long, pos long, actor string")
+    got = {
+        (r["src_actor"], r["dst_actor"]): r["weight"]
+        for r in build_edges_generic(df, "k", ["pos"], F.col("actor")).collect()
+    }
+    assert got == {k: float(v) for k, v in _py_edges(table).items()}
+
+
+@given(table=seq_tables, window_s=st.sampled_from([1, 2, 5]))
+@SET
+def test_windowed_edges_sum_to_global_property(spark, table, window_s):
+    import datetime
+
+    from mesos_pregel_spark.functions.edges import (
+        build_edges_generic,
+        build_edges_windowed,
+    )
+
+    rows = [
+        (k, i, actor, datetime.datetime(2026, 1, 1, 0, 0, i))
+        for k, actors in table.items() for i, actor in enumerate(actors)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "k long, pos long, actor string, ts timestamp_ntz"
+    )
+    wdf = build_edges_windowed(
+        df, "k", ["pos"], F.col("actor"),
+        ts_col="ts", window_us=window_s * 1_000_000,
+    )
+    summed = {
+        (r["src_actor"], r["dst_actor"]): r["w"]
+        for r in wdf.groupBy("src_actor", "dst_actor")
+        .agg(F.sum("weight").alias("w")).collect()
+    }
+    glob = {
+        (r["src_actor"], r["dst_actor"]): r["weight"]
+        for r in build_edges_generic(df, "k", ["pos"], F.col("actor")).collect()
+    }
+    assert summed == glob
+
+
+digraphs = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)),
+    min_size=1, max_size=25,
+)
+
+
+@given(edges=digraphs)
+@SET
+def test_triangle_census_property(spark, edges):
+    import itertools
+
+    from mesos_pregel_spark.algos.directed import triangle_census
+
+    e = {(s, d) for s, d in edges if s != d}
+    if not e:
+        return
+    verts = {v for p in e for v in p}
+    cyc = sum(
+        1 for u, v, w in itertools.permutations(verts, 3)
+        if (u, v) in e and (v, w) in e and (w, u) in e
+    ) // 3
+    tra = sum(
+        1 for u, v, w in itertools.permutations(verts, 3)
+        if (u, v) in e and (v, w) in e and (u, w) in e
+    )
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in edges], "src long, dst long"
+    )
+    c = triangle_census(spark, df).collect()[0]
+    assert (c["cyclic_triangles"], c["transitive_triplets"]) == (cyc, tra)
+
+
+undirected = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),
+    min_size=1, max_size=25,
+)
+
+
+@given(edges=undirected)
+@SET
+def test_rich_club_property(spark, edges):
+    from mesos_pregel_spark.algos.structure import rich_club
+
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not e:
+        return
+    deg = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    expect = {}
+    for k in sorted(set(deg.values())):
+        rich = {v for v, d in deg.items() if d > k}
+        if len(rich) < 2:
+            continue
+        re_ = sum(1 for a, b in e if a in rich and b in rich)
+        expect[k] = (len(rich), re_,
+                     round(2 * re_ / (len(rich) * (len(rich) - 1)), 9))
+    df = spark.createDataFrame(
+        [(int(a), int(b), 1.0) for a, b in edges],
+        "src long, dst long, weight double",
+    )
+    got = {
+        r["k"]: (r["n_rich"], r["rich_edges"], r["phi"])
+        for r in rich_club(spark, df).collect()
+    }
+    assert got == expect
