@@ -3011,6 +3011,54 @@ FROM reach GROUP BY 1, 2
 """
 
 
+def q_katz_step4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step Katz centrality unroll, beta=0.05, on the events actor
+    graph (algos/katz.py — attenuation-weighted in-walk counts on the
+    generic vertex-program API)."""
+    from mesos_pregel_spark.algos.katz import katz
+
+    scores, _run = katz(
+        spark, _graph_edges(spark, sf_dir), beta=0.05,
+        max_supersteps=4, edge_partitions=8,
+    )
+    return scores.select(F.col("id").alias("actor"), "katz")
+
+
+SQL_KATZ_STEP4 = _SQL_EDGES + """
+, dedges AS (SELECT DISTINCT src_actor AS s, dst_actor AS d FROM edges),
+x1 AS MATERIALIZED (
+  SELECT v.actor, CAST(0.05 AS DOUBLE) * COALESCE(c.m, CAST(0.0 AS DOUBLE)) AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.d AS actor, SUM(CAST(1.0 AS DOUBLE)) AS m
+    FROM dedges e GROUP BY e.d) c ON v.actor = c.actor),
+x2 AS MATERIALIZED (
+  SELECT v.actor, CAST(0.05 AS DOUBLE) * COALESCE(c.m, CAST(0.0 AS DOUBLE)) AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.d AS actor, SUM(p.x) AS m
+    FROM dedges e JOIN x1 p ON p.actor = e.s GROUP BY e.d) c
+  ON v.actor = c.actor),
+x3 AS MATERIALIZED (
+  SELECT v.actor, CAST(0.05 AS DOUBLE) * COALESCE(c.m, CAST(0.0 AS DOUBLE)) AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.d AS actor, SUM(p.x) AS m
+    FROM dedges e JOIN x2 p ON p.actor = e.s GROUP BY e.d) c
+  ON v.actor = c.actor),
+x4 AS MATERIALIZED (
+  SELECT v.actor, CAST(0.05 AS DOUBLE) * COALESCE(c.m, CAST(0.0 AS DOUBLE)) AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.d AS actor, SUM(p.x) AS m
+    FROM dedges e JOIN x3 p ON p.actor = e.s GROUP BY e.d) c
+  ON v.actor = c.actor)
+SELECT v.actor,
+       ROUND(CAST(1.0 AS DOUBLE) + x1.x + x2.x + x3.x + x4.x, 9) AS katz
+FROM verts v
+JOIN x1 ON x1.actor = v.actor
+JOIN x2 ON x2.actor = v.actor
+JOIN x3 ON x3.actor = v.actor
+JOIN x4 ON x4.actor = v.actor
+"""
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -3479,6 +3527,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bursts": q_bursts,
     "pagerank_daily": q_pagerank_daily,
     "cc_daily": q_cc_daily,
+    "katz_step4": q_katz_step4,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -3552,6 +3601,7 @@ _QUERY_PRIORITY: list[str] = [
     "bursts",
     "pagerank_daily",
     "cc_daily",
+    "katz_step4",
     "source_mix",
     "vocab_stats",
     "length_histogram",
@@ -3685,6 +3735,7 @@ ORACLE_SQL: dict[str, str] = {
     "bursts": SQL_BURSTS,
     "pagerank_daily": SQL_PAGERANK_DAILY,
     "cc_daily": SQL_CC_DAILY,
+    "katz_step4": SQL_KATZ_STEP4,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,
