@@ -167,6 +167,53 @@ def window_edge_drift(wedges: DataFrame) -> DataFrame:
     )
 
 
+def window_edge_delta(wedges: DataFrame) -> DataFrame:
+    """Edge-level drill-down of :func:`window_edge_drift`: for each
+    CALENDAR-consecutive window pair (w, w+1) both present, one row
+    per edge in either window with its weight in each and a status —
+    ``added`` (only in w+1), ``removed`` (only in w), ``changed``
+    (both, different weight), ``stable`` (both, equal weight).
+
+    Exact arithmetic: weights are exact-integer-valued doubles, so
+    the equality in ``changed``/``stable`` is exact.  Scale shape: a
+    full outer self-equi-join on (window, src, dst) after an
+    inner-join restriction to window pairs both present — compound-key
+    shuffles only, output bounded by the union of the two windows'
+    edge sets."""
+    wins = truncate_plan(
+        wedges.select("window_idx").distinct(), eager=False
+    )
+    # pairs (w, w+1) where both windows exist in the data
+    wpairs = wins.join(
+        wins.select((F.col("window_idx") - 1).alias("window_idx")),
+        "window_idx", "left_semi",
+    )
+    cur = wedges.join(wpairs, "window_idx", "left_semi").select(
+        "window_idx", "src_actor", "dst_actor",
+        F.col("weight").alias("w_prev"),
+    )
+    nxt = (
+        wedges.select(
+            (F.col("window_idx") - 1).alias("window_idx"),
+            "src_actor", "dst_actor",
+            F.col("weight").alias("w_next"),
+        )
+        .join(wpairs, "window_idx", "left_semi")
+    )
+    return (
+        cur.join(nxt, ["window_idx", "src_actor", "dst_actor"], "full_outer")
+        .select(
+            "window_idx",
+            (F.col("window_idx") + 1).alias("next_idx"),
+            "src_actor", "dst_actor", "w_prev", "w_next",
+            F.when(F.col("w_prev").isNull(), F.lit("added"))
+            .when(F.col("w_next").isNull(), F.lit("removed"))
+            .when(F.col("w_prev") == F.col("w_next"), F.lit("stable"))
+            .otherwise(F.lit("changed")).alias("status"),
+        )
+    )
+
+
 def window_bursts(wedges: DataFrame, z_threshold: int = 2,
                   min_windows: int = 3) -> DataFrame:
     """Burst detection over a :func:`build_edges_windowed` table: flag

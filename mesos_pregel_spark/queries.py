@@ -3059,6 +3059,69 @@ JOIN x4 ON x4.actor = v.actor
 """
 
 
+def q_edge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-level day-over-day delta report of the events interaction
+    graph (functions/edges.py::window_edge_delta over the edges_daily
+    substrate)."""
+    from mesos_pregel_spark.functions.edges import (
+        build_edges_windowed,
+        window_edge_delta,
+    )
+
+    wedges = build_edges_windowed(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
+        F.col("event_type"), window_us=_EDGE_WINDOW_US,
+    )
+    return window_edge_delta(wedges)
+
+
+SQL_EDGE_DELTA = f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
+         event_type AS src_actor,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
+  FROM events
+),
+wedges AS MATERIALIZED (
+  SELECT CAST(window_idx AS BIGINT) AS window_idx,
+         src_actor, dst_actor, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM seq
+  WHERE dst_actor IS NOT NULL AND src_actor <> dst_actor
+  GROUP BY 1, 2, 3
+),
+wins AS (SELECT DISTINCT window_idx FROM wedges),
+wpairs AS (
+  SELECT w.window_idx FROM wins w
+  WHERE EXISTS (SELECT 1 FROM wins n WHERE n.window_idx = w.window_idx + 1)
+),
+cur AS (
+  SELECT e.window_idx, e.src_actor, e.dst_actor, e.weight AS w_prev
+  FROM wedges e JOIN wpairs p ON p.window_idx = e.window_idx
+),
+nxt AS (
+  SELECT e.window_idx - 1 AS window_idx, e.src_actor, e.dst_actor,
+         e.weight AS w_next
+  FROM wedges e
+  JOIN wpairs p ON p.window_idx = e.window_idx - 1
+)
+SELECT COALESCE(c.window_idx, n.window_idx) AS window_idx,
+       COALESCE(c.window_idx, n.window_idx) + 1 AS next_idx,
+       COALESCE(c.src_actor, n.src_actor) AS src_actor,
+       COALESCE(c.dst_actor, n.dst_actor) AS dst_actor,
+       c.w_prev, n.w_next,
+       CASE WHEN c.w_prev IS NULL THEN 'added'
+            WHEN n.w_next IS NULL THEN 'removed'
+            WHEN c.w_prev = n.w_next THEN 'stable'
+            ELSE 'changed' END AS status
+FROM cur c
+FULL OUTER JOIN nxt n
+  ON n.window_idx = c.window_idx
+ AND n.src_actor = c.src_actor AND n.dst_actor = c.dst_actor
+"""
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -3528,6 +3591,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_daily": q_pagerank_daily,
     "cc_daily": q_cc_daily,
     "katz_step4": q_katz_step4,
+    "edge_delta": q_edge_delta,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -3602,6 +3666,7 @@ _QUERY_PRIORITY: list[str] = [
     "pagerank_daily",
     "cc_daily",
     "katz_step4",
+    "edge_delta",
     "source_mix",
     "vocab_stats",
     "length_histogram",
@@ -3736,6 +3801,7 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank_daily": SQL_PAGERANK_DAILY,
     "cc_daily": SQL_CC_DAILY,
     "katz_step4": SQL_KATZ_STEP4,
+    "edge_delta": SQL_EDGE_DELTA,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,

@@ -244,3 +244,39 @@ def test_pagerank_daily_window_isolation(spark):
     assert by_win[0] == by_win[1]
     assert by_win[2] != by_win[0]
     assert set(by_win[2]) == {"a", "c"}     # b never appears in w2
+
+
+def test_window_edge_delta_hand_case(spark):
+    """added/removed/changed/stable statuses; only calendar-consecutive
+    window pairs BOTH present emit rows (gaps are silent)."""
+    from mesos_pregel_spark.functions.edges import window_edge_delta
+
+    rows = [
+        (0, "a", "b", 1.0), (0, "b", "c", 2.0),
+        (1, "a", "b", 1.0), (1, "c", "d", 3.0),
+        (3, "x", "y", 1.0),                       # gap: no (2,3)/(3,4) rows
+    ]
+    wedges = spark.createDataFrame(
+        rows, "window_idx long, src_actor string, dst_actor string, weight double"
+    )
+    got = {
+        (r["window_idx"], r["src_actor"], r["dst_actor"]):
+        (r["w_prev"], r["w_next"], r["status"])
+        for r in window_edge_delta(wedges).collect()
+    }
+    assert got == {
+        (0, "a", "b"): (1.0, 1.0, "stable"),
+        (0, "b", "c"): (2.0, None, "removed"),
+        (0, "c", "d"): (None, 3.0, "added"),
+    }
+
+
+def test_window_edge_delta_changed(spark):
+    from mesos_pregel_spark.functions.edges import window_edge_delta
+
+    rows = [(0, "a", "b", 1.0), (1, "a", "b", 4.0)]
+    wedges = spark.createDataFrame(
+        rows, "window_idx long, src_actor string, dst_actor string, weight double"
+    )
+    [r] = window_edge_delta(wedges).collect()
+    assert (r["status"], r["w_prev"], r["w_next"]) == ("changed", 1.0, 4.0)
