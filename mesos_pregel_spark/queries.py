@@ -3627,10 +3627,6 @@ _QUERY_PRIORITY: list[str] = [
     "dedup_clusters",
     "simhash",
     "corpus_clean",
-    "cosine_scores",
-    "cosine_topk",
-    "embedding_near_dups",
-    "ann_lsh_topk",
     "ann_multitable_topk",
     "ivf_topk",
     # --- tier 2: new this round ---
@@ -3670,6 +3666,11 @@ _QUERY_PRIORITY: list[str] = [
     "source_mix",
     "vocab_stats",
     "length_histogram",
+    # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window ---
+    "cosine_scores",
+    "cosine_topk",
+    "embedding_near_dups",
+    "ann_lsh_topk",
     # --- tier 3: one representative per family (green r4) ---
     "edge_extract",
     "pagerank_full",
