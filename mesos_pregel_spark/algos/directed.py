@@ -69,12 +69,21 @@ def reciprocity(spark: SparkSession, edges: DataFrame) -> DataFrame:
     rho): the fraction r of distinct directed edges whose reverse also
     exists, plus the density-corrected reciprocity rho of
     Garlaschelli-Loffredo 2004 — rho = (r − a)/(1 − a) with edge
-    density a = m/(n(n−1)), which algebra reduces to ONE division of
-    exact longs: (mut·N − m²)/(m·N − m²), N = n(n−1).  rho > 0 means
-    more mutual dyads than a density-matched random digraph (NULL when
-    the graph is complete or empty — the correction is undefined).
-    One left-semi self-join + three counts; ratios rounded to 9dp,
-    r = 0.0 on an empty edge set (pinned in the SQL twin)."""
+    density a = m/(n(n−1)), reduced to (mut·N − m²)/(m·N − m²) with
+    N = n(n−1).  rho > 0 means more mutual dyads than a
+    density-matched random digraph (NULL when the graph is complete
+    or empty — the correction is undefined, guarded by the
+    overflow-free integer test m > 0 AND m < N).
+
+    Arithmetic contract: the counts are exact longs; rho's PRODUCTS
+    are evaluated in IEEE double (m·N overflows int64 around 2e6
+    dense vertices — Spark 4's ANSI mode would throw, pre-ANSI would
+    silently wrap).  Both engines evaluate the identical op sequence
+    (convert-then-multiply-then-divide), so the doubles stay
+    bit-identical cross-engine at any scale; below 2^53 the products
+    are also exact.  One left-semi self-join + three counts; ratios
+    rounded to 9dp, r = 0.0 on an empty edge set (pinned in the SQL
+    twin)."""
     de = _distinct_directed(edges, None).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         rev = de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -85,7 +94,10 @@ def reciprocity(spark: SparkSession, edges: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
         )
         m, mut = F.col("total_edges"), F.col("mutual_edges")
-        cap = F.col("n_vertices") * (F.col("n_vertices") - 1)
+        md = m.cast("double")
+        mutd = mut.cast("double")
+        nd = F.col("n_vertices").cast("double")
+        cap = nd * (nd - F.lit(1.0))
         out = truncate_plan(
             de.join(rev, ["src", "dst"], "left_semi")
             .agg(F.count(F.lit(1)).cast("long").alias("mutual_edges"))
@@ -97,13 +109,13 @@ def reciprocity(spark: SparkSession, edges: DataFrame) -> DataFrame:
                 "total_edges",
                 "mutual_edges",
                 "n_vertices",
-                F.when(m > 0,
-                       F.round(mut.cast("double") / m.cast("double"), 9))
+                F.when(m > 0, F.round(mutd / md, 9))
                 .otherwise(F.lit(0.0)).alias("reciprocity"),
-                F.when(m * cap - m * m > 0,
+                # denominator m(N−m) > 0 ⟺ 0 < m < N: product-free guard
+                F.when((m > 0) & (md < cap),
                        F.round(
-                           (mut * cap - m * m).cast("double")
-                           / (m * cap - m * m).cast("double"), 9))
+                           (mutd * cap - md * md)
+                           / (md * cap - md * md), 9))
                 .alias("rho"),
             )
         )

@@ -45,6 +45,29 @@ def actor_col() -> F.Column:
     )
 
 
+def _linked_pairs(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: list[str],
+    actor: F.Column,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """The shared X2+X4 core: consecutive-row (src_actor, dst_actor)
+    pairs within each partition key under a stable order, self-loops
+    dropped.  Both builders below aggregate THIS — the pinned null/
+    self-loop semantics live in exactly one place."""
+    w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    return (
+        df.select(
+            partition_col, *order_cols, *extra_cols,
+            actor.alias("src_actor"),
+        )
+        .withColumn("dst_actor", F.lead("src_actor").over(w))
+        .where(F.col("dst_actor").isNotNull())
+        .where(F.col("src_actor") != F.col("dst_actor"))
+    )
+
+
 def build_edges_generic(
     df: DataFrame,
     partition_col: str,
@@ -57,16 +80,9 @@ def build_edges_generic(
     transcripts; the driver-oracle queries instantiate it for the
     ``events`` table (user_id-partitioned, (ts, event_id)-ordered
     event_type transitions — FIXTURES.md §3)."""
-    w = Window.partitionBy(partition_col).orderBy(*order_cols)
-    linked = (
-        df.select(partition_col, *order_cols, actor.alias("src_actor"))
-        .withColumn("dst_actor", F.lead("src_actor").over(w))
-        .where(F.col("dst_actor").isNotNull())
-        .where(F.col("src_actor") != F.col("dst_actor"))
-    )
-    return linked.groupBy("src_actor", "dst_actor").agg(
-        F.count(F.lit(1)).cast("double").alias("weight")
-    )
+    return _linked_pairs(df, partition_col, order_cols, actor).groupBy(
+        "src_actor", "dst_actor"
+    ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
 
 
 def build_edges_windowed(
@@ -95,15 +111,9 @@ def build_edges_windowed(
         f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
         f"{ts_col})"
     )
-    w = Window.partitionBy(partition_col).orderBy(*order_cols)
-    linked = (
-        df.select(
-            partition_col, *order_cols,
-            us.alias("_us"), actor.alias("src_actor"),
-        )
-        .withColumn("dst_actor", F.lead("src_actor").over(w))
-        .where(F.col("dst_actor").isNotNull())
-        .where(F.col("src_actor") != F.col("dst_actor"))
+    linked = _linked_pairs(
+        df, partition_col, order_cols, actor,
+        extra_cols=(us.alias("_us"),),
     )
     return linked.groupBy(
         F.expr(f"_us div {window_us}").cast("long").alias("window_idx"),

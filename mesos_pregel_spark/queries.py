@@ -2543,20 +2543,22 @@ FROM bverts v LEFT JOIN pv ON pv.id = v.id
 _EDGE_WINDOW_US = 86_400_000_000  # 1-day tumbling windows
 
 
-def q_edges_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-windowed transition edges over the events table — the
-    time-sliced input to per-window link analysis; attribution by the
-    SOURCE event's day index (epoch-us div 86400e6, NTZ-safe integer
-    arithmetic on both engines)."""
+def _daily_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared day-windowed edge substrate every *_daily / drift /
+    burst query consumes — ONE call site pins (partition, order,
+    actor, window size) so a query can never desynchronize from the
+    SQL twins' shared ``_SQL_DAILY_SEQ`` prefix below."""
     from mesos_pregel_spark.functions.edges import build_edges_windowed
 
     return build_edges_windowed(
         _events(spark, sf_dir), "user_id", ["ts", "event_id"],
         F.col("event_type"), window_us=_EDGE_WINDOW_US,
-    ).select("window_idx", "src_actor", "dst_actor", "weight")
+    )
 
 
-SQL_EDGES_DAILY = f"""
+# The same substrate as a DuckDB CTE prefix (the _SQL_EDGES
+# convention); SQL_CC_DAILY re-declares it RECURSIVE via .replace.
+_SQL_DAILY_SEQ = f"""
 WITH seq AS (
   SELECT user_id,
          epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
@@ -2564,7 +2566,18 @@ WITH seq AS (
          LEAD(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
   FROM events
-)
+)"""
+
+
+def q_edges_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-windowed transition edges over the events table — the
+    time-sliced input to per-window link analysis; attribution by the
+    SOURCE event's day index (epoch-us div 86400e6, NTZ-safe integer
+    arithmetic on both engines)."""
+    return _daily_wedges(spark, sf_dir)
+
+
+SQL_EDGES_DAILY = _SQL_DAILY_SEQ + """
 SELECT CAST(window_idx AS BIGINT) AS window_idx, src_actor, dst_actor,
        CAST(COUNT(*) AS DOUBLE) AS weight
 FROM seq
@@ -2629,15 +2642,26 @@ v AS (
       SELECT src AS id FROM de UNION ALL SELECT dst FROM de)))
 SELECT t.total_edges, m.mutual_edges, v.n_vertices,
        CASE WHEN t.total_edges > 0
-            THEN ROUND(CAST(m.mutual_edges AS DOUBLE) / t.total_edges, 9)
+            THEN ROUND(CAST(m.mutual_edges AS DOUBLE)
+                       / CAST(t.total_edges AS DOUBLE), 9)
             ELSE 0.0 END AS reciprocity,
-       CASE WHEN t.total_edges * v.n_vertices * (v.n_vertices - 1)
-                 - t.total_edges * t.total_edges > 0
+       -- products in IEEE double (int64 products overflow at scale);
+       -- guard 0 < m < N is product-free integer/double logic
+       CASE WHEN t.total_edges > 0
+             AND CAST(t.total_edges AS DOUBLE)
+                 < CAST(v.n_vertices AS DOUBLE)
+                   * (CAST(v.n_vertices AS DOUBLE) - 1.0)
             THEN ROUND(
-              CAST(m.mutual_edges * v.n_vertices * (v.n_vertices - 1)
-                   - t.total_edges * t.total_edges AS DOUBLE)
-              / (t.total_edges * v.n_vertices * (v.n_vertices - 1)
-                 - t.total_edges * t.total_edges), 9)
+              (CAST(m.mutual_edges AS DOUBLE)
+                 * (CAST(v.n_vertices AS DOUBLE)
+                    * (CAST(v.n_vertices AS DOUBLE) - 1.0))
+               - CAST(t.total_edges AS DOUBLE)
+                 * CAST(t.total_edges AS DOUBLE))
+              / (CAST(t.total_edges AS DOUBLE)
+                   * (CAST(v.n_vertices AS DOUBLE)
+                      * (CAST(v.n_vertices AS DOUBLE) - 1.0))
+                 - CAST(t.total_edges AS DOUBLE)
+                   * CAST(t.total_edges AS DOUBLE)), 9)
             ELSE NULL END AS rho
 FROM t, m, v
 """
@@ -2680,27 +2704,13 @@ def q_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day actor ranking with drift over the day-windowed edge
     table (functions/edges.py::window_rank_drift — dense rank from
     the distinct-strength table, drift LAG partitioned by actor)."""
-    from mesos_pregel_spark.functions.edges import (
-        build_edges_windowed,
-        window_rank_drift,
-    )
+    from mesos_pregel_spark.functions.edges import window_rank_drift
 
-    wedges = build_edges_windowed(
-        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
-        F.col("event_type"), window_us=_EDGE_WINDOW_US,
-    )
+    wedges = _daily_wedges(spark, sf_dir)
     return window_rank_drift(wedges)
 
 
-SQL_RANK_DRIFT = f"""
-WITH seq AS (
-  SELECT user_id,
-         epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
-         event_type AS src_actor,
-         LEAD(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
-  FROM events
-),
+SQL_RANK_DRIFT = _SQL_DAILY_SEQ + """,
 wedges AS (
   SELECT CAST(window_idx AS BIGINT) AS window_idx, src_actor,
          CAST(COUNT(*) AS DOUBLE) AS weight
@@ -2764,27 +2774,13 @@ def q_edge_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day edge-set Jaccard drift of the events interaction
     graph (functions/edges.py::window_edge_drift over the edges_daily
     substrate)."""
-    from mesos_pregel_spark.functions.edges import (
-        build_edges_windowed,
-        window_edge_drift,
-    )
+    from mesos_pregel_spark.functions.edges import window_edge_drift
 
-    wedges = build_edges_windowed(
-        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
-        F.col("event_type"), window_us=_EDGE_WINDOW_US,
-    )
+    wedges = _daily_wedges(spark, sf_dir)
     return window_edge_drift(wedges)
 
 
-SQL_EDGE_DRIFT = f"""
-WITH seq AS (
-  SELECT user_id,
-         epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
-         event_type AS src_actor,
-         LEAD(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
-  FROM events
-),
+SQL_EDGE_DRIFT = _SQL_DAILY_SEQ + """,
 pairs AS (
   SELECT DISTINCT CAST(window_idx AS BIGINT) AS window_idx,
          src_actor, dst_actor
@@ -2818,27 +2814,13 @@ def q_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-strength > 2 population sigmas above the actor's own mean
     (functions/edges.py::window_bursts — integer-algebra flag, one
     correctly-rounded sqrt only in the reported z)."""
-    from mesos_pregel_spark.functions.edges import (
-        build_edges_windowed,
-        window_bursts,
-    )
+    from mesos_pregel_spark.functions.edges import window_bursts
 
-    wedges = build_edges_windowed(
-        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
-        F.col("event_type"), window_us=_EDGE_WINDOW_US,
-    )
+    wedges = _daily_wedges(spark, sf_dir)
     return window_bursts(wedges)
 
 
-SQL_BURSTS = f"""
-WITH seq AS (
-  SELECT user_id,
-         epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
-         event_type AS src_actor,
-         LEAD(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
-  FROM events
-),
+SQL_BURSTS = _SQL_DAILY_SEQ + """,
 wdeg AS (
   SELECT CAST(window_idx AS BIGINT) AS window_idx,
          src_actor AS actor, CAST(COUNT(*) AS BIGINT) AS x
@@ -2872,12 +2854,7 @@ def q_pagerank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N = all (window, actor) pairs), making scores comparable across
     windows; per-window normalization is one extra aggregate if
     wanted."""
-    from mesos_pregel_spark.functions.edges import build_edges_windowed
-
-    wedges = build_edges_windowed(
-        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
-        F.col("event_type"), window_us=_EDGE_WINDOW_US,
-    )
+    wedges = _daily_wedges(spark, sf_dir)
     comp = wedges.select(
         F.concat_ws(":", "window_idx", "src_actor").alias("src"),
         F.concat_ws(":", "window_idx", "dst_actor").alias("dst"),
@@ -2895,15 +2872,7 @@ def q_pagerank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_PAGERANK_DAILY = f"""
-WITH seq AS (
-  SELECT user_id,
-         epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
-         event_type AS src_actor,
-         LEAD(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
-  FROM events
-),
+SQL_PAGERANK_DAILY = _SQL_DAILY_SEQ + """,
 wedges AS MATERIALIZED (
   SELECT CAST(window_idx AS BIGINT) AS window_idx,
          src_actor, dst_actor, CAST(COUNT(*) AS DOUBLE) AS weight
@@ -2957,12 +2926,7 @@ def q_cc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     component within its day — exactly the windowed recursive-closure
     twin's MIN."""
     from mesos_pregel_spark.algos.cc import connected_components
-    from mesos_pregel_spark.functions.edges import build_edges_windowed
-
-    wedges = build_edges_windowed(
-        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
-        F.col("event_type"), window_us=_EDGE_WINDOW_US,
-    )
+    wedges = _daily_wedges(spark, sf_dir)
     comp = wedges.select(
         F.concat_ws(":", "window_idx", "src_actor").alias("src"),
         F.concat_ws(":", "window_idx", "dst_actor").alias("dst"),
@@ -2978,15 +2942,8 @@ def q_cc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CC_DAILY = f"""
-WITH RECURSIVE seq AS (
-  SELECT user_id,
-         epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
-         event_type AS src_actor,
-         LEAD(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
-  FROM events
-),
+SQL_CC_DAILY = _SQL_DAILY_SEQ.replace(
+    "WITH seq", "WITH RECURSIVE seq") + """,
 wedges AS (
   SELECT DISTINCT CAST(window_idx AS BIGINT) AS window_idx,
          src_actor, dst_actor
@@ -3063,27 +3020,13 @@ def q_edge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-level day-over-day delta report of the events interaction
     graph (functions/edges.py::window_edge_delta over the edges_daily
     substrate)."""
-    from mesos_pregel_spark.functions.edges import (
-        build_edges_windowed,
-        window_edge_delta,
-    )
+    from mesos_pregel_spark.functions.edges import window_edge_delta
 
-    wedges = build_edges_windowed(
-        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
-        F.col("event_type"), window_us=_EDGE_WINDOW_US,
-    )
+    wedges = _daily_wedges(spark, sf_dir)
     return window_edge_delta(wedges)
 
 
-SQL_EDGE_DELTA = f"""
-WITH seq AS (
-  SELECT user_id,
-         epoch_us(ts) // {_EDGE_WINDOW_US} AS window_idx,
-         event_type AS src_actor,
-         LEAD(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor
-  FROM events
-),
+SQL_EDGE_DELTA = _SQL_DAILY_SEQ + """,
 wedges AS MATERIALIZED (
   SELECT CAST(window_idx AS BIGINT) AS window_idx,
          src_actor, dst_actor, CAST(COUNT(*) AS DOUBLE) AS weight
@@ -3608,8 +3551,11 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #            over-cap 18: the multimodal fix plus the six new text
 #            operators, and the r3-green text/ANN stack pushed out in r4);
 #   tier 2 — queries new this round;
+#   tier 2b and below — PAST THE 50-SLOT WINDOW (the window closes after
+#            "length_histogram"): 2b holds r3-green ANN rows demoted to
+#            fit tier 2 in-window;
 #   tier 3 — one representative per operator family (all green in r4);
-#   tier 4 — past-the-window: step-count variants of operators whose
+#   tier 4 — step-count variants of operators whose
 #            representative sits in tier 3, each green in ≥1 prior round
 #            (r1–r4) and still exercised by tests/test_driver_contract.py,
 #            which replays the driver protocol over ALL entries at sf0.001.
@@ -3666,6 +3612,7 @@ _QUERY_PRIORITY: list[str] = [
     "source_mix",
     "vocab_stats",
     "length_histogram",
+    # ----------------- driver's 50-query window ends here -----------------
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window ---
     "cosine_scores",
     "cosine_topk",
@@ -3690,7 +3637,6 @@ _QUERY_PRIORITY: list[str] = [
     "mis",
     "coloring",
     "coloring_spec",
-    # ----------------- driver's 50-query window ends here -----------------
     # --- tier 4: variants of tier-3 operators, green in prior rounds,
     #     plus r4/r5-green rows rotated out to make room for new queries
     #     (walks, anf, centralities, graph_summary, sessions: r4 rows) ---
