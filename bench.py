@@ -1140,19 +1140,36 @@ def run_scaling() -> None:
             SPARK_GRAFT_SHUFFLE=os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
             SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
         )
+        # the child prints a compact final line (driver contract) and
+        # writes the full payload — throughput/detail — to
+        # bench_full.json.  Remove any stale copy BEFORE launching:
+        # without this, a crashed leg would silently reuse the
+        # previous leg's payload and report a bogus ~0.25 efficiency.
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+        try:
+            os.remove(full_path)
+        except OSError:
+            pass
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=3600,
         )
-        # the child prints a compact final line (driver contract) and
-        # writes the full payload — throughput/detail — to bench_full.json
-        full_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+        if out.returncode != 0:
+            raise RuntimeError(
+                f"scaling leg local[{cpus}] failed rc={out.returncode}: "
+                f"{out.stderr.strip().splitlines()[-3:]}"
+            )
         try:
             with open(full_path) as f:
                 results[cpus] = json.load(f)
         except (OSError, json.JSONDecodeError):
             results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        if results[cpus].get("cpus") != cpus:
+            raise RuntimeError(
+                f"scaling leg local[{cpus}] produced a payload for "
+                f"cpus={results[cpus].get('cpus')} — stale or mislabeled"
+            )
     lo, hi = cores_pair
     thr_lo = results[lo]["throughput"]["pagerank_edges_per_sec"]
     thr_hi = results[hi]["throughput"]["pagerank_edges_per_sec"]

@@ -92,7 +92,16 @@ def butterfly_counts(
     verts = be.select(F.col("l").alias("id")).unionByName(
         be.select(F.col("r").alias("id"))
     ).distinct()
-    counts = per_vertex(lp).unionByName(per_vertex(rp))
+    # re-aggregate after the union: if an id appears on BOTH sides
+    # (the generic two-column API never promised disjoint vertex
+    # namespaces), it gets a row from each side's per-vertex table —
+    # without this sum the left join below would emit duplicate rows
+    # for that id, one per side
+    counts = (
+        per_vertex(lp).unionByName(per_vertex(rp))
+        .groupBy("id")
+        .agg(F.sum("butterflies").cast("long").alias("butterflies"))
+    )
     out = truncate_plan(
         verts.join(counts, "id", "left_outer")
         .select(

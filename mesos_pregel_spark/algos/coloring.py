@@ -232,20 +232,27 @@ def speculative_coloring(
         # arrived from a last-round winner.  For the first non-full
         # state chunk i the bid bit IS lowbit(state mask_i); test it
         # against the post-union chunk.
-        alive: Column = F.lit(False)  # palette exhausted -> no win
+        alive: Column = F.lit(False)
         full = F.lit(_full_mask()).cast("long")
+        exhausted: Column = F.lit(True)  # all chunks full pre-union
         for i in reversed(range(k)):
             m = state_masks[i]
             lowbit = F.bitwise_not(m).bitwiseAND(m + F.lit(1).cast("long"))
             alive_i = new_masks[i].bitwiseAND(lowbit) == 0
             alive = F.when(m.bitwiseAND(full) != _full_mask(), alive_i) \
                 .otherwise(alive)
+            exhausted = exhausted & (m.bitwiseAND(full) == _full_mask())
         my = F.struct(state["p"].alias("p"), state["id"].alias("i"))
         nbr = F.element_at(combined["cand_map"], my_tent)
+        # A palette-exhausted vertex must WIN its sentinel tent
+        # (my_tent = MAX_COLORS*k) unconditionally: assigning it is
+        # what trips the saturation halter before the next scatter.
+        # Gating it behind `alive` (as pre-fix) silently left such
+        # vertices at -1 through the cap — the exact "never answers
+        # wrong" contract violation the halter exists to prevent.
         win = (
             (state["color"] == _UNCOLORED)
-            & (nbr.isNull() | (my < nbr))
-            & alive
+            & (exhausted | ((nbr.isNull() | (my < nbr)) & alive))
         )
         new_color = (
             F.when(state["color"] != _UNCOLORED, state["color"])

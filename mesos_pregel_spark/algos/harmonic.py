@@ -132,6 +132,13 @@ def harmonic_sampled(
             run.next_superstep()
             if not aggs["new_bits"]:
                 break
-        return state.select("id", "n_reached", "hnum", "ecc_lb"), run
-    finally:
-        e.unpersist()
+        result = state.select("id", "n_reached", "hnum", "ecc_lb")
+    except BaseException:
+        # release the run's checkpointed state frames too, not just the
+        # edge cache — mirrors betweenness_sampled's failure path (the
+        # leak class test_no_cache_leak pins there)
+        run.release()
+        raise
+    e.unpersist()
+    run._edges_live = None
+    return result, run

@@ -463,8 +463,6 @@ def edge_embeddedness(
     One wedge join over the degree-oriented DAG (each common neighbor
     found once from its lower-rank corner), then counts keyed by the
     CLOSING edge — the same hub-bounded shape as the triangle kernel."""
-    from mesos_pregel_spark.algos.triangles import canonical_undirected
-
     und = canonical_undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
     adj = und.select(
         F.col("lo").alias("v"), F.col("hi").alias("nbr")

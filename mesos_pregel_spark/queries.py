@@ -2341,7 +2341,11 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_HARMONIC = _SQL_PARTS.replace("WITH op", "WITH RECURSIVE op") + f""",
+# Shared pivot-BFS prefix: md5-min pivots, truncated recursive BFS,
+# per-(pivot, vertex) min distance.  SQL_HARMONIC and SQL_ECCENTRICITY
+# differ only in the aggregate over hmin — one body, two read-outs,
+# so a depth/pivot/recursion fix can never diverge between them.
+_SQL_HBFS = _SQL_PARTS.replace("WITH op", "WITH RECURSIVE op") + f""",
 hadj AS MATERIALIZED (
   SELECT lo AS v, hi AS nbr FROM und UNION ALL SELECT hi, lo FROM und),
 hsrc AS (
@@ -2354,7 +2358,9 @@ hbfs AS (
   FROM hbfs b JOIN hadj a ON a.v = b.v
   WHERE b.d < {_HARMONIC_DEPTH}
 ),
-hmin AS (SELECT s, v, MIN(d) AS d FROM hbfs GROUP BY s, v),
+hmin AS (SELECT s, v, MIN(d) AS d FROM hbfs GROUP BY s, v)"""
+
+SQL_HARMONIC = _SQL_HBFS + f""",
 hagg AS (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS n_reached,
          CAST(SUM({10**12} // d) AS BIGINT) AS hnum
@@ -2382,20 +2388,7 @@ def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ECCENTRICITY = _SQL_PARTS.replace("WITH op", "WITH RECURSIVE op") + f""",
-hadj AS MATERIALIZED (
-  SELECT lo AS v, hi AS nbr FROM und UNION ALL SELECT hi, lo FROM und),
-hsrc AS (
-  SELECT id AS s FROM pdeg
-  ORDER BY MD5(CAST(id AS VARCHAR)), id LIMIT {_HARMONIC_PIVOTS}),
-hbfs AS (
-  SELECT s, s AS v, 0 AS d FROM hsrc
-  UNION
-  SELECT b.s, a.nbr AS v, b.d + 1 AS d
-  FROM hbfs b JOIN hadj a ON a.v = b.v
-  WHERE b.d < {_HARMONIC_DEPTH}
-),
-hmin AS (SELECT s, v, MIN(d) AS d FROM hbfs GROUP BY s, v),
+SQL_ECCENTRICITY = _SQL_HBFS + """,
 hagg AS (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS n_reached,
          CAST(MAX(d) AS BIGINT) AS ecc_lb

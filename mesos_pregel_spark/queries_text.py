@@ -1036,7 +1036,11 @@ GROUP BY doc_id
 # string key (fixed-width md5 hex || reversed zero-padded position)
 # makes MIN == (hash asc, position desc) in both engines.
 _WINNOW_K, _WINNOW_W = 5, 4
-SQL_WINNOW_FP = f"""
+# Shared winnowing-selection prefix (char-k-gram keys, per-doc sliding
+# frame, rightmost-tie min): SQL_WINNOW_FP and SQL_OVERLAP_CANDIDATES
+# both read `sel` — one body, so a k/w/key-encoding fix can never
+# diverge between the two twins.
+_SQL_WINNOW_SEL = f"""
 WITH npos AS (
   SELECT doc_id, {_NORM} AS norm FROM documents
 ),
@@ -1057,7 +1061,9 @@ sel AS (
                         ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
            AS sel_key
   FROM keyed
-)
+)"""
+
+SQL_WINNOW_FP = _SQL_WINNOW_SEL + """
 SELECT doc_id,
        CAST(1000000000 - CAST(SUBSTR(sel_key, 34, 10) AS BIGINT) AS BIGINT)
          AS pos,
@@ -1068,28 +1074,7 @@ FROM sel
 # overlap-candidates twin: winnow fp sets -> stop-gram cap -> bucket
 # pair join (functions/dedup.py::overlap_candidates).
 _OVERLAP_MIN_SHARED, _OVERLAP_CAP = 2, 50
-SQL_OVERLAP_CANDIDATES = f"""
-WITH npos AS (
-  SELECT doc_id, {_NORM} AS norm FROM documents
-),
-pos AS (
-  SELECT doc_id, norm,
-         unnest(range(1, GREATEST(len(norm) - {_WINNOW_K - 1}, 1) + 1)) AS p
-  FROM npos
-),
-keyed AS (
-  SELECT doc_id, p,
-         MD5(SUBSTR(norm, CAST(p AS INT), {_WINNOW_K})) || '|' ||
-         LPAD(CAST(1000000000 - p AS VARCHAR), 10, '0') AS key
-  FROM pos
-),
-sel AS (
-  SELECT DISTINCT doc_id,
-         MIN(key) OVER (PARTITION BY doc_id ORDER BY p
-                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
-           AS sel_key
-  FROM keyed
-),
+SQL_OVERLAP_CANDIDATES = _SQL_WINNOW_SEL + f""",
 wf AS (
   SELECT DISTINCT doc_id, SUBSTR(sel_key, 1, 32) AS fp FROM sel
 ),

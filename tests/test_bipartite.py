@@ -123,3 +123,22 @@ def test_edge_embeddedness(spark):
     assert got == rows[:20]
     # the pendant edge e-f is a bridge: support 0
     assert ("e", "f", 0) in got
+
+
+def test_overlapping_vertex_namespaces_one_row_per_id(spark):
+    """Review fix: when an id occurs on BOTH bipartite sides (the
+    generic API never promised disjoint namespaces), the per-vertex
+    table must still emit ONE row per id with the summed count."""
+    from pyspark.sql import functions as F
+
+    # two butterflies: {1,2}x{3,4} on the left side AND {3,4}x{1,2}
+    # — i.e. vertex ids reused across sides
+    edges = [(1, 3), (1, 4), (2, 3), (2, 4), (3, 1), (3, 2), (4, 1), (4, 2)]
+    df = spark.createDataFrame(edges, "l long, r long")
+    per_vertex, total = butterfly_counts(spark, df)
+    rows = per_vertex.collect()
+    ids = [r["id"] for r in rows]
+    assert sorted(ids) == sorted(set(ids)), "duplicate per-vertex rows"
+    got = {r["id"]: r["butterflies"] for r in rows}
+    # each vertex sits in one butterfly per orientation = 2 total
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2} and total == 2

@@ -295,3 +295,18 @@ def test_speculative_cap_semantics(spark):
         spark, _df(spark, pairs), max_supersteps=1)
     got = _collect(colors)
     assert got == _spec_oracle(pairs, max_rounds=1)
+
+
+def test_spec_mask_saturation_raises(spark, monkeypatch):
+    """Review fix: speculative_coloring must RAISE on palette
+    saturation like JP does — pre-fix the `alive` gate blocked the
+    sentinel win, so saturated runs silently returned -1 colors at
+    the cap."""
+    import mesos_pregel_spark.algos.coloring as mod
+    from mesos_pregel_spark.algos.coloring import speculative_coloring
+
+    monkeypatch.setattr(mod, "MAX_COLORS", 3)
+    verts = [f"k{i}" for i in range(6)]
+    pairs = [(a, b) for i, a in enumerate(verts) for b in verts[i + 1:]]
+    with pytest.raises(ColorMaskSaturated):
+        speculative_coloring(spark, _df(spark, pairs), max_supersteps=30)
