@@ -544,3 +544,106 @@ def rich_club(spark: SparkSession, edges: DataFrame) -> DataFrame:
     finally:
         und.unpersist()
     return out
+
+
+def weighted_clustering(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Barrat et al. 2004 weighted local clustering coefficient:
+    cw(v) = 1/(s_v·(k_v − 1)) · Σ_{ORDERED neighbor pairs (j,h)}
+    (w_vj + w_vh)/2 · [triangle] — the ordered-pair sum is what makes
+    uniform weights collapse to the plain lcc (pinned by test).  Per
+    UNORDERED triangle (v,a,b) that is exactly (w_va + w_vb), so the
+    numerator num2 = Σ_triangles (w_va + w_vb) is an exact long and
+    cw = num2 / (s_v·(k_v − 1)) is ONE rounded division; cw = 0.0
+    when k < 2 (the lcc convention).  Weights integer-valued;
+    parallel edges' weights SUMMED.
+
+    Execution shape (design-for-100×): the same degree-oriented wedge
+    join as A4/A24 — each triangle enumerated once from its
+    lowest-rank corner with all three edge weights carried, then one
+    3-way corner union + hash aggregate.  The closing-edge probe is an
+    equi-join (not semi) because w_ab is needed."""
+    src, dst = edges.columns[0], edges.columns[1]
+    wcol = edges.columns[2]
+    und = (
+        edges.select(
+            F.least(src, dst).alias("lo"),
+            F.greatest(src, dst).alias("hi"),
+            F.col(wcol).cast("long").alias("w"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.sum("w").alias("w"))
+    )
+    deg = (
+        und.select(F.col("lo").alias("id"), "w")
+        .unionByName(und.select(F.col("hi").alias("id"), "w"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("w").cast("long").alias("s"),
+        )
+    )
+    e = (
+        und.join(deg.select(F.col("id").alias("lo"),
+                            F.col("k").alias("deg_lo")), "lo")
+        .join(deg.select(F.col("id").alias("hi"),
+                         F.col("k").alias("deg_hi")), "hi")
+    )
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = e.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(lo_first, F.col("deg_hi")).otherwise(F.col("deg_lo"))
+        .alias("deg_v"),
+        "w",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    oriented.count()
+    try:
+        a, b = oriented.alias("a"), oriented.alias("b")
+        wedges = a.join(b, F.col("a.u") == F.col("b.u")).where(
+            (F.col("a.deg_v") < F.col("b.deg_v"))
+            | ((F.col("a.deg_v") == F.col("b.deg_v"))
+               & (F.col("a.v") < F.col("b.v")))
+        ).select(
+            F.col("a.u").alias("u"), F.col("a.v").alias("v"),
+            F.col("b.v").alias("x"),
+            F.col("a.w").alias("w1"), F.col("b.w").alias("w2"),
+        )
+        closing = oriented.select(
+            F.col("u").alias("v"), F.col("v").alias("x"),
+            F.col("w").alias("w3"),
+        )
+        tri = wedges.join(closing, ["v", "x"])
+        corners = (
+            tri.select(F.col("u").alias("id"),
+                       (F.col("w1") + F.col("w2")).alias("c"))
+            .unionByName(tri.select(F.col("v").alias("id"),
+                                    (F.col("w1") + F.col("w3")).alias("c")))
+            .unionByName(tri.select(F.col("x").alias("id"),
+                                    (F.col("w2") + F.col("w3")).alias("c")))
+            .groupBy("id")
+            .agg(F.sum("c").cast("long").alias("num2"))
+        )
+        out = truncate_plan(
+            deg.join(corners, "id", "left_outer")
+            .select(
+                "id", "k", "s",
+                F.coalesce("num2", F.lit(0)).cast("long").alias("num2"),
+            )
+            .withColumn(
+                "cw",
+                F.when(
+                    F.col("k") >= 2,
+                    F.round(
+                        F.col("num2").cast("double")
+                        / (F.col("s") * (F.col("k") - 1)).cast("double"),
+                        9,
+                    ),
+                ).otherwise(F.lit(0.0)),
+            )
+        )
+    finally:
+        oriented.unpersist()
+    return out

@@ -3058,6 +3058,56 @@ FULL OUTER JOIN nxt n
 """
 
 
+def q_weighted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Barrat weighted local clustering over the parts co-order graph
+    (algos/structure.py::weighted_clustering — co-order counts as
+    weights; the twin enumerates on the id-canonical DAG, corner sums
+    are orientation-independent)."""
+    from mesos_pregel_spark.algos.structure import weighted_clustering
+
+    return weighted_clustering(
+        spark, _parts_edges(spark, sf_dir)
+    ).select(F.col("id").alias("part"), "k", "s", "num2", "cw")
+
+
+SQL_WEIGHTED_CLUSTERING = """
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+wund AS MATERIALIZED (
+  SELECT a.p AS lo, b.p AS hi, CAST(COUNT(*) AS BIGINT) AS w
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+vdeg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(w) AS BIGINT) AS s
+  FROM (SELECT lo AS id, w FROM wund UNION ALL SELECT hi, w FROM wund)
+  GROUP BY id
+),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c,
+         e1.w AS w1, e2.w AS w2, e3.w AS w3
+  FROM wund e1
+  JOIN wund e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+  JOIN wund e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+num AS (
+  SELECT id, CAST(SUM(c) AS BIGINT) AS num2 FROM (
+    SELECT a AS id, w1 + w2 AS c FROM tri
+    UNION ALL SELECT b, w1 + w3 FROM tri
+    UNION ALL SELECT c, w2 + w3 FROM tri)
+  GROUP BY id
+)
+SELECT v.id AS part, v.k, v.s,
+       CAST(COALESCE(n.num2, 0) AS BIGINT) AS num2,
+       CASE WHEN v.k >= 2
+            THEN ROUND(CAST(COALESCE(n.num2, 0) AS DOUBLE)
+                       / (v.s * (v.k - 1)), 9)
+            ELSE 0.0 END AS cw
+FROM vdeg v LEFT JOIN num n ON n.id = v.id
+"""
+
+
 _BETWEENNESS_PIVOTS = 8
 _BETWEENNESS_DEPTH = 10
 
@@ -3528,6 +3578,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_daily": q_cc_daily,
     "katz_step4": q_katz_step4,
     "edge_delta": q_edge_delta,
+    "weighted_clustering": q_weighted_clustering,
     "betweenness": q_betweenness,
     "matching": q_matching,
     "semi_clusters": q_semi_clusters,
@@ -3566,7 +3617,6 @@ _QUERY_PRIORITY: list[str] = [
     "dedup_clusters",
     "simhash",
     "corpus_clean",
-    "ann_multitable_topk",
     "ivf_topk",
     # --- tier 2: new this round ---
     "betweenness",
@@ -3602,11 +3652,13 @@ _QUERY_PRIORITY: list[str] = [
     "cc_daily",
     "katz_step4",
     "edge_delta",
+    "weighted_clustering",
     "source_mix",
     "vocab_stats",
     "length_histogram",
     # ----------------- driver's 50-query window ends here -----------------
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window ---
+    "ann_multitable_topk",
     "cosine_scores",
     "cosine_topk",
     "embedding_near_dups",
@@ -3742,6 +3794,7 @@ ORACLE_SQL: dict[str, str] = {
     "cc_daily": SQL_CC_DAILY,
     "katz_step4": SQL_KATZ_STEP4,
     "edge_delta": SQL_EDGE_DELTA,
+    "weighted_clustering": SQL_WEIGHTED_CLUSTERING,
     "betweenness": SQL_BETWEENNESS,
     "matching": SQL_MATCHING,
     "semi_clusters": SQL_SEMI_CLUSTERS,

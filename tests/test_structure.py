@@ -326,3 +326,61 @@ def test_rich_club_star_no_rows(spark):
     )
     rows = rich_club(spark, df).collect()
     assert [r["k"] for r in rows] == []
+
+
+def test_weighted_clustering_vs_brute(spark):
+    """Barrat cw vs a brute-force triangle-walk oracle on a random
+    weighted graph (integer weights; parallel edges summed)."""
+    import itertools
+    import random as _random
+
+    from mesos_pregel_spark.algos.structure import weighted_clustering
+
+    rng = _random.Random(13)
+    raw = [
+        (rng.randrange(10), rng.randrange(10), float(rng.randrange(1, 5)))
+        for _ in range(60)
+    ]
+    w = {}
+    for a, b, x in raw:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        w[k] = w.get(k, 0) + int(x)
+    adj = {}
+    for (a, b), x in w.items():
+        adj.setdefault(a, {})[b] = x
+        adj.setdefault(b, {})[a] = x
+    expect = {}
+    for v, nbrs in adj.items():
+        k, s = len(nbrs), sum(nbrs.values())
+        num2 = sum(
+            nbrs[a] + nbrs[b]
+            for a, b in itertools.combinations(sorted(nbrs), 2)
+            if (min(a, b), max(a, b)) in w
+        )
+        cw = round(num2 / (s * (k - 1)), 9) if k >= 2 else 0.0
+        expect[v] = (k, s, num2, cw)
+    df = spark.createDataFrame(raw, "src long, dst long, weight double")
+    got = {
+        r["id"]: (r["k"], r["s"], r["num2"], r["cw"])
+        for r in weighted_clustering(spark, df).collect()
+    }
+    assert got == expect
+
+
+def test_weighted_clustering_uniform_weights_match_lcc(spark):
+    """With all weights 1, Barrat cw collapses to the plain lcc."""
+    from mesos_pregel_spark.algos.structure import (
+        clustering_coefficients,
+        weighted_clustering,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 1), (4, 5)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    cw = {r["id"]: r["cw"] for r in weighted_clustering(spark, df).collect()}
+    lcc = {r["id"]: round(r["lcc"], 9)
+           for r in clustering_coefficients(spark, df).collect()}
+    assert cw == lcc
