@@ -297,6 +297,89 @@ def link_prediction_ra(
     return out
 
 
+def link_prediction_aa(
+    spark: SparkSession,
+    edges: DataFrame,
+    min_common: int = 2,
+    top_k: int = 100,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Top-k non-adjacent vertex pairs by the Adamic–Adar index
+    AA(a,b) = sum_{v in N(a) ∩ N(b)} 1/ln(deg(v)) (Adamic & Adar
+    2003) — completing the link-prediction family next to Jaccard
+    (``link_prediction``) and resource allocation
+    (``link_prediction_ra``).
+
+    Cross-engine determinism for the transcendental (the tfidf
+    discipline): ln(deg) is ROUNDED TO 6dp FIRST — a 1-ulp libm
+    divergence between Spark's Math.log and DuckDB's std::log cannot
+    survive 6dp rounding (flip window ~2e-15 against a 5e-7
+    boundary) — then ``aa_unit = ROUND(RA_SCALE / ln6(deg))``: one
+    correctly-rounded IEEE division of identical doubles followed by
+    one half-up round, both bit-identical across engines, yielding an
+    exact BIGINT per wedge center.  The per-pair sum is therefore
+    order-independent and the ordering all-integer:
+    (aa_num DESC, cn DESC, lo, hi), LIMIT top_k — deterministic.
+
+    Wedge centers necessarily have deg >= 2 (they are adjacent to
+    both endpoints), so ln(deg) >= ln 2 and the explicit ``deg >= 2``
+    filter guards the projection from ever evaluating 1/ln(1) under
+    ANSI mode without changing the result.  Same wedge enumeration,
+    hub cap, and non-adjacency anti-join as the Jaccard/RA variants;
+    one hash aggregate of exact longs, no windows, no UDFs."""
+    und = canonical_undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = _und_degrees(und)
+    adj = und.select(
+        F.col("lo").alias("v"), F.col("hi").alias("nbr")
+    ).unionByName(und.select(F.col("hi").alias("v"), F.col("lo").alias("nbr")))
+    if max_degree is not None:
+        centers = deg.where(F.col("deg") <= max_degree).select(
+            F.col("id").alias("v")
+        )
+        adj = adj.join(centers, "v", "left_semi")
+    adj_w = (
+        adj.join(deg.withColumnsRenamed({"id": "v"}), "v")
+        .where(F.col("deg") >= 2)
+        .select(
+            "v", "nbr",
+            F.round(
+                F.lit(float(RA_SCALE))
+                / F.round(F.log(F.col("deg").cast("double")), 6)
+            ).cast("long").alias("aa_unit"),
+        )
+    )
+    b = adj_w.select("v", F.col("nbr").alias("nbr_b")).alias("b")
+    a = adj_w.alias("a")
+    pair = (
+        a.join(b, "v")
+        .where(F.col("a.nbr") < F.col("b.nbr_b"))
+        .groupBy(F.col("a.nbr").alias("lo"), F.col("b.nbr_b").alias("hi"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(F.col("a.aa_unit")).cast("long").alias("aa_num"),
+        )
+    )
+    cand = (
+        pair.join(und, ["lo", "hi"], "left_anti")
+        .where(F.col("cn") >= min_common)
+        .select(
+            "lo", "hi", "cn",
+            (F.col("aa_num").cast("double") / F.lit(float(RA_SCALE)))
+            .alias("aa"),
+            "aa_num",
+        )
+    )
+    out = truncate_plan(
+        cand.orderBy(
+            F.desc("aa_num"), F.desc("cn"), F.asc("lo"), F.asc("hi")
+        )
+        .limit(top_k)
+        .drop("aa_num")
+    )
+    und.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # densest subgraph (greedy peel, 2(1+eps)-approx)
 # ---------------------------------------------------------------------------

@@ -2101,6 +2101,55 @@ ORDER BY ra_num DESC, cn DESC, lo, hi LIMIT {_LINKPRED_TOPK}
 """
 
 
+def q_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted links by Adamic–Adar; ln(deg) is rounded to
+    6dp BEFORE the scaled-integer unit is formed (tfidf discipline),
+    so the per-pair sum is exact-integer on both engines and the
+    all-integer ordering makes the LIMIT deterministic."""
+    from mesos_pregel_spark.algos.structure import link_prediction_aa
+
+    out = link_prediction_aa(
+        spark, _parts_edges(spark, sf_dir),
+        min_common=_LINKPRED_MIN_COMMON, top_k=_LINKPRED_TOPK,
+    )
+    return out.select(
+        F.col("lo").alias("part_a"), F.col("hi").alias("part_b"),
+        "cn", "aa",
+    )
+
+
+SQL_LINK_PREDICTION_AA = _SQL_PARTS + f"""
+, adj AS MATERIALIZED (
+  SELECT lo AS v, hi AS nbr FROM und
+  UNION ALL SELECT hi, lo FROM und
+),
+adjw AS (
+  SELECT a.v, a.nbr,
+         CAST(ROUND(1000000000000.0
+                    / ROUND(LN(CAST(d.deg AS DOUBLE)), 6)) AS BIGINT)
+           AS aa_unit
+  FROM adj a JOIN pdeg d ON d.id = a.v
+  WHERE d.deg >= 2
+),
+pair AS (
+  SELECT a.nbr AS lo, b.nbr AS hi,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(a.aa_unit) AS BIGINT) AS aa_num
+  FROM adjw a JOIN adjw b ON a.v = b.v AND a.nbr < b.nbr
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.lo, p.hi, p.cn, p.aa_num,
+         CAST(p.aa_num AS DOUBLE) / 1000000000000.0 AS aa
+  FROM pair p
+  LEFT JOIN und u ON u.lo = p.lo AND u.hi = p.hi
+  WHERE u.lo IS NULL AND p.cn >= {_LINKPRED_MIN_COMMON}
+)
+SELECT lo AS part_a, hi AS part_b, cn, aa FROM cand
+ORDER BY aa_num DESC, cn DESC, lo, hi LIMIT {_LINKPRED_TOPK}
+"""
+
+
 _DENSEST_ROUNDS = 8
 
 
@@ -3556,6 +3605,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assortativity": q_assortativity,
     "link_prediction": q_link_prediction,
     "link_prediction_ra": q_link_prediction_ra,
+    "link_prediction_aa": q_link_prediction_aa,
     "densest_subgraph": q_densest_subgraph,
     "community_stats": q_community_stats,
     "modularity": q_modularity,
@@ -3617,7 +3667,6 @@ _QUERY_PRIORITY: list[str] = [
     "dedup_clusters",
     "simhash",
     "corpus_clean",
-    "ivf_topk",
     # --- tier 2: new this round ---
     "betweenness",
     "matching",
@@ -3656,8 +3705,11 @@ _QUERY_PRIORITY: list[str] = [
     "source_mix",
     "vocab_stats",
     "length_histogram",
+    "link_prediction_aa",
     # ----------------- driver's 50-query window ends here -----------------
-    # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window ---
+    # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
+    #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa) ---
+    "ivf_topk",
     "ann_multitable_topk",
     "cosine_scores",
     "cosine_topk",
@@ -3772,6 +3824,7 @@ ORACLE_SQL: dict[str, str] = {
     "assortativity": SQL_ASSORTATIVITY,
     "link_prediction": SQL_LINK_PREDICTION,
     "link_prediction_ra": SQL_LINK_PREDICTION_RA,
+    "link_prediction_aa": SQL_LINK_PREDICTION_AA,
     "densest_subgraph": SQL_DENSEST_SUBGRAPH,
     "community_stats": SQL_COMMUNITY_STATS,
     "modularity": SQL_MODULARITY,

@@ -15,6 +15,7 @@ from mesos_pregel_spark.algos.structure import (
     densest_subgraph,
     global_clustering,
     link_prediction,
+    link_prediction_aa,
     link_prediction_ra,
 )
 
@@ -200,6 +201,61 @@ def test_link_prediction_ra_hub_cap(spark):
     ]
     assert got == _oracle_link_prediction_ra(_und(pairs), 1, 20, max_degree=4)
     assert got != _oracle_link_prediction_ra(_und(pairs), 1, 20)
+
+
+def _oracle_link_prediction_aa(und, min_common, top_k, max_degree=None):
+    """AA unit per shared neighbour v: half-up ROUND of
+    RA_SCALE / round(ln(deg v), 6) — the engine's exact recipe
+    (6dp-rounded ln, one IEEE division, one half-up round)."""
+    adj = _adj(und)
+    centers = {
+        v for v in adj
+        if len(adj[v]) >= 2
+        and (max_degree is None or len(adj[v]) <= max_degree)
+    }
+    cn = defaultdict(int)
+    aa_num = defaultdict(int)
+    for v in centers:
+        ln6 = round(math.log(len(adj[v])), 6)
+        unit = int(math.floor(float(RA_SCALE) / ln6 + 0.5))
+        nbrs = sorted(adj[v])
+        for i, a in enumerate(nbrs):
+            for b in nbrs[i + 1:]:
+                cn[(a, b)] += 1
+                aa_num[(a, b)] += unit
+    rows = []
+    for (a, b), c in cn.items():
+        if (a, b) in und or c < min_common:
+            continue
+        rows.append((a, b, c, aa_num[(a, b)]))
+    rows.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+    return [(a, b, c, n / float(RA_SCALE)) for a, b, c, n in rows[:top_k]]
+
+
+def test_link_prediction_aa(spark):
+    got = [
+        (r["lo"], r["hi"], r["cn"], r["aa"])
+        for r in link_prediction_aa(
+            spark, _df(spark, PAIRS), min_common=1, top_k=10
+        ).collect()
+    ]
+    assert got == _oracle_link_prediction_aa(_und(PAIRS), 1, 10)
+    # hand value: (a,d) shares exactly the neighbour c (deg 4), so
+    # aa(a,d) = 1/ln(4) — the ln is really in the score (RA gives 1/4)
+    ad = {(lo, hi): aa for lo, hi, _, aa in got}[("a", "d")]
+    assert ad == pytest.approx(1.0 / math.log(4), abs=1e-6)
+
+
+def test_link_prediction_aa_hub_cap(spark):
+    pairs = PAIRS + [("z", v) for v in "abcdef"]
+    got = [
+        (r["lo"], r["hi"], r["cn"], r["aa"])
+        for r in link_prediction_aa(
+            spark, _df(spark, pairs), min_common=1, top_k=20, max_degree=4
+        ).collect()
+    ]
+    assert got == _oracle_link_prediction_aa(_und(pairs), 1, 20, max_degree=4)
+    assert got != _oracle_link_prediction_aa(_und(pairs), 1, 20)
 
 
 def _oracle_densest(und, max_rounds=24):
