@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mesos_pregel_spark.functions.text import fingerprint, normalize_text
+from mesos_pregel_spark.functions.text import (
+    fingerprint,
+    normalize_text,
+    tokens_col,
+)
 
 DEFAULT_K = 8       # minhash functions
 DEFAULT_BANDS = 4   # LSH bands (rows per band = K // BANDS)
@@ -435,4 +439,97 @@ def overlap_candidates(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
+    )
+
+
+def span_dedup_stats(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
+    """C4-style duplicate-SPAN accounting (Raffel et al. 2020 §2.2
+    removed repeated three-sentence spans corpus-wide, keeping the
+    first occurrence): documents are cut into consecutive
+    non-overlapping ``span_tokens``-token spans, every span is hashed,
+    and a span is a DUPLICATE iff the same hash occurs at a strictly
+    smaller (doc_id, span position) anywhere in the corpus — the
+    keep-first rule.  This localizes boilerplate that whole-document
+    fingerprints and MinHash miss (a shared footer in otherwise
+    distinct pages), at span rather than winnow's character-gram
+    granularity.
+
+    Pinned semantics (cross-engine determinism):
+    - tokens: the repo's pinned tokenization (``tokens_col``); spans
+      are the floor(n_tokens / span_tokens) FULL windows (the ragged
+      tail is never hashed — a partial span is not a C4 span);
+    - span hash = md5 of the space-joined token window — both engines
+      re-join with a single space, so the hash is byte-identical;
+    - first occurrence = lexicographic min (doc_id, pos) per hash,
+      exactly one per hash; all other occurrences count as duplicates;
+    - dup_ratio = ONE rounded division dup_spans / n_spans (0.0 for
+      zero-span docs) — every other column is an exact integer.
+
+    Shape (design-for-100x): one explode (fan-out n_tokens /
+    span_tokens, i.e. SMALLER than the token stream), one hash
+    aggregate keyed by span hash (struct-min — map-side combinable),
+    one hash-key equi-join back, one per-doc aggregate, and a final
+    broadcast-friendly left join to re-attach zero-span documents.
+    No windows, no UDFs, no collects; hot spans (the boilerplate
+    being hunted) are bounded by the min-struct combiner — the
+    popular key carries ONE row out of each map task.
+    """
+    if span_tokens < 1:
+        raise ValueError("span_tokens must be >= 1")
+    k = span_tokens
+    toks = tokens_col(F.col("text"))
+    ns = F.floor(F.size(toks) / k).cast("int")
+    base = docs.select(
+        "doc_id",
+        ns.cast("long").alias("n_spans"),
+        F.when(
+            ns > 0, F.sequence(F.lit(0), ns - 1)
+        ).otherwise(F.array().cast("array<int>")).alias("idx"),
+        toks.alias("toks"),
+    )
+    spans = base.select(
+        "doc_id",
+        F.explode("idx").alias("pos"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos") * k + 1, k))
+        ).alias("h"),
+    )
+    firsts = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    per_doc = (
+        spans.join(firsts, "h")
+        .select(
+            "doc_id",
+            (
+                ~(
+                    (F.col("doc_id") == F.col("first.doc_id"))
+                    & (F.col("pos") == F.col("first.pos"))
+                )
+            ).cast("long").alias("is_dup"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("is_dup").cast("long").alias("dup_spans"))
+    )
+    return (
+        base.select("doc_id", "n_spans")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long")
+            .alias("dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.round(
+                    F.coalesce(F.col("dup_spans"), F.lit(0)).cast("double")
+                    / F.col("n_spans").cast("double"),
+                    9,
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup_ratio"),
+        )
     )

@@ -3666,7 +3666,6 @@ _QUERY_PRIORITY: list[str] = [
     "near_duplicates",
     "dedup_clusters",
     "simhash",
-    "corpus_clean",
     # --- tier 2: new this round ---
     "betweenness",
     "matching",
@@ -3706,9 +3705,14 @@ _QUERY_PRIORITY: list[str] = [
     "vocab_stats",
     "length_histogram",
     "link_prediction_aa",
+    # --- tier 2c: new this session (each displaces one r3-green dedup
+    #     row from tier 1 into tier 2b below) ---
+    "span_dedup",
     # ----------------- driver's 50-query window ends here -----------------
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
-    #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa) ---
+    #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
+    #     corpus_clean r3-green, bumped for span_dedup) ---
+    "corpus_clean",
     "ivf_topk",
     "ann_multitable_topk",
     "cosine_scores",

@@ -25,6 +25,7 @@ from mesos_pregel_spark.functions.dedup import (
     release_dedup_caches,
     overlap_candidates,
     simhash,
+    span_dedup_stats,
     winnow_fingerprints,
 )
 
@@ -1141,6 +1142,52 @@ SELECT total_tokens, vocab_size, hapax,
 FROM agg
 """
 
+# C4-style span dedup (functions/dedup.py::span_dedup_stats): full
+# 8-token spans, md5 span hash, keep-first by (doc_id, pos); the
+# struct MIN is lexicographic in BOTH engines, so "first occurrence"
+# is pinned identically.
+_SPAN_TOKENS = 8
+
+SQL_SPAN_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(t) // {_SPAN_TOKENS} AS BIGINT) AS n_spans, t
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, CAST(unnest(range(0, n_spans)) AS BIGINT) AS pos, t
+  FROM base
+),
+hashed AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(
+           t[pos*{_SPAN_TOKENS}+1 : pos*{_SPAN_TOKENS}+{_SPAN_TOKENS}],
+           ' ')) AS h
+  FROM spans
+),
+firsts AS (
+  SELECT h, MIN(struct_pack(d := doc_id, p := pos)) AS fst
+  FROM hashed GROUP BY h
+),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(SUM(CASE WHEN s.doc_id = f.fst.d AND s.pos = f.fst.p
+                  THEN 0 ELSE 1 END) AS BIGINT) AS dup_spans
+  FROM hashed s JOIN firsts f ON s.h = f.h
+  GROUP BY s.doc_id
+)
+SELECT b.doc_id, b.n_spans,
+       CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+       CASE WHEN b.n_spans > 0
+            THEN ROUND(CAST(COALESCE(p.dup_spans, 0) AS DOUBLE)
+                       / b.n_spans, 9)
+            ELSE 0.0 END AS dup_ratio
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 SQL_LENGTH_HISTOGRAM = f"""
 WITH lens AS (
   SELECT CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS nt
@@ -1206,6 +1253,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mix": lambda s, d: source_mix(_docs(s, d)),
     "vocab_stats": lambda s, d: vocab_stats(_docs(s, d)),
     "length_histogram": lambda s, d: length_histogram(_docs(s, d)),
+    "span_dedup": lambda s, d: span_dedup_stats(
+        _docs(s, d), span_tokens=_SPAN_TOKENS),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -1242,4 +1291,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "source_mix": SQL_SOURCE_MIX,
     "vocab_stats": SQL_VOCAB_STATS,
     "length_histogram": SQL_LENGTH_HISTOGRAM,
+    "span_dedup": SQL_SPAN_DEDUP,
 }

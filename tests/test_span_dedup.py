@@ -1,0 +1,91 @@
+"""C4-style span dedup (functions/dedup.py::span_dedup_stats) vs a
+direct python replication of the pinned rule (full k-token spans,
+md5 span hash, keep-first by (doc_id, pos))."""
+
+import hashlib
+import re
+
+from mesos_pregel_spark.functions.dedup import span_dedup_stats
+
+K = 3
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+
+
+def _norm(t):
+    return re.sub(r"\s+", " ", t.lower()).strip()
+
+
+def _oracle(docs, k=K):
+    spans = []          # (doc_id, pos, hash)
+    for i, t in enumerate(docs):
+        toks = _norm(t).split(" ")
+        for p in range(len(toks) // k):
+            h = hashlib.md5(
+                " ".join(toks[p * k:(p + 1) * k]).encode()
+            ).hexdigest()
+            spans.append((i, p, h))
+    first = {}
+    for i, p, h in spans:
+        if h not in first or (i, p) < first[h]:
+            first[h] = (i, p)
+    out = {}
+    for i, t in enumerate(docs):
+        out[i] = [len(_norm(t).split(" ")) // k, 0]
+    for i, p, h in spans:
+        if first[h] != (i, p):
+            out[i][1] += 1
+    return {
+        i: (ns, dup, round(dup / ns, 9) if ns else 0.0)
+        for i, (ns, dup) in out.items()
+    }
+
+
+def _collect(df):
+    return {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"], r["dup_ratio"])
+        for r in df.collect()
+    }
+
+
+DOCS = [
+    "alpha beta gamma delta epsilon zeta",       # 2 spans, both first
+    "alpha beta gamma delta epsilon zeta eta",   # ragged tail dropped
+    "x y z alpha beta gamma",                    # span 1 dups doc 0's span 0
+    "short",                                     # 0 spans
+    "ALPHA   beta GAMMA delta epsilon zeta",     # normalizes to doc 0
+]
+
+
+def test_matches_python_oracle(spark):
+    got = _collect(span_dedup_stats(_df(spark, DOCS), span_tokens=K))
+    want = _oracle(DOCS)
+    assert got == want
+    # sanity on the fixture itself: doc 1's spans duplicate doc 0's,
+    # doc 4 duplicates doc 0 entirely, doc 3 has no full span
+    assert want[0] == (2, 0, 0.0)
+    assert want[1] == (2, 2, 1.0)
+    assert want[2][1] == 1
+    assert want[3] == (0, 0, 0.0)
+    assert want[4] == (2, 2, 1.0)
+
+
+def test_keep_first_is_global_min(spark):
+    # the same span in three docs: only the lexicographically smallest
+    # (doc_id, pos) occurrence is kept
+    docs = ["a b c", "z z z a b c", "a b c z z z"]
+    got = _collect(span_dedup_stats(_df(spark, docs), span_tokens=3))
+    assert got[0] == (1, 0, 0.0)
+    assert got[1] == (2, 1, 0.5)      # pos 0 ("z z z") is first; pos 1 dups
+    assert got[2] == (2, 2, 1.0)      # both spans seen earlier
+
+
+def test_span_tokens_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        span_dedup_stats(_df(spark, ["a"]), span_tokens=0)
