@@ -120,3 +120,80 @@ def length_histogram(docs: DataFrame) -> DataFrame:
             F.sum("nt").cast("long").alias("sum_tokens"),
         )
     )
+
+
+def source_kl(docs: DataFrame) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution,
+    D(P_s || P) = sum_t p_s(t) * ln(p_s(t) / p(t)) — the standard
+    domain-shift diagnostic a data recipe consults next to
+    ``source_mix`` (a source with high KL is lexically unlike the
+    blend it is being mixed into; Xie et al. "DoReMi" 2023 weights
+    domains by exactly this kind of distributional gap).
+
+    No smoothing is needed: every term of source s also occurs in the
+    corpus (c_t >= c_st > 0), so the log-ratio is always finite.
+
+    Pinned semantics (cross-engine determinism, the unigram_logprob
+    discipline):
+    - per (source, term): the log-ratio ln((c_st * N) / (c_t * n_s))
+      is computed as ONE expression shape in both engines — two exact
+      integer-to-double products, one correctly-rounded IEEE division,
+      one libm ln, then snapped to an exact BIGINT micro-nat
+      (ROUND(* 1e6)) BEFORE anything is summed;
+    - the per-source sum is therefore a sum of exact integers
+      c_st * lr_micro — order-independent under any partitioning;
+    - kl = ROUND(sum / (n_s * 1e6), 9): ONE division of two
+      exactly-representable integers (|sum| < 2^53 for corpora up to
+      ~10^8 tokens per source; at 100 TB promote the sum column to
+      decimal(38,0), the plan is unchanged).
+
+    Shape (design-for-100x): one explode + one (source, term) hash
+    aggregate; the corpus term table joins back on term (zipfian hot
+    keys — the count table is |vocab| rows, AQE broadcasts it when
+    small and splits skew otherwise, same economics as
+    unigram_logprob); per-source totals and the 1-row corpus total
+    are broadcast.  Returns (source, n_tokens, n_terms, kl).
+    """
+    st = (
+        docs.select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+    )
+    per_source = st.groupBy("source").agg(
+        F.sum("c_st").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    per_term = st.groupBy("term").agg(
+        F.sum("c_st").cast("long").alias("c_t")
+    )
+    total = per_source.agg(F.sum("n_s").cast("long").alias("n_total"))
+    lr_micro = F.round(
+        F.log(
+            (F.col("c_st").cast("double") * F.col("n_total").cast("double"))
+            / (F.col("c_t").cast("double") * F.col("n_s").cast("double"))
+        ) * 1e6
+    ).cast("long")
+    return (
+        st.join(per_term, "term")
+        .join(F.broadcast(per_source), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source", "n_s", "n_terms",
+            (F.col("c_st") * lr_micro).alias("contrib"),
+        )
+        .groupBy("source", "n_s", "n_terms")
+        .agg(F.sum("contrib").alias("sum_micro"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_terms",
+            F.round(
+                F.col("sum_micro").cast("double")
+                / (F.col("n_s").cast("double") * 1e6),
+                9,
+            ).alias("kl"),
+        )
+    )

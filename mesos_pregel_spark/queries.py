@@ -3665,7 +3665,6 @@ _QUERY_PRIORITY: list[str] = [
     "minhash_lsh_candidates",
     "near_duplicates",
     "dedup_clusters",
-    "simhash",
     # --- tier 2: new this round ---
     "betweenness",
     "matching",
@@ -3708,10 +3707,12 @@ _QUERY_PRIORITY: list[str] = [
     # --- tier 2c: new this session (each displaces one r3-green dedup
     #     row from tier 1 into tier 2b below) ---
     "span_dedup",
+    "source_kl",
     # ----------------- driver's 50-query window ends here -----------------
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
-    #     corpus_clean r3-green, bumped for span_dedup) ---
+    #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
+    "simhash",
     "corpus_clean",
     "ivf_topk",
     "ann_multitable_topk",

@@ -67,6 +67,7 @@ from mesos_pregel_spark.sources.multimodal import decode_features, synthesize_me
 from mesos_pregel_spark.functions.clustering import cluster_balanced_sample, kmeans
 from mesos_pregel_spark.functions.composition import (
     length_histogram,
+    source_kl,
     source_mix,
     vocab_stats,
 )
@@ -1142,6 +1143,48 @@ SELECT total_tokens, vocab_size, hapax,
 FROM agg
 """
 
+# Per-source unigram KL divergence (functions/composition.py::source_kl):
+# the log-ratio is snapped to exact BIGINT micro-nats per (source, term)
+# BEFORE summation — operand order in the ratio mirrors the Spark
+# expression exactly so the one libm LN sees a bit-identical argument.
+SQL_SOURCE_KL = f"""
+WITH st AS (
+  SELECT source, token AS term, CAST(COUNT(*) AS BIGINT) AS c_st FROM (
+    SELECT source, unnest(string_split({_NORM}, ' ')) AS token
+    FROM documents) t
+  WHERE token <> '' GROUP BY source, token
+),
+per_source AS (
+  SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM st GROUP BY source
+),
+per_term AS (
+  SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY term
+),
+tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total FROM per_source),
+contrib AS (
+  SELECT s.source,
+         s.c_st * CAST(ROUND(LN(
+           (CAST(s.c_st AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+           / (CAST(p.c_t AS DOUBLE) * CAST(ps.n_s AS DOUBLE))) * 1e6)
+           AS BIGINT) AS c
+  FROM st s
+  JOIN per_term p ON p.term = s.term
+  JOIN per_source ps ON ps.source = s.source
+  CROSS JOIN tot t
+),
+sums AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS sum_micro
+  FROM contrib GROUP BY source
+)
+SELECT ps.source, ps.n_s AS n_tokens, ps.n_terms,
+       ROUND(CAST(c.sum_micro AS DOUBLE)
+             / (CAST(ps.n_s AS DOUBLE) * 1e6), 9) AS kl
+FROM sums c JOIN per_source ps ON ps.source = c.source
+"""
+
+
 # C4-style span dedup (functions/dedup.py::span_dedup_stats): full
 # 8-token spans, md5 span hash, keep-first by (doc_id, pos); the
 # struct MIN is lexicographic in BOTH engines, so "first occurrence"
@@ -1255,6 +1298,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_histogram": lambda s, d: length_histogram(_docs(s, d)),
     "span_dedup": lambda s, d: span_dedup_stats(
         _docs(s, d), span_tokens=_SPAN_TOKENS),
+    "source_kl": lambda s, d: source_kl(_docs(s, d)),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -1292,4 +1336,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "vocab_stats": SQL_VOCAB_STATS,
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "span_dedup": SQL_SPAN_DEDUP,
+    "source_kl": SQL_SOURCE_KL,
 }

@@ -7,6 +7,7 @@ import pytest
 
 from mesos_pregel_spark.functions.composition import (
     length_histogram,
+    source_kl,
     source_mix,
     vocab_stats,
 )
@@ -61,3 +62,73 @@ def test_length_histogram_hand(spark):
            for r in length_histogram(_docs(spark)).collect()}
     # doc token counts: 4,3,2,3,1 → buckets 2,1,1,1,0
     assert got == {2: (1, 4), 1: (3, 8), 0: (1, 1)}
+
+
+def _oracle_source_kl(rows):
+    """Exact-recipe replication: micro-nat snap per (source, term)
+    BEFORE summation, one final division."""
+    import re
+    from collections import Counter, defaultdict
+
+    st = Counter()
+    for _, text, _, src, _ in rows:
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+                if t]
+        for t in toks:
+            st[(src, t)] += 1
+    n_s = defaultdict(int)
+    c_t = defaultdict(int)
+    terms = defaultdict(int)
+    for (s_, t), c in st.items():
+        n_s[s_] += c
+        c_t[t] += c
+        terms[s_] += 1
+    n = sum(n_s.values())
+    out = {}
+    for s_ in n_s:
+        tot = 0
+        for (s2, t), c in st.items():
+            if s2 != s_:
+                continue
+            lr = math.log((float(c) * n) / (float(c_t[t]) * n_s[s_]))
+            micro = int(math.floor(lr * 1e6 + 0.5)) if lr >= 0 else \
+                -int(math.floor(-lr * 1e6 + 0.5))
+            tot += c * micro
+        out[s_] = (n_s[s_], terms[s_], round(tot / (n_s[s_] * 1e6), 9))
+    return out
+
+
+def test_source_kl_matches_recipe_oracle(spark):
+    rows = [
+        (1, "a b c d", "en", "web", 7),
+        (2, "a a b", "en", "web", 5),
+        (3, "x y", "en", "books", 3),
+        (4, "a  B\tc", "en", "books", 6),
+        (5, "zz", "en", "code", 2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["source"]: (r["n_tokens"], r["n_terms"], r["kl"])
+        for r in source_kl(df).collect()
+    }
+    assert got == _oracle_source_kl(rows)
+    # a source whose vocabulary IS the corpus blend has near-zero KL;
+    # the single-doc rare-token source diverges most
+    assert got["code"][2] > got["web"][2]
+
+
+def test_source_kl_single_source_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "web", 5), (2, "a d", "en", "web", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = source_kl(df).collect()
+    assert len(rows) == 1 and rows[0]["kl"] == 0.0
+
+
+def test_source_kl_nonnegative(spark):
+    for r in source_kl(_docs(spark)).collect():
+        assert r["kl"] >= -1e-6
