@@ -146,3 +146,71 @@ def pack_concat(
     if _keep_pid:
         cols.append(F.col("pid"))
     return with_start.select(*cols)
+
+
+def chunk_windows(
+    docs: DataFrame, window_tokens: int = 128, stride: int = 64
+) -> DataFrame:
+    """Per-document sliding-window chunking — the retrieval/eval-prep
+    counterpart of ``pack_concat``: each document is cut into
+    overlapping windows of ``window_tokens`` tokens advancing by
+    ``stride`` (overlap = window - stride), the standard RAG /
+    long-document chunker.  Unlike pack_concat nothing crosses
+    document boundaries and the ragged tail IS kept (a retrieval
+    index must cover the end of the document).
+
+    Pinned semantics (cross-engine determinism — all integer):
+    - tokens: the pinned tokenization; chunk i covers token positions
+      [i*stride, i*stride + window) clipped to the document;
+    - n_chunks = 1 + ceil(max(n_tokens - window, 0) / stride) — the
+      classic stop-once-covered rule (the last window reaches the end;
+      no degenerate sub-stride tails are emitted); every document
+      emits >= 1 chunk;
+    - chunk_hash = md5 of the space-rejoined token window (the chunk
+      TEXT is derivable but deliberately not emitted — at 100 TB the
+      chunk table should carry hashes + coordinates, not a second
+      copy of the corpus).
+
+    Shape (design-for-100x): one projection + one explode (fan-out
+    ~n_tokens/stride per doc) + per-row JVM expressions.  No shuffle
+    at all — the chunk table inherits the scan's partitioning; no
+    windows, no UDFs, no driver data.  Returns
+    (doc_id, chunk_idx, start_tok, n_tokens, chunk_hash).
+    """
+    if window_tokens < 1 or stride < 1:
+        raise ValueError("window_tokens and stride must be >= 1")
+    if stride > window_tokens:
+        raise ValueError("stride must be <= window_tokens (gaps would "
+                         "drop tokens from coverage)")
+    w, st = window_tokens, stride
+    toks = tokens_col(F.col("text"))
+    nt = F.size(toks).cast("long")
+    n_chunks = (
+        F.lit(1)
+        + F.expr(
+            f"CASE WHEN nt > {w} THEN (nt - {w} + {st - 1}) div {st} "
+            "ELSE 0 END"
+        )
+    ).cast("int")
+    base = docs.select(
+        "doc_id", toks.alias("toks"), nt.alias("nt")
+    ).select(
+        "doc_id", "toks", "nt",
+        F.sequence(F.lit(0), n_chunks - 1).alias("idx"),
+    )
+    start = (F.col("i").cast("long") * st).alias("start_tok")
+    ln = F.least(F.lit(w).cast("long"), F.col("nt") - F.col("i") * st)
+    return base.select(
+        "doc_id", F.explode("idx").alias("i"), "toks", "nt"
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_idx"),
+        start,
+        ln.alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("toks"), F.col("i") * st + 1, ln.cast("int")),
+            )
+        ).alias("chunk_hash"),
+    )

@@ -3664,7 +3664,6 @@ _QUERY_PRIORITY: list[str] = [
     "pack_concat",
     "minhash_lsh_candidates",
     "near_duplicates",
-    "dedup_clusters",
     # --- tier 2: new this round ---
     "betweenness",
     "matching",
@@ -3708,10 +3707,12 @@ _QUERY_PRIORITY: list[str] = [
     #     row from tier 1 into tier 2b below) ---
     "span_dedup",
     "source_kl",
+    "chunk_windows",
     # ----------------- driver's 50-query window ends here -----------------
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
+    "dedup_clusters",
     "simhash",
     "corpus_clean",
     "ivf_topk",

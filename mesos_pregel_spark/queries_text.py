@@ -72,7 +72,7 @@ from mesos_pregel_spark.functions.composition import (
     vocab_stats,
 )
 from mesos_pregel_spark.functions.decontam import decontaminate
-from mesos_pregel_spark.functions.packing import pack_concat
+from mesos_pregel_spark.functions.packing import chunk_windows, pack_concat
 from mesos_pregel_spark.functions.sampling import (
     sample_to_token_budget,
     stratified_sample,
@@ -1143,6 +1143,37 @@ SELECT total_tokens, vocab_size, hapax,
 FROM agg
 """
 
+# Sliding-window chunking (functions/packing.py::chunk_windows): pure
+# integer coordinates + md5 of the space-rejoined token window.
+_CHUNK_W, _CHUNK_S = 32, 16
+
+SQL_CHUNK_WINDOWS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+),
+base AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS nt,
+         1 + CASE WHEN len(t) > {_CHUNK_W}
+                  THEN (len(t) - {_CHUNK_W} + {_CHUNK_S - 1}) // {_CHUNK_S}
+                  ELSE 0 END AS n_chunks
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, t, nt, CAST(unnest(range(0, n_chunks)) AS BIGINT) AS i
+  FROM base
+)
+SELECT doc_id,
+       i AS chunk_idx,
+       i * {_CHUNK_S} AS start_tok,
+       CAST(LEAST({_CHUNK_W}, nt - i * {_CHUNK_S}) AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+         t[i*{_CHUNK_S}+1 :
+           i*{_CHUNK_S} + LEAST({_CHUNK_W}, nt - i*{_CHUNK_S})], ' '))
+         AS chunk_hash
+FROM chunks
+"""
+
+
 # Per-source unigram KL divergence (functions/composition.py::source_kl):
 # the log-ratio is snapped to exact BIGINT micro-nats per (source, term)
 # BEFORE summation — operand order in the ratio mirrors the Spark
@@ -1299,6 +1330,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": lambda s, d: span_dedup_stats(
         _docs(s, d), span_tokens=_SPAN_TOKENS),
     "source_kl": lambda s, d: source_kl(_docs(s, d)),
+    "chunk_windows": lambda s, d: chunk_windows(
+        _docs(s, d), window_tokens=_CHUNK_W, stride=_CHUNK_S),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -1337,4 +1370,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "span_dedup": SQL_SPAN_DEDUP,
     "source_kl": SQL_SOURCE_KL,
+    "chunk_windows": SQL_CHUNK_WINDOWS,
 }
