@@ -197,3 +197,50 @@ def source_kl(docs: DataFrame) -> DataFrame:
             ).alias("kl"),
         )
     )
+
+
+def ngram_hotspots(
+    docs: DataFrame, n: int = 3, top_k: int = 100
+) -> DataFrame:
+    """Corpus-wide top-k most frequent token n-grams — the boilerplate
+    detector (cookie banners, license headers, navigation chrome
+    surface as n-grams whose corpus count vastly exceeds their
+    document count × organic rate; the C4/Gopher cleaning recipes cut
+    exactly these).  Complements ``span_dedup_stats``: spans find
+    REPEATED REGIONS, hotspots name the phrases.
+
+    Pinned semantics (cross-engine determinism):
+    - tokens: the pinned tokenization; only FULL n-grams (positions
+      1..n_tokens-n+1), space-rejoined — byte-identical text both
+      engines; documents shorter than n emit nothing;
+    - ordering all-integer-then-string: (cnt DESC, n_docs DESC,
+      ngram ASC), LIMIT top_k — deterministic;
+    - n_docs = exact distinct document count per n-gram.
+
+    Shape (design-for-100x): one explode (fan-out ~n_tokens rows) and
+    one hash aggregate; COUNT(DISTINCT doc_id) partially de-dups
+    map-side, so the hottest n-gram's shuffle traffic is its distinct
+    doc list, not its occurrence list; top-k is a TakeOrdered, never
+    a global sort.  Returns (ngram, cnt, n_docs).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    nt = F.size(F.col("toks"))
+    grams = F.when(
+        nt >= n,
+        F.transform(
+            F.sequence(F.lit(1), nt - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("cnt"), F.desc("n_docs"), F.asc("ngram"))
+        .limit(top_k)
+    )

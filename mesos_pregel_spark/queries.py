@@ -3663,7 +3663,6 @@ _QUERY_PRIORITY: list[str] = [
     "repetition_ratio",
     "pack_concat",
     "minhash_lsh_candidates",
-    "near_duplicates",
     # --- tier 2: new this round ---
     "betweenness",
     "matching",
@@ -3708,10 +3707,12 @@ _QUERY_PRIORITY: list[str] = [
     "span_dedup",
     "source_kl",
     "chunk_windows",
+    "ngram_hotspots",
     # ----------------- driver's 50-query window ends here -----------------
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
+    "near_duplicates",
     "dedup_clusters",
     "simhash",
     "corpus_clean",

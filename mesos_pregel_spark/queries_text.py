@@ -67,6 +67,7 @@ from mesos_pregel_spark.sources.multimodal import decode_features, synthesize_me
 from mesos_pregel_spark.functions.clustering import cluster_balanced_sample, kmeans
 from mesos_pregel_spark.functions.composition import (
     length_histogram,
+    ngram_hotspots,
     source_kl,
     source_mix,
     vocab_stats,
@@ -1143,6 +1144,31 @@ SELECT total_tokens, vocab_size, hapax,
 FROM agg
 """
 
+# Corpus heavy-hitter n-grams (functions/composition.py::ngram_hotspots):
+# all-integer-then-string ordering makes the LIMIT deterministic.
+_HOTSPOT_N, _HOTSPOT_K = 3, 100
+
+SQL_NGRAM_HOTSPOTS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         array_to_string(
+           t[i : i + {_HOTSPOT_N - 1}], ' ') AS ngram
+  FROM (
+    SELECT doc_id, t,
+           CAST(unnest(range(1, len(t) - {_HOTSPOT_N - 2})) AS BIGINT) AS i
+    FROM toks WHERE len(t) >= {_HOTSPOT_N})
+)
+SELECT ngram,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams GROUP BY ngram
+ORDER BY cnt DESC, n_docs DESC, ngram ASC LIMIT {_HOTSPOT_K}
+"""
+
+
 # Sliding-window chunking (functions/packing.py::chunk_windows): pure
 # integer coordinates + md5 of the space-rejoined token window.
 _CHUNK_W, _CHUNK_S = 32, 16
@@ -1332,6 +1358,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_kl": lambda s, d: source_kl(_docs(s, d)),
     "chunk_windows": lambda s, d: chunk_windows(
         _docs(s, d), window_tokens=_CHUNK_W, stride=_CHUNK_S),
+    "ngram_hotspots": lambda s, d: ngram_hotspots(
+        _docs(s, d), n=_HOTSPOT_N, top_k=_HOTSPOT_K),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -1371,4 +1399,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "span_dedup": SQL_SPAN_DEDUP,
     "source_kl": SQL_SOURCE_KL,
     "chunk_windows": SQL_CHUNK_WINDOWS,
+    "ngram_hotspots": SQL_NGRAM_HOTSPOTS,
 }

@@ -132,3 +132,37 @@ def test_source_kl_single_source_is_zero(spark):
 def test_source_kl_nonnegative(spark):
     for r in source_kl(_docs(spark)).collect():
         assert r["kl"] >= -1e-6
+
+
+def test_ngram_hotspots_hand(spark):
+    from mesos_pregel_spark.functions.composition import ngram_hotspots
+
+    docs = [
+        (1, "the quick brown fox", "en", "web", 0),
+        (2, "the quick brown dog", "en", "web", 0),
+        (3, "THE  quick brown fox", "en", "web", 0),   # normalizes to doc 1
+        (4, "xy", "en", "web", 0),                     # shorter than n=3
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [(r["ngram"], r["cnt"], r["n_docs"])
+           for r in ngram_hotspots(df, n=3, top_k=10).collect()]
+    assert got == [
+        ("the quick brown", 3, 3),
+        ("quick brown fox", 2, 2),
+        ("quick brown dog", 1, 1),
+    ]
+
+
+def test_ngram_hotspots_tie_order_and_limit(spark):
+    from mesos_pregel_spark.functions.composition import ngram_hotspots
+
+    docs = [(1, "b b", "en", "w", 0), (2, "a a", "en", "w", 0)]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [r["ngram"] for r in ngram_hotspots(df, n=2, top_k=1).collect()]
+    assert got == ["a a"]       # tie on (cnt, n_docs) breaks to string asc
