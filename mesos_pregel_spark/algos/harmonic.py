@@ -53,11 +53,15 @@ def harmonic_sampled(
     pivots: Sequence | None = None,
 ) -> tuple[DataFrame, PregelRun]:
     """Exact truncated harmonic centrality from ``n_pivots`` md5-min
-    pivots.  Returns (hc(id, n_reached, hnum, ecc_lb), run) — ``hnum``
-    is the exact scaled-integer numerator (callers report
-    hnum / HC_SCALE) and ``ecc_lb`` = max over reaching pivots of
+    pivots.  Returns (hc(id, n_reached, hnum, dsum, ecc_lb), run) —
+    ``hnum`` is the exact scaled-integer numerator (callers report
+    hnum / HC_SCALE), ``dsum`` = the exact total hop distance to the
+    reaching pivots (the sampled-closeness numerator: closeness =
+    n_reached / dsum, Wasserman-Faust-style reach correction left to
+    the caller), and ``ecc_lb`` = max over reaching pivots of
     d(s, v), the standard pivot-sampled eccentricity LOWER bound
-    (0 where no pivot reaches v)."""
+    (0 where no pivot reaches v).  All three read-outs ride the SAME
+    run — one BFS, three centralities."""
     if not 0 < n_pivots <= 63:
         raise ValueError(f"need 1..63 pivots, got {n_pivots}")
     nparts = edge_partitions or spark.sparkContext.defaultParallelism
@@ -95,6 +99,7 @@ def harmonic_sampled(
                 init_mask.alias("mask"),
                 init_mask.alias("fresh"),
                 F.lit(0).cast("long").alias("hnum"),
+                F.lit(0).cast("long").alias("dsum"),
                 F.lit(0).cast("long").alias("n_reached"),
                 F.lit(0).cast("long").alias("ecc_lb"),
             ),
@@ -118,6 +123,7 @@ def harmonic_sampled(
                 state["mask"].bitwiseOR(inbox).alias("mask"),
                 new_bits.alias("fresh"),
                 (state["hnum"] + nb * F.lit(HC_SCALE // t)).alias("hnum"),
+                (state["dsum"] + nb * F.lit(t)).alias("dsum"),
                 (state["n_reached"] + nb).alias("n_reached"),
                 # depth is monotone: any fresh bit at t raises the bound
                 F.when(nb > 0, F.lit(t)).otherwise(state["ecc_lb"])
@@ -132,7 +138,7 @@ def harmonic_sampled(
             run.next_superstep()
             if not aggs["new_bits"]:
                 break
-        result = state.select("id", "n_reached", "hnum", "ecc_lb")
+        result = state.select("id", "n_reached", "hnum", "dsum", "ecc_lb")
     except BaseException:
         # release the run's checkpointed state frames too, not just the
         # edge cache — mirrors betweenness_sampled's failure path (the

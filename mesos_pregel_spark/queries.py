@@ -2449,6 +2449,49 @@ FROM pdeg p LEFT JOIN hagg h ON h.v = p.id
 """
 
 
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled closeness on the parts co-order graph —
+    closeness(v) = n_reached / sum of hop distances to the reaching
+    pivots, the third read-out of the SAME bit-packed BFS run as
+    q_harmonic/q_eccentricity (dsum is exact integers; the only
+    double is the one reported ratio)."""
+    from mesos_pregel_spark.algos.harmonic import harmonic_sampled
+
+    out, _run = harmonic_sampled(
+        spark, _parts_edges(spark, sf_dir),
+        n_pivots=_HARMONIC_PIVOTS, max_depth=_HARMONIC_DEPTH,
+        edge_partitions=8,
+    )
+    return out.select(
+        F.col("id").alias("part"),
+        "n_reached",
+        "dsum",
+        F.when(
+            F.col("dsum") > 0,
+            F.round(
+                F.col("n_reached").cast("double")
+                / F.col("dsum").cast("double"), 9
+            ),
+        ).otherwise(F.lit(0.0)).alias("closeness"),
+    )
+
+
+SQL_CLOSENESS = _SQL_HBFS + """,
+hagg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         CAST(SUM(d) AS BIGINT) AS dsum
+  FROM hmin WHERE d >= 1 GROUP BY v)
+SELECT p.id AS part,
+       CAST(COALESCE(h.n_reached, 0) AS BIGINT) AS n_reached,
+       CAST(COALESCE(h.dsum, 0) AS BIGINT) AS dsum,
+       CASE WHEN COALESCE(h.dsum, 0) > 0
+            THEN ROUND(CAST(h.n_reached AS DOUBLE)
+                       / CAST(h.dsum AS DOUBLE), 9)
+            ELSE 0.0 END AS closeness
+FROM pdeg p LEFT JOIN hagg h ON h.v = p.id
+"""
+
+
 def q_four_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex exact K4 counts on the parts co-order graph
     (algos/cliques.py — degree-ordered DAG enumeration; the twin uses
@@ -3612,6 +3655,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "greedy_modularity": q_greedy_modularity,
     "harmonic": q_harmonic,
     "eccentricity": q_eccentricity,
+    "closeness": q_closeness,
     "salsa_step4": q_salsa_step4,
     "four_cliques": q_four_cliques,
     "avg_neighbor_degree": q_avg_neighbor_degree,
@@ -3662,7 +3706,6 @@ _QUERY_PRIORITY: list[str] = [
     "pii_redact",
     "repetition_ratio",
     "pack_concat",
-    "minhash_lsh_candidates",
     # --- tier 2: new this round ---
     "betweenness",
     "matching",
@@ -3708,10 +3751,12 @@ _QUERY_PRIORITY: list[str] = [
     "source_kl",
     "chunk_windows",
     "ngram_hotspots",
+    "closeness",
     # ----------------- driver's 50-query window ends here -----------------
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
+    "minhash_lsh_candidates",
     "near_duplicates",
     "dedup_clusters",
     "simhash",
@@ -3838,6 +3883,7 @@ ORACLE_SQL: dict[str, str] = {
     "greedy_modularity": SQL_GREEDY_MODULARITY,
     "harmonic": SQL_HARMONIC,
     "eccentricity": SQL_ECCENTRICITY,
+    "closeness": SQL_CLOSENESS,
     "salsa_step4": SQL_SALSA_STEP4,
     "four_cliques": SQL_FOUR_CLIQUES,
     "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,

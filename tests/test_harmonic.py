@@ -33,6 +33,7 @@ def _oracle(pairs, n_pivots, max_depth):
         verts, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
     )[:n_pivots]
     hnum = defaultdict(int)
+    dsum = defaultdict(int)
     nreach = defaultdict(int)
     ecc = defaultdict(int)
     for s in pivots:
@@ -49,9 +50,10 @@ def _oracle(pairs, n_pivots, max_depth):
         for v, d in dist.items():
             if 1 <= d <= max_depth:
                 hnum[v] += HC_SCALE // d
+                dsum[v] += d
                 nreach[v] += 1
                 ecc[v] = max(ecc[v], d)
-    return {v: (nreach[v], hnum[v], ecc[v]) for v in verts}
+    return {v: (nreach[v], hnum[v], dsum[v], ecc[v]) for v in verts}
 
 
 PAIRS = [
@@ -67,7 +69,7 @@ def test_harmonic_vs_oracle(spark):
     out, run = harmonic_sampled(
         spark, _df(spark, PAIRS), n_pivots=4, max_depth=10
     )
-    got = {r["id"]: (r["n_reached"], r["hnum"], r["ecc_lb"])
+    got = {r["id"]: (r["n_reached"], r["hnum"], r["dsum"], r["ecc_lb"])
            for r in out.collect()}
     assert got == _oracle(PAIRS, 4, 10)
     assert run.metrics
@@ -79,7 +81,7 @@ def test_harmonic_depth_truncation(spark):
     out, _run = harmonic_sampled(
         spark, _df(spark, path), n_pivots=3, max_depth=2
     )
-    got = {r["id"]: (r["n_reached"], r["hnum"], r["ecc_lb"])
+    got = {r["id"]: (r["n_reached"], r["hnum"], r["dsum"], r["ecc_lb"])
            for r in out.collect()}
     assert got == _oracle(path, 3, 2)
     deep = _oracle(path, 3, 10)
@@ -96,3 +98,15 @@ def test_harmonic_partition_invariance(spark):
         edge_partitions=7,
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_closeness_readout(spark):
+    # closeness = n_reached / dsum on the same run; star center at
+    # depth 1 from every leaf pivot
+    star = [("c", str(i)) for i in range(5)]
+    out, _run = harmonic_sampled(spark, _df(spark, star), n_pivots=3,
+                                 max_depth=10)
+    rows = {r["id"]: r for r in out.collect()}
+    want = _oracle(star, 3, 10)
+    for v, (nr, _hn, ds, _e) in want.items():
+        assert (rows[v]["n_reached"], rows[v]["dsum"]) == (nr, ds)
