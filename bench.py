@@ -966,6 +966,48 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         packed.unpersist()
         pdocs.unpersist()
 
+    if on("textprep"):
+        # The round-5 text-prep additions end to end on a planted-dup
+        # corpus: C4-style span dedup, sliding-window chunking, corpus
+        # n-gram hotspots, and per-source unigram KL — one persisted
+        # documents scan feeds all four (the real pipeline shape: prep
+        # operators share the corpus cache, not re-reads).
+        from mesos_pregel_spark.fixtures import generate_documents_dist
+        from mesos_pregel_spark.functions.composition import (
+            ngram_hotspots,
+            source_kl,
+        )
+        from mesos_pregel_spark.functions.dedup import span_dedup_stats
+        from mesos_pregel_spark.functions.packing import chunk_windows
+
+        n_docs_tp = max(20_000, int(200_000 * scale))
+        tdocs = (
+            generate_documents_dist(
+                spark, n_docs_tp, dup_frac=0.3, partitions=nparts)
+            .select(
+                "doc_id", "text",
+                (F.col("doc_id") % 8).cast("string").alias("source"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_tdocs = tdocs.count()
+        t = time.monotonic()
+        sd = span_dedup_stats(tdocs, span_tokens=8)
+        dup_spans = sd.agg(F.sum("dup_spans")).collect()[0][0]
+        n_chunks = chunk_windows(tdocs, window_tokens=16, stride=8).count()
+        hot = ngram_hotspots(tdocs, n=3, top_k=100).count()
+        n_kl = source_kl(tdocs).count()
+        tp2_sec = time.monotonic() - t
+        queries["textprep"] = round(tp2_sec, 3)
+        throughput["textprep_docs_per_sec"] = round(
+            n_tdocs * 4 / tp2_sec)   # 4 full-corpus passes
+        detail["textprep_docs"] = n_tdocs
+        detail["textprep_dup_spans"] = dup_spans
+        detail["textprep_chunks"] = n_chunks
+        detail["textprep_hotspots"] = hot
+        detail["textprep_sources"] = n_kl
+        tdocs.unpersist()
+
     if on("triads"):
         # Directed triangle census + reciprocity + rich-club profile
         # on the shared zipf graph.  The census path join is
