@@ -147,12 +147,14 @@ def source_kl(docs: DataFrame) -> DataFrame:
       ~10^8 tokens per source; at 100 TB promote the sum column to
       decimal(38,0), the plan is unchanged).
 
-    Shape (design-for-100x): one explode + one (source, term) hash
-    aggregate; the corpus term table joins back on term (zipfian hot
-    keys — the count table is |vocab| rows, AQE broadcasts it when
-    small and splits skew otherwise, same economics as
-    unigram_logprob); per-source totals and the 1-row corpus total
-    are broadcast.  Returns (source, n_tokens, n_terms, kl).
+    Shape (design-for-100x): ONE corpus scan — one explode + one
+    (source, term) hash aggregate, eagerly materialized so the four
+    downstream branches never re-scan the corpus; the corpus term
+    table joins back on term (zipfian hot keys — the count table is
+    |vocab| rows, AQE broadcasts it when small and splits skew
+    otherwise, same economics as unigram_logprob); per-source totals
+    and the 1-row corpus total are broadcast.
+    Returns (source, n_tokens, n_terms, kl).
     """
     st = (
         docs.select(
@@ -161,6 +163,15 @@ def source_kl(docs: DataFrame) -> DataFrame:
         .where(F.col("term") != "")
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+        # Four branches (per-source totals, per-term totals, corpus
+        # total, final join) read this table; column pruning makes
+        # their exchanges non-identical, so Catalyst does NOT reuse
+        # them and the corpus would be scanned+exploded FOUR times
+        # (measured: 4 parquet scans, 0 ReusedExchange).  The
+        # aggregate is |sources x vocab| rows — tiny vs the corpus —
+        # so materialize it once and let every branch read the
+        # checkpointed table (1 corpus scan total).
+        .localCheckpoint(eager=True)
     )
     per_source = st.groupBy("source").agg(
         F.sum("c_st").cast("long").alias("n_s"),
