@@ -159,3 +159,79 @@ def test_rich_club_property(spark, edges):
         for r in rich_club(spark, df).collect()
     }
     assert got == expect
+
+
+# small random corpora: token lists over a tiny vocabulary (collisions
+# and repeated spans are likely by construction)
+corpora = st.lists(
+    st.lists(st.sampled_from("pqrs"), min_size=0, max_size=12),
+    min_size=1, max_size=6,
+)
+
+
+@given(docs=corpora, k=st.sampled_from([2, 3]))
+@SET
+def test_span_dedup_conservation_property(spark, docs, k):
+    """Keep-first conservation: total spans - total duplicate spans ==
+    number of DISTINCT span hashes (each hash keeps exactly one)."""
+    from mesos_pregel_spark.functions.dedup import span_dedup_stats
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    rows = span_dedup_stats(df, span_tokens=k).collect()
+    total = sum(r["n_spans"] for r in rows)
+    dups = sum(r["dup_spans"] for r in rows)
+    distinct = len({
+        tuple(toks[p * k:(p + 1) * k])
+        for toks in ([t for t in d] for d in docs)
+        for p in range(len(toks) // k)
+    })
+    assert total - dups == distinct
+    assert all(0 <= r["dup_spans"] <= r["n_spans"] for r in rows)
+
+
+@given(docs=corpora, w=st.sampled_from([2, 4]), s=st.sampled_from([1, 2]))
+@SET
+def test_chunk_windows_coverage_property(spark, docs, w, s):
+    """Every token position of every document is covered by >= 1 chunk,
+    chunk starts advance by exactly the stride, and the last chunk
+    reaches the end of the document."""
+    from mesos_pregel_spark.functions.packing import chunk_windows
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    rows = chunk_windows(df, window_tokens=w, stride=s).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_tok"], r["n_tokens"])
+        )
+    for i, toks in enumerate(docs):
+        nt = max(len(toks), 1)          # empty text tokenizes to ['']
+        chunks = sorted(by_doc[i])
+        covered = set()
+        for idx, (ci, start, n) in enumerate(chunks):
+            assert ci == idx and start == idx * s and n >= 1
+            covered.update(range(start, start + n))
+        assert covered == set(range(nt))
+        assert chunks[-1][1] + chunks[-1][2] == nt
+
+
+@given(docs=corpora)
+@SET
+def test_ngram_hotspots_total_count_property(spark, docs):
+    """With an unbounded top_k, the n-gram counts sum to
+    sum_d max(nt_d - n + 1, 0)."""
+    from mesos_pregel_spark.functions.composition import ngram_hotspots
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    rows = ngram_hotspots(df, n=2, top_k=10**6).collect()
+    want = sum(max(max(len(t), 1) - 1, 0) for t in docs)
+    assert sum(r["cnt"] for r in rows) == want
