@@ -255,3 +255,93 @@ def ngram_hotspots(
         .orderBy(F.desc("cnt"), F.desc("n_docs"), F.asc("ngram"))
         .limit(top_k)
     )
+
+
+PMI_SCALE = 1_000_000
+
+
+def pmi_topk(
+    docs: DataFrame, min_count: int = 3, top_k: int = 100
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (Church-Hanks 1990, computed over the bigram contingency table) —
+    the phrase-mining step a tokenizer/vocabulary pipeline runs next
+    to ``ngram_hotspots``: hotspots rank by raw frequency (surfacing
+    boilerplate), PMI ranks by ASSOCIATION, surfacing multiword units
+    ("new york") whose parts rarely appear apart.
+
+    PMI(x, y) = ln( p(x,y) / (p_left(x) * p_right(y)) ) with all three
+    probabilities estimated from the bigram table itself (row marginal
+    = count of x as left word, column marginal = count of y as right
+    word, N = total bigrams), i.e. the 2x2-contingency form — chosen
+    over corpus unigram marginals because every quantity then derives
+    from ONE materialized aggregate and the corpus is scanned once.
+
+    Pinned semantics (cross-engine determinism, the source_kl
+    discipline):
+    - pinned tokenization; bigrams are consecutive token pairs within
+      a document (docs shorter than 2 tokens emit nothing);
+    - the log argument is ONE expression shape in both engines —
+      (cnt*N)/(r_x*c_y) as left-associated double products and one
+      correctly-rounded IEEE division — and the one libm ln result is
+      snapped to an exact BIGINT micro-nat BEFORE ordering;
+    - ordering all-integer-then-string: (pmi_micro DESC, cnt DESC,
+      w1 ASC, w2 ASC), LIMIT top_k — deterministic; ``min_count``
+      drops hapax pairs (classic PMI low-frequency pathology) by an
+      integer comparison.
+
+    Shape (design-for-100x): one corpus scan -> one (w1, w2) hash
+    aggregate, materialized once (three branches — marginals and the
+    total — read the aggregate, never the corpus; same economics as
+    source_kl); marginal tables are <= |vocab| rows, AQE broadcasts
+    them when small; the final top-k is a TakeOrdered over the
+    min_count-filtered aggregate, never a global sort.  At 100 TB the
+    distinct-bigram aggregate is large but distributed — swap the
+    localCheckpoint for a reliable checkpoint dir, plan unchanged.
+    Returns (w1, w2, cnt, pmi).
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    nt = F.size(F.col("toks"))
+    pairs = F.when(
+        nt >= 2,
+        F.transform(
+            F.sequence(F.lit(1), nt - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        docs.select(tokens_col(F.col("text")).alias("toks"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    left_m = bg.groupBy("w1").agg(F.sum("cnt").cast("long").alias("r_x"))
+    right_m = bg.groupBy("w2").agg(F.sum("cnt").cast("long").alias("c_y"))
+    total = bg.agg(F.sum("cnt").cast("long").alias("n_b"))
+    pmi_micro = F.round(
+        F.log(
+            (F.col("cnt").cast("double") * F.col("n_b").cast("double"))
+            / (F.col("r_x").cast("double") * F.col("c_y").cast("double"))
+        ) * PMI_SCALE
+    ).cast("long")
+    return (
+        bg.where(F.col("cnt") >= min_count)
+        .join(left_m, "w1")
+        .join(right_m, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "cnt", pmi_micro.alias("pmi_micro"))
+        .orderBy(
+            F.desc("pmi_micro"), F.desc("cnt"), F.asc("w1"), F.asc("w2")
+        )
+        .limit(top_k)
+        .select(
+            "w1", "w2", "cnt",
+            (F.col("pmi_micro").cast("double") / PMI_SCALE).alias("pmi"),
+        )
+    )

@@ -3753,6 +3753,12 @@ _QUERY_PRIORITY: list[str] = [
     "ngram_hotspots",
     "closeness",
     # ----------------- driver's 50-query window ends here -----------------
+    # pmi_topk is new this session but sits just PAST the window: all 50
+    # slots are taken by equally-never-green queries, so displacing one
+    # gains nothing; its exact twin is verified by the in-repo driver-
+    # protocol replica (tests/test_driver_contract.py) at sf0.001 and by
+    # scripts/sweep_sf001_window.py at sf0.01.
+    "pmi_topk",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---

@@ -68,6 +68,7 @@ from mesos_pregel_spark.functions.clustering import cluster_balanced_sample, kme
 from mesos_pregel_spark.functions.composition import (
     length_histogram,
     ngram_hotspots,
+    pmi_topk,
     source_kl,
     source_mix,
     vocab_stats,
@@ -1169,6 +1170,48 @@ ORDER BY cnt DESC, n_docs DESC, ngram ASC LIMIT {_HOTSPOT_K}
 """
 
 
+# Bigram PMI collocations (functions/composition.py::pmi_topk): the
+# contingency-table PMI — all marginals derive from the bigram
+# aggregate; the one libm LN sees a bit-identical double argument
+# (same left-associated product/division shape as the Spark column),
+# snapped to BIGINT micro-nats before the all-integer ordering.
+_PMI_MIN_COUNT, _PMI_TOP_K = 3, 100
+
+SQL_PMI_TOPK = f"""
+WITH toks AS (
+  SELECT string_split({_NORM}, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (
+    SELECT t, CAST(unnest(range(1, len(t))) AS BIGINT) AS i
+    FROM toks WHERE len(t) >= 2)
+),
+bg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY w1, w2
+),
+l_m AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS r_x FROM bg GROUP BY w1),
+r_m AS (SELECT w2, CAST(SUM(cnt) AS BIGINT) AS c_y FROM bg GROUP BY w2),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_b FROM bg),
+scored AS (
+  SELECT b.w1, b.w2, b.cnt,
+         CAST(ROUND(LN(
+           (CAST(b.cnt AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+           / (CAST(l.r_x AS DOUBLE) * CAST(r.c_y AS DOUBLE))) * 1e6)
+           AS BIGINT) AS pmi_micro
+  FROM bg b
+  JOIN l_m l ON l.w1 = b.w1
+  JOIN r_m r ON r.w2 = b.w2
+  CROSS JOIN tot t
+  WHERE b.cnt >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, cnt, CAST(pmi_micro AS DOUBLE) / 1e6 AS pmi
+FROM scored
+ORDER BY pmi_micro DESC, cnt DESC, w1 ASC, w2 ASC LIMIT {_PMI_TOP_K}
+"""
+
+
 # Sliding-window chunking (functions/packing.py::chunk_windows): pure
 # integer coordinates + md5 of the space-rejoined token window.
 _CHUNK_W, _CHUNK_S = 32, 16
@@ -1360,6 +1403,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _docs(s, d), window_tokens=_CHUNK_W, stride=_CHUNK_S),
     "ngram_hotspots": lambda s, d: ngram_hotspots(
         _docs(s, d), n=_HOTSPOT_N, top_k=_HOTSPOT_K),
+    "pmi_topk": lambda s, d: pmi_topk(
+        _docs(s, d), min_count=_PMI_MIN_COUNT, top_k=_PMI_TOP_K),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -1400,4 +1445,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "source_kl": SQL_SOURCE_KL,
     "chunk_windows": SQL_CHUNK_WINDOWS,
     "ngram_hotspots": SQL_NGRAM_HOTSPOTS,
+    "pmi_topk": SQL_PMI_TOPK,
 }

@@ -166,3 +166,86 @@ def test_ngram_hotspots_tie_order_and_limit(spark):
     )
     got = [r["ngram"] for r in ngram_hotspots(df, n=2, top_k=1).collect()]
     assert got == ["a a"]       # tie on (cnt, n_docs) breaks to string asc
+
+
+def _oracle_pmi(texts, min_count, top_k):
+    """Exact-recipe replication of pmi_topk (contingency-table PMI,
+    micro-nat snap, all-integer ordering)."""
+    import re
+    from collections import Counter
+
+    bg = Counter()
+    for t in texts:
+        toks = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] += 1
+    n_b = sum(bg.values())
+    r_x = Counter()
+    c_y = Counter()
+    for (a, b), c in bg.items():
+        r_x[a] += c
+        c_y[b] += c
+    rows = []
+    for (a, b), c in bg.items():
+        if c < min_count:
+            continue
+        lr = math.log((float(c) * float(n_b))
+                      / (float(r_x[a]) * float(c_y[b])))
+        micro = int(_half_up(lr * 1e6))
+        rows.append((a, b, c, micro))
+    rows.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+    return [(a, b, c, m / 1e6) for a, b, c, m in rows[:top_k]]
+
+
+def _half_up(x):
+    import decimal
+    return decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_UP)
+
+
+def test_pmi_topk_collocation_outranks_common_pair(spark):
+    """'new york' (always together) must outrank 'the cat' (both parts
+    promiscuous) even though 'the cat' is more frequent."""
+    from mesos_pregel_spark.functions.composition import pmi_topk
+
+    texts = (
+        ["flights to new york today"] * 3
+        + ["the cat sat", "the cat ran", "the dog sat", "the cat hid",
+           "a cat the dog saw"]
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in pmi_topk(df, min_count=3, top_k=50).collect()]
+    assert got == _oracle_pmi(texts, 3, 50)
+    scores = {(r[0], r[1]): r[3] for r in got}
+    assert scores[("new", "york")] > scores[("the", "cat")]
+
+
+def test_pmi_topk_matches_recipe_oracle(spark):
+    """Deterministic messy corpus vs the exact-recipe python oracle,
+    min_count=1 so every pair (incl. negatives/ties) is compared."""
+    from mesos_pregel_spark.functions.composition import pmi_topk
+
+    texts = [
+        "a b a b a c", "b a  B\tc", "c c c a", "x", "", "a b c a b",
+        "y z y z", "z y x w", "w w w w w",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in pmi_topk(df, min_count=1, top_k=1000).collect()]
+    assert got == _oracle_pmi(texts, 1, 1000)
+
+
+def test_pmi_topk_min_count_and_short_docs(spark):
+    """Sub-2-token docs emit nothing; min_count filters hapax pairs."""
+    from mesos_pregel_spark.functions.composition import pmi_topk
+
+    df = spark.createDataFrame(
+        [(0, "solo"), (1, ""), (2, "p q"), (3, "p q"), (4, "q r")],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in pmi_topk(df, min_count=2, top_k=10).collect()]
+    assert [(r[0], r[1], r[2]) for r in got] == [("p", "q", 2)]
+    with pytest.raises(ValueError):
+        pmi_topk(df, min_count=0)
