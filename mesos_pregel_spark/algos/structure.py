@@ -730,3 +730,66 @@ def weighted_clustering(spark: SparkSession, edges: DataFrame) -> DataFrame:
     finally:
         oriented.unpersist()
     return out
+
+
+HILL_SCALE = 10**6
+
+
+def hill_alpha(deg: DataFrame, dmin: int = 2) -> DataFrame:
+    """Hill MLE of the power-law tail exponent of a degree
+    distribution (Hill 1975; the discrete approximation of
+    Clauset-Shalizi-Newman 2009 eq. 3.7):
+
+        alpha_hat = 1 + n_tail / sum_{d >= dmin} ln(d / dmin)
+
+    This is the number that justifies the engine's skew machinery —
+    an alpha near 2 means the S1 salting hot-list and the hub caps
+    (A15/A27/A29) are load-bearing, not defensive.  Input is any
+    DataFrame with a ``degree`` column (one row per vertex), e.g. the
+    ``degree_histogram`` substrate before histogramming.
+
+    Pinned semantics (cross-engine determinism, the source_kl
+    discipline): per tail vertex the one libm ln sees the
+    bit-identical double degree/dmin and is snapped to an exact
+    BIGINT micro-nat BEFORE summation, so the sum is
+    order-independent; alpha spends ONE division of two
+    exactly-representable quantities, then a 9dp round.  A degenerate
+    tail (every tail degree == dmin, sum == 0 — the MLE diverges) or
+    an empty tail reports NULL alpha in both engines.
+
+    Shape (design-for-100x): one filter + two hash aggregates over
+    the |V|-row degree table (itself a map-side-combinable aggregate
+    of the edge list); the two 1-row aggregates broadcast-join.
+    Returns one row (dmin, n_vertices, n_tail, tail_share, alpha).
+    """
+    if dmin < 1:
+        raise ValueError("dmin must be >= 1")
+    lr_micro = F.round(
+        F.log(F.col("degree").cast("double") / F.lit(float(dmin)))
+        * HILL_SCALE
+    ).cast("long")
+    tail = deg.where(F.col("degree") >= dmin).select(lr_micro.alias("lr"))
+    tot = deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    agg = tail.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum("lr").cast("long").alias("sum_micro"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.lit(dmin).cast("long").alias("dmin"),
+        "n_vertices",
+        "n_tail",
+        F.round(
+            F.col("n_tail").cast("double")
+            / F.col("n_vertices").cast("double"),
+            9,
+        ).alias("tail_share"),
+        F.when(
+            F.col("sum_micro") > 0,
+            F.round(
+                F.lit(1.0)
+                + (F.col("n_tail").cast("double") * HILL_SCALE)
+                / F.col("sum_micro").cast("double"),
+                9,
+            ),
+        ).alias("alpha"),
+    )

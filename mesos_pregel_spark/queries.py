@@ -1879,6 +1879,53 @@ SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY degree
 """
 
 
+_HILL_DMIN = 2
+
+
+def q_hill_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill MLE power-law exponent of the same out-degree
+    distribution degree_histogram reports — the one-number skew
+    diagnostic that sizes the S1 salting hot-list (alpha near 2 =
+    heavy head, salting load-bearing)."""
+    from mesos_pregel_spark.algos.structure import hill_alpha
+
+    e = q_bipartite_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return hill_alpha(deg, dmin=_HILL_DMIN)
+
+
+SQL_HILL_ALPHA = f"""
+WITH e AS (
+  SELECT o_custkey AS src, l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, l_suppkey
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY src),
+tail AS (
+  SELECT CAST(ROUND(LN(
+    CAST(degree AS DOUBLE) / CAST({_HILL_DMIN} AS DOUBLE)) * 1e6)
+    AS BIGINT) AS lr
+  FROM deg WHERE degree >= {_HILL_DMIN}
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM deg),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+         CAST(SUM(lr) AS BIGINT) AS sum_micro
+  FROM tail
+)
+SELECT CAST({_HILL_DMIN} AS BIGINT) AS dmin, t.n_vertices, a.n_tail,
+       ROUND(CAST(a.n_tail AS DOUBLE) / CAST(t.n_vertices AS DOUBLE), 9)
+         AS tail_share,
+       CASE WHEN a.sum_micro > 0 THEN
+         ROUND(1.0 + (CAST(a.n_tail AS DOUBLE) * 1e6)
+               / CAST(a.sum_micro AS DOUBLE), 9)
+       END AS alpha
+FROM agg a CROSS JOIN tot t
+"""
+
+
 # ---------------------------------------------------------------------------
 # structure analytics (algos/structure.py) on the part co-order graph
 # ---------------------------------------------------------------------------
@@ -3642,6 +3689,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bipartite_edges": q_bipartite_edges,
     "bipartite_degrees": q_bipartite_degrees,
     "degree_histogram": q_degree_histogram,
+    "hill_alpha": q_hill_alpha,
     "sessions": q_sessions,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
@@ -3759,6 +3807,7 @@ _QUERY_PRIORITY: list[str] = [
     # protocol replica (tests/test_driver_contract.py) at sf0.001 and by
     # scripts/sweep_sf001_window.py at sf0.01.
     "pmi_topk",
+    "hill_alpha",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -3876,6 +3925,7 @@ ORACLE_SQL: dict[str, str] = {
     "bipartite_edges": SQL_BIPARTITE_EDGES,
     "bipartite_degrees": SQL_BIPARTITE_DEGREES,
     "degree_histogram": SQL_DEGREE_HISTOGRAM,
+    "hill_alpha": SQL_HILL_ALPHA,
     "sessions": SQL_SESSIONS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,

@@ -440,3 +440,65 @@ def test_weighted_clustering_uniform_weights_match_lcc(spark):
     lcc = {r["id"]: round(r["lcc"], 9)
            for r in clustering_coefficients(spark, df).collect()}
     assert cw == lcc
+
+
+def _oracle_hill(degrees, dmin):
+    """Exact-recipe replication of hill_alpha."""
+    import decimal
+    import math
+
+    def half_up(x):
+        return int(decimal.Decimal(x).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+
+    tail = [d for d in degrees if d >= dmin]
+    s = sum(half_up(math.log(float(d) / float(dmin)) * 1e6) for d in tail)
+    n, nt = len(degrees), len(tail)
+    share = round(float(nt) / float(n), 9)
+    alpha = round(1.0 + (float(nt) * 1e6) / float(s), 9) if s > 0 else None
+    return (dmin, n, nt, share, alpha)
+
+
+def _hill_run(spark, degrees, dmin):
+    from mesos_pregel_spark.algos.structure import hill_alpha
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(degrees)], "id long, degree long"
+    )
+    rows = hill_alpha(df, dmin=dmin).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    return (r["dmin"], r["n_vertices"], r["n_tail"], r["tail_share"],
+            r["alpha"])
+
+
+def test_hill_alpha_matches_recipe_oracle(spark):
+    degrees = [1, 1, 2, 2, 3, 4, 4, 8, 16, 100, 1000]
+    for dmin in (1, 2, 5):
+        assert _hill_run(spark, degrees, dmin) == _oracle_hill(degrees, dmin)
+
+
+def test_hill_alpha_pure_powerlaw_recovers_exponent(spark):
+    # continuous power-law quantiles d_i = dmin * (1 - u_i)^(-1/(a-1))
+    # with a = 2.5: the Hill estimate must land near 2.5
+    a, dmin, n = 2.5, 2, 2000
+    degrees = [
+        max(dmin, int(round(dmin * ((1 - (i + 0.5) / n) ** (-1 / (a - 1))))))
+        for i in range(n)
+    ]
+    got = _hill_run(spark, degrees, dmin)
+    assert got == _oracle_hill(degrees, dmin)
+    assert 2.3 < got[4] < 2.7
+
+
+def test_hill_alpha_degenerate_and_empty_tail(spark):
+    # every tail degree == dmin -> sum 0 -> NULL alpha (MLE diverges)
+    assert _hill_run(spark, [2, 2, 2, 1], 2) == (2, 4, 3, 0.75, None)
+    # empty tail -> n_tail 0, NULL alpha
+    assert _hill_run(spark, [1, 1], 5) == (5, 2, 0, 0.0, None)
+    import pytest as _pytest
+    from mesos_pregel_spark.algos.structure import hill_alpha
+
+    df = spark.createDataFrame([(1, 2)], "id long, degree long")
+    with _pytest.raises(ValueError):
+        hill_alpha(df, dmin=0)
