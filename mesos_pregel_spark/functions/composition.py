@@ -345,3 +345,130 @@ def pmi_topk(
             (F.col("pmi_micro").cast("double") / PMI_SCALE).alias("pmi"),
         )
     )
+
+
+def heaps_law(docs: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) ~ K * N^beta (Heaps 1978;
+    Herdan 1960) over the corpus read in doc_id order — the projection
+    a vocab/BPE-training plan runs before committing to a vocabulary
+    size: beta near 0.5 means doubling the corpus grows the vocabulary
+    ~41%, and K*N^beta extrapolates the token budget needed to reach a
+    target vocab.  Complements ``vocab_stats`` (the endpoint) with the
+    whole growth curve's exponent.
+
+    Semantics: for every document d (ascending doc_id), N_d = tokens
+    read so far, V_d = distinct terms seen so far (a term is "new" at
+    the min doc_id containing it — one aggregate, no rescan per doc);
+    least-squares fit of ln V on ln N over all docs with N_d, V_d > 0.
+
+    Pinned cross-engine determinism: x = ROUND(ln(N_d)*1e6), y =
+    ROUND(ln(V_d)*1e6) are exact BIGINT micro-nats; the five
+    regression sums (n, Sx, Sy, Sxy, Sx2) accumulate exact integers
+    (Spark sums in decimal(38,0); DuckDB sums BIGINT into HUGEINT) so
+    partition order cannot change a digit; beta and ln_k each spend a
+    fixed pinned sequence of IEEE double ops on the exact sums (and
+    ln_k reuses the ROUNDED beta), so both engines round identically.
+    A degenerate fit (fewer than 2 distinct x values) reports NULL
+    beta/ln_k in both engines.
+
+    Shape (design-for-100x): the per-doc table is (doc_id, nt, nv) —
+    three longs; the running totals use the pack_concat two-phase
+    distributed prefix sum (range-partition by doc_id, per-partition
+    window, tiny per-partition offset table broadcast back) so no
+    single task ever sorts the whole corpus; the regression is one
+    hash aggregate over the points.  The slim table is checkpointed
+    once to pin the sampled range boundaries (recomputation would
+    re-sample them).  Returns one row
+    (n_points, total_tokens, vocab_size, beta, ln_k).
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = tokens_col(F.col("text"))
+    nt = F.size(F.filter(toks, lambda t: t != "")).cast("long")
+    per_doc = docs.select("doc_id", nt.alias("nt"))
+    firsts = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy(F.col("fd").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    slim = (
+        per_doc.join(firsts, "doc_id", "left_outer")
+        .select(
+            "doc_id", "nt", F.coalesce("nv", F.lit(0)).cast("long").alias("nv")
+        )
+        .repartitionByRange(partitions, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = slim.select(
+        "doc_id", "pid",
+        F.sum("nt").over(w_in).alias("cum_nt"),
+        F.sum("nv").over(w_in).alias("cum_nv"),
+    )
+    totals = slim.groupBy("pid").agg(
+        F.sum("nt").cast("long").alias("pt"),
+        F.sum("nv").cast("long").alias("pv"),
+    )
+    w_pid = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # ordered scan over <= `partitions` rows only — never document rows
+    offsets = totals.select(
+        "pid",
+        (F.sum("pt").over(w_pid) - F.col("pt")).alias("off_nt"),
+        (F.sum("pv").over(w_pid) - F.col("pv")).alias("off_nv"),
+    )
+    pts = (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("off_nt") + F.col("cum_nt")).alias("N"),
+            (F.col("off_nv") + F.col("cum_nv")).alias("V"),
+        )
+        .where((F.col("N") > 0) & (F.col("V") > 0))
+        .select(
+            F.round(F.log(F.col("N").cast("double")) * 1e6)
+            .cast("long").alias("x"),
+            F.round(F.log(F.col("V").cast("double")) * 1e6)
+            .cast("long").alias("y"),
+        )
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sx2"),
+    )
+    grand = slim.agg(
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.sum("nv").cast("long").alias("vocab_size"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    sx2_d = F.col("sx2").cast("double")
+    den = n_d * sx2_d - sx_d * sx_d
+    beta = F.round((n_d * sxy_d - sx_d * sy_d) / den, 9)
+    scored = sums.select(
+        F.col("n").alias("n_points"),
+        F.when(den != 0, beta).alias("beta"),
+        F.when(
+            den != 0,
+            F.round((sy_d - beta * sx_d) / (n_d * 1e6), 9),
+        ).alias("ln_k"),
+    )
+    return scored.crossJoin(F.broadcast(grand)).select(
+        "n_points", "total_tokens", "vocab_size", "beta", "ln_k"
+    )

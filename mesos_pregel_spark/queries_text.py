@@ -66,6 +66,7 @@ from mesos_pregel_spark.functions.text import (
 from mesos_pregel_spark.sources.multimodal import decode_features, synthesize_media
 from mesos_pregel_spark.functions.clustering import cluster_balanced_sample, kmeans
 from mesos_pregel_spark.functions.composition import (
+    heaps_law,
     length_histogram,
     ngram_hotspots,
     pmi_topk,
@@ -1212,6 +1213,77 @@ ORDER BY pmi_micro DESC, cnt DESC, w1 ASC, w2 ASC LIMIT {_PMI_TOP_K}
 """
 
 
+# Heaps'-law vocabulary-growth fit (functions/composition.py::
+# heaps_law): the global doc_id-ordered running totals are plain
+# windows here (DuckDB sorts centrally anyway); the Spark side uses
+# the distributed two-phase prefix sum.  Regression sums are exact
+# integers (HUGEINT here, decimal(38,0) in Spark); beta and ln_k
+# repeat the identical pinned double-op sequence.
+SQL_HEAPS_LAW = f"""
+WITH toksrc AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(t, x -> x <> '')) AS BIGINT) AS nt
+  FROM toksrc
+),
+firsts AS (
+  SELECT token, MIN(doc_id) AS fd FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+    FROM documents) u
+  WHERE token <> '' GROUP BY token
+),
+newt AS (
+  SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+  FROM firsts GROUP BY fd
+),
+base AS (
+  SELECT p.doc_id, p.nt, COALESCE(n.nv, 0) AS nv
+  FROM per_doc p LEFT JOIN newt n USING (doc_id)
+),
+cum AS (
+  SELECT SUM(nt) OVER w AS N, SUM(nv) OVER w AS V
+  FROM base
+  WINDOW w AS (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pts AS (
+  SELECT CAST(ROUND(LN(CAST(N AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(ROUND(LN(CAST(V AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM cum WHERE N > 0 AND V > 0
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sx2
+  FROM pts
+),
+g AS (
+  SELECT CAST(SUM(nt) AS BIGINT) AS total_tokens,
+         CAST(SUM(nv) AS BIGINT) AS vocab_size
+  FROM base
+),
+b AS (
+  SELECT n, sx, sy,
+         CASE WHEN (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
+         THEN ROUND(
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+         END AS beta
+  FROM s
+)
+SELECT b.n AS n_points, g.total_tokens, g.vocab_size, b.beta,
+       CASE WHEN b.beta IS NOT NULL THEN
+         ROUND((CAST(b.sy AS DOUBLE) - b.beta * CAST(b.sx AS DOUBLE))
+               / (CAST(b.n AS DOUBLE) * 1e6), 9)
+       END AS ln_k
+FROM b CROSS JOIN g
+"""
+
+
 # Sliding-window chunking (functions/packing.py::chunk_windows): pure
 # integer coordinates + md5 of the space-rejoined token window.
 _CHUNK_W, _CHUNK_S = 32, 16
@@ -1405,6 +1477,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _docs(s, d), n=_HOTSPOT_N, top_k=_HOTSPOT_K),
     "pmi_topk": lambda s, d: pmi_topk(
         _docs(s, d), min_count=_PMI_MIN_COUNT, top_k=_PMI_TOP_K),
+    "heaps_law": lambda s, d: heaps_law(_docs(s, d)),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -1446,4 +1519,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "chunk_windows": SQL_CHUNK_WINDOWS,
     "ngram_hotspots": SQL_NGRAM_HOTSPOTS,
     "pmi_topk": SQL_PMI_TOPK,
+    "heaps_law": SQL_HEAPS_LAW,
 }

@@ -249,3 +249,86 @@ def test_pmi_topk_min_count_and_short_docs(spark):
     assert [(r[0], r[1], r[2]) for r in got] == [("p", "q", 2)]
     with pytest.raises(ValueError):
         pmi_topk(df, min_count=0)
+
+
+def _oracle_heaps(texts_by_doc_id):
+    """Exact-recipe replication of heaps_law (global doc_id-ordered
+    running totals, micro-nat snap, exact-integer regression sums)."""
+    import re
+
+    def toks(t):
+        s = re.sub(r"\s+", " ", t.lower()).strip()
+        return [w for w in s.split(" ") if w != ""]
+
+    seen = set()
+    n = v = 0
+    pts = []
+    tot_nt = tot_nv = 0
+    for _, t in sorted(texts_by_doc_id):
+        ws = toks(t)
+        new = [w for w in ws if w not in seen and not seen.add(w)]
+        n += len(ws)
+        v += len(new)
+        tot_nt += len(ws)
+        tot_nv += len(new)
+        if n > 0 and v > 0:
+            pts.append((int(_half_up(math.log(float(n)) * 1e6)),
+                        int(_half_up(math.log(float(v)) * 1e6))))
+    cnt = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sx2 = sum(p[0] * p[0] for p in pts)
+    den = float(cnt) * float(sx2) - float(sx) * float(sx)
+    if den != 0:
+        beta = round((float(cnt) * float(sxy) - float(sx) * float(sy))
+                     / den, 9)
+        ln_k = round((float(sy) - beta * float(sx))
+                     / (float(cnt) * 1e6), 9)
+    else:
+        beta = ln_k = None
+    return (cnt, tot_nt, tot_nv, beta, ln_k)
+
+
+def _heaps_run(spark, rows, partitions=None):
+    from mesos_pregel_spark.functions.composition import heaps_law
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = heaps_law(df, partitions=partitions).collect()
+    assert len(out) == 1
+    r = out[0]
+    return (r["n_points"], r["total_tokens"], r["vocab_size"],
+            r["beta"], r["ln_k"])
+
+
+def test_heaps_law_all_new_singletons_beta_one(spark):
+    """Every doc = one never-seen token: V == N, so ln V = ln N exactly
+    -> beta 1, ln_k 0."""
+    rows = [(i, f"w{i}") for i in range(20)]
+    got = _heaps_run(spark, rows)
+    assert got == _oracle_heaps(rows)
+    assert got[3] == 1.0 and got[4] == 0.0
+
+
+def test_heaps_law_constant_vocab_beta_zero(spark):
+    """Same single token forever: V == 1, y == 0 constant -> beta 0,
+    ln_k 0 (K = 1)."""
+    rows = [(i, "same") for i in range(16)]
+    got = _heaps_run(spark, rows)
+    assert got == _oracle_heaps(rows)
+    assert got[3] == 0.0 and got[4] == 0.0
+
+
+def test_heaps_law_matches_recipe_oracle(spark):
+    rows = [
+        (0, "a b c"), (1, ""), (2, "a b d e"), (3, "f"), (4, "a a a"),
+        (5, "g h i j k"), (6, "b c g  Z\tz"), (7, "m"), (8, "a m n"),
+    ]
+    for parts in (1, 3, 8):
+        assert _heaps_run(spark, rows, partitions=parts) == \
+            _oracle_heaps(rows)
+
+
+def test_heaps_law_degenerate_single_point(spark):
+    got = _heaps_run(spark, [(0, "only doc here")])
+    assert got[0] == 1 and got[3] is None and got[4] is None
