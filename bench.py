@@ -1008,6 +1008,46 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         detail["textprep_sources"] = n_kl
         tdocs.unpersist()
 
+    if on("corpusfit"):
+        # The round-5 corpus-statistics additions: bigram PMI
+        # collocations (one scan into the materialized bigram
+        # aggregate) and the Heaps'-law vocabulary-growth fit (two-
+        # phase distributed prefix sum + exact-integer regression) on
+        # one persisted corpus; Hill power-law alpha on its doc-length
+        # proxy degrees rides the same cache.
+        from mesos_pregel_spark.algos.structure import hill_alpha
+        from mesos_pregel_spark.fixtures import generate_documents_dist
+        from mesos_pregel_spark.functions.composition import (
+            heaps_law,
+            pmi_topk,
+        )
+        from mesos_pregel_spark.functions.text import tokens_col
+
+        n_docs_cf = max(20_000, int(200_000 * scale))
+        cdocs = (
+            generate_documents_dist(
+                spark, n_docs_cf, dup_frac=0.2, partitions=nparts)
+            .select("doc_id", "text")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_cdocs = cdocs.count()
+        t = time.monotonic()
+        n_pmi = pmi_topk(cdocs, min_count=5, top_k=100).count()
+        hrow = heaps_law(cdocs).collect()[0]
+        deg = cdocs.select(
+            F.size(tokens_col(F.col("text"))).cast("long").alias("degree")
+        )
+        arow = hill_alpha(deg, dmin=2).collect()[0]
+        cf_sec = time.monotonic() - t
+        queries["corpusfit"] = round(cf_sec, 3)
+        throughput["corpusfit_docs_per_sec"] = round(
+            n_cdocs * 3 / cf_sec)   # 3 full-corpus passes
+        detail["corpusfit_docs"] = n_cdocs
+        detail["corpusfit_pmi_rows"] = n_pmi
+        detail["corpusfit_heaps_beta"] = hrow["beta"]
+        detail["corpusfit_hill_alpha"] = arow["alpha"]
+        cdocs.unpersist()
+
     if on("triads"):
         # Directed triangle census + reciprocity + rich-club profile
         # on the shared zipf graph.  The census path join is
