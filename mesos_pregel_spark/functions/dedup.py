@@ -541,3 +541,91 @@ def span_dedup_stats(docs: DataFrame, span_tokens: int = 8) -> DataFrame:
             ).otherwise(F.lit(0.0)).alias("dup_ratio"),
         )
     )
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy train-vs-eval contamination: the MinHash-LSH counterpart
+    of :func:`mesos_pregel_spark.functions.decontam.decontaminate`
+    (which catches EXACT n-gram overlap — a lightly paraphrased or
+    truncated eval document slips past it; this catches documents
+    whose shingle sets are merely SIMILAR, the Jaccard regime GPT-3
+    appendix C's 13-gram rule approximates from below).
+
+    Pipeline: both corpora get the parity-checked md5 MinHash
+    signatures; a banded CROSS-CORPUS equi-join on (band_idx,
+    band_key) yields candidates (never all-pairs — eval is the tiny
+    side and AQE broadcasts its band table); candidates are verified
+    with EXACT shingle Jaccard; each flagged train document reports
+    its single best eval match (max jaccard, tie-break min eval_id —
+    deterministic because jaccard is 9dp-rounded first).
+
+    Shape (design-for-100x): train is scanned once for shingles and
+    once for signatures (both aggregates materialized); every
+    downstream join is candidate-bounded; the best-match window
+    partitions by train doc_id — bounded by that doc's candidate
+    count, never by corpus size.  Returns (doc_id, eval_id, jaccard)
+    for train docs with a match at >= threshold.
+    """
+    from pyspark.sql import Window
+
+    sig_t = _register_cache(minhash_signatures(train, n, k).persist())
+    sig_e = _register_cache(minhash_signatures(eval_docs, n, k).persist())
+    bt = band_table(sig_t, k, bands)
+    be = band_table(sig_e, k, bands).withColumnRenamed("doc_id", "eval_id")
+    cand = (
+        bt.join(be, ["band_idx", "band_key"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    sh_t = _register_cache(shingles(train, n).persist())
+    sh_e = _register_cache(shingles(eval_docs, n).persist())
+    inter = (
+        cand.join(sh_t, "doc_id")
+        .join(
+            sh_e.withColumnsRenamed(
+                {"doc_id": "eval_id", "shingle": "shingle_e"}
+            ),
+            "eval_id",
+        )
+        .where(F.col("shingle") == F.col("shingle_e"))
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    n_t = sh_t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_t"))
+    n_e = (
+        sh_e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_e"))
+        .withColumnRenamed("doc_id", "eval_id")
+    )
+    scored = (
+        cand.join(inter, ["doc_id", "eval_id"], "left_outer")
+        .join(n_t, "doc_id")
+        .join(n_e, "eval_id")
+        .select(
+            "doc_id",
+            "eval_id",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (
+                    F.col("n_t") + F.col("n_e")
+                    - F.coalesce(F.col("inter"), F.lit(0))
+                ),
+                9,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard"), F.asc("eval_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "eval_id", "jaccard")
+    )

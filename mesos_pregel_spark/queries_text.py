@@ -706,6 +706,106 @@ FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
 
 SQL_DECONTAMINATE = _sql_decontaminate()
 
+
+def _sql_fuzzy_decon(
+    n: int = 5,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    mod: int = DECON_EVAL_MOD,
+    thr: float = 0.5,
+) -> str:
+    """Twin of functions/dedup.py::fuzzy_decontaminate over the same
+    train/eval doc_id-mod split the exact `decontaminate` query uses:
+    md5 MinHash signatures on BOTH corpora, banded cross-corpus
+    equi-join, exact shingle-Jaccard verify, best (max jaccard, min
+    eval_id) match per flagged train doc."""
+    r = k // bands
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+    )
+
+    def side(name: str, pred: str) -> str:
+        parts = []
+        for j in range(bands):
+            key = " || '|' || ".join(f"mh{j * r + t}" for t in range(r))
+            parts.append(
+                f"SELECT {j} AS band_idx, {key} AS band_key, doc_id "
+                f"FROM sig_{name}"
+            )
+        union = "\n  UNION ALL ".join(parts)
+        return f"""
+norm_{name} AS (
+  SELECT doc_id, {_NORM} AS t FROM documents WHERE {pred}
+),
+sh_{name} AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [substr(t, i, {n}) FOR i IN
+            generate_series(1, GREATEST(length(t) - {n - 1}, 1))]
+         )) AS shingle
+  FROM norm_{name}
+),
+sig_{name} AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh_{name} GROUP BY doc_id
+),
+banded_{name} AS (
+  {union}
+)"""
+
+    return (
+        "WITH"
+        + side("t", f"doc_id % {mod} <> 0")
+        + ","
+        + side("e", f"doc_id % {mod} = 0")
+        + f""",
+cand AS (
+  SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+  FROM banded_t t
+  JOIN banded_e e ON e.band_idx = t.band_idx
+                 AND e.band_key = t.band_key
+),
+inter AS (
+  SELECT c.doc_id, c.eval_id, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh_t st ON st.doc_id = c.doc_id
+  JOIN sh_e se ON se.doc_id = c.eval_id AND se.shingle = st.shingle
+  GROUP BY c.doc_id, c.eval_id
+),
+n_t AS (SELECT doc_id, COUNT(*) AS n_t FROM sh_t GROUP BY doc_id),
+n_e AS (SELECT doc_id, COUNT(*) AS n_e FROM sh_e GROUP BY doc_id),
+scored AS (
+  SELECT c.doc_id, c.eval_id,
+         ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+               / (t.n_t + e.n_e - COALESCE(i.inter, 0)), 9) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_id = c.doc_id AND i.eval_id = c.eval_id
+  JOIN n_t t ON t.doc_id = c.doc_id
+  JOIN n_e e ON e.doc_id = c.eval_id
+),
+best AS (
+  SELECT doc_id, eval_id, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard DESC, eval_id ASC) AS rn
+  FROM scored WHERE jaccard >= {thr}
+)
+SELECT doc_id, eval_id, jaccard FROM best WHERE rn = 1
+"""
+    )
+
+
+SQL_FUZZY_DECONTAMINATE = _sql_fuzzy_decon()
+
+
+def _fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mesos_pregel_spark.functions.dedup import fuzzy_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    eval_docs = docs.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    return fuzzy_decontaminate(train, eval_docs, threshold=0.5)
+
 _SQL_U = (
     "('0x' || substr(MD5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 12))"
     "::BIGINT / 281474976710656.0"
@@ -1478,6 +1578,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_topk": lambda s, d: pmi_topk(
         _docs(s, d), min_count=_PMI_MIN_COUNT, top_k=_PMI_TOP_K),
     "heaps_law": lambda s, d: heaps_law(_docs(s, d)),
+    "fuzzy_decontaminate": _fuzzy_decontaminate,
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -1520,4 +1621,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "ngram_hotspots": SQL_NGRAM_HOTSPOTS,
     "pmi_topk": SQL_PMI_TOPK,
     "heaps_law": SQL_HEAPS_LAW,
+    "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
 }

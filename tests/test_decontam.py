@@ -98,3 +98,114 @@ def test_ngram_hashes_match_python(spark):
     rows = [(1, "one two three four five six seven eight nine")]
     got = {r["gram"] for r in ngram_hashes(_df(spark, rows), n=4).collect()}
     assert got == _grams(rows[0][1], 4)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (MinHash-LSH) decontamination
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text: str, n: int = 5) -> set:
+    t = _norm(text)
+    if len(t) <= n:
+        return {t}
+    return {t[i:i + n] for i in range(len(t) - n + 1)}
+
+
+def _oracle_fuzzy(train, evals, n=5, k=8, bands=4, thr=0.5):
+    """Exact-recipe replication: md5 minhash bands -> cross candidates
+    -> exact jaccard -> best (max jaccard, min eval_id) per train doc."""
+    def sig(text):
+        sh = _shingles(text, n)
+        return [
+            min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+            for i in range(k)
+        ]
+
+    r = k // bands
+
+    def bandkeys(text):
+        s = sig(text)
+        return {(j, "|".join(s[j * r:(j + 1) * r])) for j in range(bands)}
+
+    out = {}
+    for tid, ttext in train:
+        bt = bandkeys(ttext)
+        best = None
+        for eid, etext in evals:
+            if not (bt & bandkeys(etext)):
+                continue
+            a, b = _shingles(ttext, n), _shingles(etext, n)
+            j = round(len(a & b) / len(a | b), 9)
+            if j < thr:
+                continue
+            if best is None or (j, -eid) > (best[1], -best[0]):
+                best = (eid, j)
+        if best:
+            out[tid] = best
+    return out
+
+
+def test_fuzzy_planted_paraphrase_caught_exact_misses(spark):
+    """A lightly edited copy of an eval doc: the exact 8-gram
+    decontaminate misses it (no shared 8-gram), fuzzy flags it."""
+    from mesos_pregel_spark.functions.dedup import fuzzy_decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    edited = base.replace("jumps", "leaps").replace("lazy", "sleepy")
+    train = [(1, edited), (2, "completely unrelated text about spark plans")]
+    evals = [(25, base)]
+    got = {
+        r["doc_id"]: (r["eval_id"], r["jaccard"])
+        for r in fuzzy_decontaminate(
+            _df(spark, train), _df(spark, evals), threshold=0.5
+        ).collect()
+    }
+    assert got == _oracle_fuzzy(train, evals)
+    assert 1 in got and got[1][0] == 25 and got[1][1] >= 0.5
+    assert 2 not in got
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(
+            _df(spark, train), _df(spark, evals), n=8
+        ).collect()
+    }
+    assert exact[1] is False  # the paraphrase slips past exact n-grams
+
+
+def test_fuzzy_best_match_tiebreak_and_threshold(spark):
+    """Identical jaccard vs two eval docs -> min eval_id wins; a
+    below-threshold candidate is dropped."""
+    from mesos_pregel_spark.functions.dedup import fuzzy_decontaminate
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    train = [(3, text)]
+    evals = [(50, text), (75, text), (100, "nothing in common here at all")]
+    got = [tuple(r) for r in fuzzy_decontaminate(
+        _df(spark, train), _df(spark, evals), threshold=0.9
+    ).collect()]
+    assert got == [(3, 50, 1.0)]
+    assert _oracle_fuzzy(train, evals, thr=0.9) == {3: (50, 1.0)}
+
+
+def test_fuzzy_matches_recipe_oracle_mixed_corpus(spark):
+    from mesos_pregel_spark.functions.dedup import fuzzy_decontaminate
+
+    evals = [
+        (25, "machine learning models overfit small datasets easily"),
+        (50, "distributed graph processing with bulk synchronous steps"),
+    ]
+    train = [
+        (1, "machine learning models overfit small datasets very easily"),
+        (2, "distributed graph processing with bulk synchronous steps"),
+        (3, "an entirely different document about cooking pasta"),
+        (4, "machine learning models overfit tiny datasets easily"),
+    ]
+    for thr in (0.3, 0.6, 0.95):
+        got = {
+            r["doc_id"]: (r["eval_id"], r["jaccard"])
+            for r in fuzzy_decontaminate(
+                _df(spark, train), _df(spark, evals), threshold=thr
+            ).collect()
+        }
+        assert got == _oracle_fuzzy(train, evals, thr=thr)
