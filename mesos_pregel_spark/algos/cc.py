@@ -217,3 +217,23 @@ def connected_components_jump(
     result = run.finish(state.select("id", F.col("comp").alias("component")))
     e.unpersist()
     return result, run
+
+
+def component_sizes(labels: DataFrame) -> DataFrame:
+    """Component-size profile over a (id, component) labelling — the
+    giant-component health check run right after CC (a link graph
+    whose top share is <0.5 is fragmented; near 1.0 it is one blob
+    and per-component parallelism won't help).  One hash aggregate
+    plus a broadcast 1-row total; share is ONE rounded division of
+    exact longs.  Returns (component, n_vertices, share)."""
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+    total = sizes.agg(F.sum("n_vertices").cast("long").alias("n"))
+    return sizes.crossJoin(F.broadcast(total)).select(
+        "component",
+        "n_vertices",
+        F.round(
+            F.col("n_vertices").cast("double") / F.col("n").cast("double"), 9
+        ).alias("share"),
+    )

@@ -629,3 +629,42 @@ def fuzzy_decontaminate(
         .where(F.col("rn") == 1)
         .select("doc_id", "eval_id", "jaccard")
     )
+
+
+def dup_source_matrix(
+    docs: DataFrame,
+    n: int = 5,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-source duplication leakage matrix: for every unordered
+    source pair, how many verified near-duplicate document pairs span
+    it — the report that surfaces mirror sites / syndication feeds /
+    source-overlap before a data recipe double-counts them (diagonal
+    rows = within-source duplication, the dedup pipeline's own
+    economics).
+
+    Pure composition: :func:`near_duplicates` (banded LSH candidates +
+    exact Jaccard at ``threshold``) joined twice against the tiny
+    (doc_id, source) map, then LEAST/GREATEST-canonicalized and
+    hash-aggregated — the matrix is |sources|² rows at most.
+    Returns (source_lo, source_hi, n_pairs).
+    """
+    pairs = near_duplicates(docs, n, k, bands, threshold)
+    src = docs.select("doc_id", "source")
+    return (
+        pairs
+        .join(
+            src.withColumnsRenamed(
+                {"doc_id": "doc_a", "source": "source_a"}), "doc_a")
+        .join(
+            src.withColumnsRenamed(
+                {"doc_id": "doc_b", "source": "source_b"}), "doc_b")
+        .select(
+            F.least("source_a", "source_b").alias("source_lo"),
+            F.greatest("source_a", "source_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

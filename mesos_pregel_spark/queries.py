@@ -479,6 +479,36 @@ SELECT actor, MIN(c) AS component FROM reach GROUP BY actor
 """
 
 
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Giant-component profile over the engine's own CC labelling —
+    one aggregate + one broadcast division on top of cc_full."""
+    from mesos_pregel_spark.algos.cc import component_sizes, connected_components
+
+    comps, _run = connected_components(
+        spark, _graph_edges(spark, sf_dir), edge_partitions=8
+    )
+    return component_sizes(comps)
+
+
+SQL_COMPONENT_SIZES = _SQL_EDGES + """
+, reach AS (
+  SELECT s AS actor, s AS c FROM symw
+  UNION
+  SELECT sym.d AS actor, r.c
+  FROM reach r JOIN symw sym ON sym.s = r.actor
+),
+comp AS (SELECT actor, MIN(c) AS component FROM reach GROUP BY actor),
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_vertices
+  FROM comp GROUP BY component
+),
+tot AS (SELECT CAST(SUM(n_vertices) AS BIGINT) AS n FROM sizes)
+SELECT s.component, s.n_vertices,
+       ROUND(CAST(s.n_vertices AS DOUBLE) / CAST(t.n AS DOUBLE), 9) AS share
+FROM sizes s CROSS JOIN tot t
+"""
+
+
 def q_cc_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointer-jumping CC kernel — same component-minimum labels as
     hash-min, O(log diameter) rounds; shares cc_full's recursive-CTE
@@ -3661,6 +3691,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppr_step4": q_ppr_step4,
     "cc_step": q_cc_step,
     "cc_full": q_cc_full,
+    "component_sizes": q_component_sizes,
     "cc_jump": q_cc_jump,
     "lpa_step": q_lpa_step,
     "lpa_step3": _lpa_query(3),
@@ -3810,6 +3841,8 @@ _QUERY_PRIORITY: list[str] = [
     "hill_alpha",
     "heaps_law",
     "fuzzy_decontaminate",
+    "dup_source_matrix",
+    "component_sizes",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -3899,6 +3932,7 @@ ORACLE_SQL: dict[str, str] = {
     "ppr_step4": SQL_PPR_STEP4,
     "cc_step": SQL_CC_STEP,
     "cc_full": SQL_CC_FULL,
+    "component_sizes": SQL_COMPONENT_SIZES,
     "cc_jump": SQL_CC_FULL,
     "lpa_step": SQL_LPA_STEP,
     "lpa_step3": SQL_LPA_STEP3,

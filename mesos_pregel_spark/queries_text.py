@@ -19,6 +19,7 @@ from mesos_pregel_spark.functions.dedup import (
     DEFAULT_BANDS,
     DEFAULT_K,
     SIMHASH_BITS,
+    dup_source_matrix,
     exact_duplicates,
     lsh_candidates,
     near_duplicates,
@@ -796,6 +797,44 @@ SELECT doc_id, eval_id, jaccard FROM best WHERE rn = 1
 
 
 SQL_FUZZY_DECONTAMINATE = _sql_fuzzy_decon()
+
+
+# Cross-source duplication leakage (functions/dedup.py::
+# dup_source_matrix): the near_duplicates pipeline at a threshold,
+# joined to the (doc_id, source) map, canonical unordered source pair.
+DUP_MATRIX_THR = 0.5
+
+SQL_DUP_SOURCE_MATRIX = (
+    _sql_shingle_prelude() + _sql_minhash_sig() + _sql_banded()
+    + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+flagged AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+  WHERE ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+              / (na.n_sh + nb.n_sh - COALESCE(i.inter, 0)), 9)
+        >= {DUP_MATRIX_THR}
+),
+lab AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(a.source, b.source) AS source_lo,
+       GREATEST(a.source, b.source) AS source_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM flagged f
+JOIN lab a ON a.doc_id = f.doc_a
+JOIN lab b ON b.doc_id = f.doc_b
+GROUP BY LEAST(a.source, b.source), GREATEST(a.source, b.source)
+"""
+)
 
 
 def _fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1579,6 +1618,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _docs(s, d), min_count=_PMI_MIN_COUNT, top_k=_PMI_TOP_K),
     "heaps_law": lambda s, d: heaps_law(_docs(s, d)),
     "fuzzy_decontaminate": _fuzzy_decontaminate,
+    "dup_source_matrix": lambda s, d: _eager_release(
+        dup_source_matrix(_docs(s, d), threshold=DUP_MATRIX_THR)),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -1622,4 +1663,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "pmi_topk": SQL_PMI_TOPK,
     "heaps_law": SQL_HEAPS_LAW,
     "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
+    "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
 }

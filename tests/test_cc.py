@@ -36,3 +36,17 @@ def test_salting_and_broadcast_equivalence(spark):
     ids_df, edges, _ = id_space(spark, micro_graph_df(spark, "two_islands"))
     _compare(spark, ids_df, edges, n_salt=4, broadcast_threshold=0)
     _compare(spark, ids_df, edges, broadcast_threshold=10**9)
+
+
+def test_component_sizes_hand_case(spark):
+    from mesos_pregel_spark.algos.cc import component_sizes
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "id long, component long",
+    )
+    got = {
+        r["component"]: (r["n_vertices"], r["share"])
+        for r in component_sizes(labels).collect()
+    }
+    assert got == {1: (3, 0.5), 4: (2, round(2 / 6, 9)), 6: (1, round(1 / 6, 9))}

@@ -209,3 +209,23 @@ def test_fuzzy_matches_recipe_oracle_mixed_corpus(spark):
             ).collect()
         }
         assert got == _oracle_fuzzy(train, evals, thr=thr)
+
+
+def test_dup_source_matrix_hand_case(spark):
+    """Two planted near-dup pairs: one across sources (web<->wiki),
+    one within (web<->web); an unrelated doc contributes nothing."""
+    from mesos_pregel_spark.functions.dedup import dup_source_matrix
+
+    t = "the exact same duplicated document text appears again here"
+    rows = [
+        (1, t, "web"), (2, t, "wiki"),       # cross-source pair
+        (3, t + "!", "web"),                 # near-dup of 1 (same source)
+        (4, "totally different content about engines", "code"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_lo"], r["source_hi"]): r["n_pairs"]
+        for r in dup_source_matrix(df, threshold=0.5).collect()
+    }
+    # pairs: (1,2) web/wiki, (1,3) web/web, (2,3) wiki/web
+    assert got == {("web", "wiki"): 2, ("web", "web"): 1}
