@@ -2777,6 +2777,74 @@ de AS MATERIALIZED (
 """
 
 
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie profile of the directed parts co-purchase
+    sequence graph: giant-SCC CORE, IN (reaches core), OUT (reachable
+    from core), OTHER — one SCC run + two monotone BFS flags."""
+    from mesos_pregel_spark.algos.bowtie import bowtie
+
+    return bowtie(
+        spark,
+        _parts_seq_edges(spark, sf_dir).select(
+            F.col("src_actor").alias("src"),
+            F.col("dst_actor").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ),
+        edge_partitions=8,
+    )
+
+
+# Full pairwise-reachability closure: SCC labels, the giant pick, and
+# both reach sets all read the ONE materialized closure — quadratic,
+# fine at driver scale; the engine path is the scalable one.
+SQL_BOWTIE = """
+WITH RECURSIVE seq AS (
+  SELECT l_orderkey, l_partkey AS src,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+  FROM lineitem),
+de AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM seq
+  WHERE dst IS NOT NULL AND src <> dst),
+verts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM de UNION ALL SELECT dst FROM de)),
+reach AS (
+  SELECT id AS a, id AS b FROM verts
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN de e ON e.src = r.b
+),
+sccs AS MATERIALIZED (
+  SELECT r1.a AS id, MIN(r1.b) AS scc
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+  GROUP BY r1.a),
+giant AS (
+  SELECT scc FROM (
+    SELECT scc, COUNT(*) AS n FROM sccs GROUP BY scc
+    ORDER BY n DESC, scc ASC LIMIT 1)),
+core AS (SELECT id FROM sccs WHERE scc = (SELECT scc FROM giant)),
+fwd AS (SELECT DISTINCT r.b AS id FROM reach r JOIN core c ON r.a = c.id),
+bwd AS (SELECT DISTINCT r.a AS id FROM reach r JOIN core c ON r.b = c.id),
+cls AS (
+  SELECT v.id,
+         CASE WHEN c.id IS NOT NULL THEN 'core'
+              WHEN b.id IS NOT NULL THEN 'in'
+              WHEN f.id IS NOT NULL THEN 'out'
+              ELSE 'other' END AS cls
+  FROM verts v
+  LEFT JOIN core c ON c.id = v.id
+  LEFT JOIN fwd f ON f.id = v.id
+  LEFT JOIN bwd b ON b.id = v.id),
+counts AS (
+  SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_vertices
+  FROM cls GROUP BY cls),
+tot AS (SELECT CAST(SUM(n_vertices) AS BIGINT) AS n FROM counts)
+SELECT c.cls, c.n_vertices,
+       ROUND(CAST(c.n_vertices AS DOUBLE) / CAST(t.n AS DOUBLE), 9) AS share
+FROM counts c CROSS JOIN tot t
+"""
+
+
 def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed-edge reciprocity of the parts co-purchase sequence
     graph (algos/directed.py — exact long counts, one rounded
@@ -3742,6 +3810,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "butterflies": q_butterflies,
     "edges_daily": q_edges_daily,
     "reciprocity": q_reciprocity,
+    "bowtie": q_bowtie,
     "triad_census": q_triad_census,
     "rank_drift": q_rank_drift,
     "rich_club": q_rich_club,
@@ -3843,6 +3912,7 @@ _QUERY_PRIORITY: list[str] = [
     "fuzzy_decontaminate",
     "dup_source_matrix",
     "component_sizes",
+    "bowtie",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -3983,6 +4053,7 @@ ORACLE_SQL: dict[str, str] = {
     "butterflies": SQL_BUTTERFLIES,
     "edges_daily": SQL_EDGES_DAILY,
     "reciprocity": SQL_RECIPROCITY,
+    "bowtie": SQL_BOWTIE,
     "triad_census": SQL_TRIAD_CENSUS,
     "rank_drift": SQL_RANK_DRIFT,
     "rich_club": SQL_RICH_CLUB,
