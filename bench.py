@@ -821,6 +821,51 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         rep.unpersist()
         sdocs.unpersist()
 
+    if on("fuzzydecon"):
+        # Fuzzy (MinHash-LSH) decontamination on the decontam corpus
+        # shape: both sides signatured, banded cross-corpus equi-join,
+        # exact Jaccard verify, best-match per flagged train doc.
+        from mesos_pregel_spark.fixtures import generate_documents_dist
+        from mesos_pregel_spark.functions.dedup import (
+            fuzzy_decontaminate,
+            release_dedup_caches,
+        )
+
+        n_docs_fz = max(5_000, int(50_000 * scale))
+        fdocs = generate_documents_dist(
+            spark, n_docs_fz, dup_frac=0.2, partitions=nparts
+        ).select("doc_id", "text").persist()
+        fdocs.count()
+        t = time.monotonic()
+        ftrain = fdocs.where(F.col("doc_id") % 100 != 0)
+        fev = fdocs.where(F.col("doc_id") % 100 == 0)
+        n_flagged = fuzzy_decontaminate(ftrain, fev, threshold=0.5).count()
+        fz_sec = time.monotonic() - t
+        queries["fuzzydecon"] = round(fz_sec, 3)
+        throughput["fuzzydecon_docs_per_sec"] = round(n_docs_fz / fz_sec)
+        detail["fuzzydecon_docs"] = n_docs_fz
+        detail["fuzzydecon_flagged"] = n_flagged
+        release_dedup_caches()
+        fdocs.unpersist()
+
+    if on("bowtie"):
+        # Bow-tie structure of the shared zipf DIGRAPH (raw directed
+        # rows, no symmetrize): one SCC run + two monotone BFS flag
+        # propagations + the class aggregate.
+        from mesos_pregel_spark.algos.bowtie import bowtie as bowtie_profile
+
+        t = time.monotonic()
+        prof = {
+            r["cls"]: r["n_vertices"]
+            for r in bowtie_profile(
+                spark, g, edge_partitions=nparts
+            ).collect()
+        }
+        bt_sec = time.monotonic() - t
+        queries["bowtie"] = round(bt_sec, 3)
+        throughput["bowtie_edges_per_sec"] = round(g_edges / bt_sec)
+        detail["bowtie_profile"] = prof
+
     if on("betweenness"):
         # Pivot-sampled Brandes on the shared zipf graph: 8 lanes ride
         # one scatter per round (forward sigma counting + backward
