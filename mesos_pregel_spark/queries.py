@@ -2845,6 +2845,95 @@ FROM counts c CROSS JOIN tot t
 """
 
 
+_ROBUSTNESS_FRACTIONS = (0.0, 0.05, 0.2)
+
+
+def q_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Albert-Jeong-Barabási hub-attack tolerance of the undirected
+    parts co-purchase graph: giant-component share after removing the
+    top 0/5/20% highest-degree hubs."""
+    from mesos_pregel_spark.algos.robustness import attack_tolerance
+
+    return attack_tolerance(
+        spark,
+        _parts_seq_edges(spark, sf_dir).select(
+            F.col("src_actor").alias("src"),
+            F.col("dst_actor").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ),
+        fractions=_ROBUSTNESS_FRACTIONS,
+        edge_partitions=8,
+    )
+
+
+def _sql_robustness(fractions=_ROBUSTNESS_FRACTIONS) -> str:
+    """Per-fraction min-label closure over the hub-filtered graph —
+    quadratic per fraction, fine at driver scale; the engine path is
+    the scalable one."""
+    parts = ["""
+WITH RECURSIVE seq AS (
+  SELECT l_orderkey, l_partkey AS src,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+  FROM lineitem),
+de AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM seq
+  WHERE dst IS NOT NULL AND src <> dst),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM de),
+deg AS MATERIALIZED (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT lo AS id FROM und UNION ALL SELECT hi FROM und)
+  GROUP BY id),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+ranked AS MATERIALIZED (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY deg DESC, id ASC) AS rn
+  FROM deg)"""]
+    rows = []
+    for i, f in enumerate(fractions):
+        parts.append(f""",
+hubs{i} AS (
+  SELECT id FROM ranked
+  WHERE rn <= (SELECT CAST(FLOOR({f} * n) AS BIGINT) FROM nn)),
+sym{i} AS (
+  SELECT lo AS s, hi AS d FROM und
+  WHERE lo NOT IN (SELECT id FROM hubs{i})
+    AND hi NOT IN (SELECT id FROM hubs{i})
+  UNION ALL
+  SELECT hi, lo FROM und
+  WHERE lo NOT IN (SELECT id FROM hubs{i})
+    AND hi NOT IN (SELECT id FROM hubs{i})),
+reach{i} AS (
+  SELECT s AS v, s AS c FROM sym{i}
+  UNION
+  SELECT e.d, r.c FROM reach{i} r JOIN sym{i} e ON e.s = r.v),
+giant{i} AS (
+  SELECT COALESCE(MAX(sz), 0) AS g FROM (
+    SELECT COUNT(*) AS sz FROM (
+      SELECT v, MIN(c) AS comp FROM reach{i} GROUP BY v)
+    GROUP BY comp))""")
+        rows.append(f"""
+SELECT CAST({f} AS DOUBLE) AS frac,
+       CAST(FLOOR({f} * nn.n) AS BIGINT) AS n_removed,
+       nn.n - CAST(FLOOR({f} * nn.n) AS BIGINT) AS n_remaining,
+       GREATEST(g{i}.g, CASE WHEN nn.n - CAST(FLOOR({f} * nn.n) AS BIGINT)
+                             > 0 THEN 1 ELSE 0 END) AS giant_size
+FROM nn CROSS JOIN giant{i} g{i}""")
+    union = "\nUNION ALL".join(rows)
+    return "".join(parts) + f""",
+profile AS ({union})
+SELECT frac, n_removed, n_remaining, giant_size,
+       CASE WHEN n_remaining > 0
+            THEN ROUND(CAST(giant_size AS DOUBLE)
+                       / CAST(n_remaining AS DOUBLE), 9)
+            ELSE 0.0 END AS giant_share
+FROM profile
+"""
+
+
+SQL_ROBUSTNESS = _sql_robustness()
+
+
 def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed-edge reciprocity of the parts co-purchase sequence
     graph (algos/directed.py — exact long counts, one rounded
@@ -3811,6 +3900,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edges_daily": q_edges_daily,
     "reciprocity": q_reciprocity,
     "bowtie": q_bowtie,
+    "robustness": q_robustness,
     "triad_census": q_triad_census,
     "rank_drift": q_rank_drift,
     "rich_club": q_rich_club,
@@ -3913,6 +4003,7 @@ _QUERY_PRIORITY: list[str] = [
     "dup_source_matrix",
     "component_sizes",
     "bowtie",
+    "robustness",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -4054,6 +4145,7 @@ ORACLE_SQL: dict[str, str] = {
     "edges_daily": SQL_EDGES_DAILY,
     "reciprocity": SQL_RECIPROCITY,
     "bowtie": SQL_BOWTIE,
+    "robustness": SQL_ROBUSTNESS,
     "triad_census": SQL_TRIAD_CENSUS,
     "rank_drift": SQL_RANK_DRIFT,
     "rich_club": SQL_RICH_CLUB,

@@ -1,0 +1,82 @@
+"""Attack-tolerance profile (algos/robustness.py) vs a union-find
+oracle replicating the exact recipe."""
+
+import math
+from collections import Counter
+
+from mesos_pregel_spark.algos.robustness import attack_tolerance
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+
+
+def _oracle(edges, fractions):
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    deg = Counter()
+    for lo, hi in und:
+        deg[lo] += 1
+        deg[hi] += 1
+    n = len(deg)
+    rows = []
+    for f in fractions:
+        k = int(math.floor(f * n))
+        hubs = set(sorted(deg, key=lambda v: (-deg[v], v))[:k])
+        verts = set(deg) - hubs
+        parent = {v: v for v in verts}
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for lo, hi in und:
+            if lo in verts and hi in verts:
+                parent[find(lo)] = find(hi)
+        sizes = Counter(find(v) for v in verts)
+        giant = max(sizes.values()) if sizes else 0
+        share = round(giant / (n - k), 9) if n - k > 0 else 0.0
+        rows.append((float(f), k, n - k, giant, share))
+    return sorted(rows)
+
+
+def _run(spark, edges, fractions):
+    return sorted(
+        tuple(r)
+        for r in attack_tolerance(
+            spark, _df(spark, edges), fractions=fractions, edge_partitions=4
+        ).collect()
+    )
+
+
+def test_star_shatters_under_hub_attack(spark):
+    """A 9-leaf star: removing the single top hub (f=0.1 -> k=1)
+    collapses the giant share from 1.0 to 1/9."""
+    edges = [(0, i) for i in range(1, 10)]
+    fr = (0.0, 0.1)
+    got = _run(spark, edges, fr)
+    assert got == _oracle(edges, fr)
+    by_f = {r[0]: r for r in got}
+    assert by_f[0.0][4] == 1.0
+    assert by_f[0.1] == (0.1, 1, 9, 1, round(1 / 9, 9))
+
+
+def test_matches_union_find_oracle_mixed_graph(spark):
+    # two communities bridged by one hub + a pendant path
+    edges = (
+        [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        + [(10 + i, 10 + j) for i in range(4) for j in range(i + 1, 4)]
+        + [(4, 100), (100, 10), (20, 21), (21, 22)]
+    )
+    fr = (0.0, 0.05, 0.2, 0.5)
+    assert _run(spark, edges, fr) == _oracle(edges, fr)
+
+
+def test_remove_everything(spark):
+    edges = [(1, 2), (2, 3)]
+    fr = (1.0,)
+    got = _run(spark, edges, fr)
+    assert got == _oracle(edges, fr) == [(1.0, 3, 0, 0, 0.0)]
