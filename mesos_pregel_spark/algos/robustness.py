@@ -37,12 +37,25 @@ def attack_tolerance(
     spark: SparkSession,
     edges: DataFrame,
     fractions: tuple[float, ...] = (0.01, 0.05, 0.2),
+    strategy: str = "degree",
+    seed: str = "fail42",
     edge_partitions: int | None = None,
 ) -> DataFrame:
-    """Hub-removal robustness profile.  Returns one row per fraction:
-    (frac, n_removed, n_remaining, giant_size, giant_share)."""
+    """Removal-robustness profile.  Returns one row per fraction:
+    (frac, n_removed, n_remaining, giant_size, giant_share).
+
+    ``strategy='degree'`` is the targeted ATTACK curve (top hubs by
+    (deg DESC, id ASC)); ``strategy='random'`` is the Nature-2000
+    paper's companion ERROR/failure curve — the "random" victims are
+    the md5((seed || ':' || id))-smallest vertices, a deterministic
+    degree-blind order both engines reproduce byte-identically (the
+    stratified_sample trick), so the two curves' gap IS the
+    scale-free-network signature (resilient to failure, fragile to
+    attack) and still hash-compares exactly."""
     from mesos_pregel_spark.algos.cc import connected_components
 
+    if strategy not in ("degree", "random"):
+        raise ValueError("strategy must be 'degree' or 'random'")
     und = canonical_undirected(edges)
     deg = (
         und.select(F.col("lo").alias("id"))
@@ -54,9 +67,15 @@ def attack_tolerance(
     out = None
     for f in fractions:
         k = int(math.floor(f * n))
-        hubs = (
-            deg.orderBy(F.desc("deg"), F.asc("id")).limit(k).select("id")
-        )
+        if strategy == "degree":
+            ranked = deg.orderBy(F.desc("deg"), F.asc("id"))
+        else:
+            ranked = deg.orderBy(
+                F.md5(F.concat(F.lit(f"{seed}:"),
+                               F.col("id").cast("string"))),
+                F.asc("id"),
+            )
+        hubs = ranked.limit(k).select("id")
         rem = (
             und.join(hubs.withColumnRenamed("id", "lo"), "lo", "left_anti")
             .join(hubs.withColumnRenamed("id", "hi"), "hi", "left_anti")

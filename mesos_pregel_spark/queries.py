@@ -2866,7 +2866,30 @@ def q_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_robustness(fractions=_ROBUSTNESS_FRACTIONS) -> str:
+def q_error_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Nature-2000 companion curve: giant share under RANDOM
+    (md5-pinned, degree-blind) removal — its gap to `robustness` is
+    the scale-free resilient-to-failure / fragile-to-attack
+    signature."""
+    from mesos_pregel_spark.algos.robustness import attack_tolerance
+
+    return attack_tolerance(
+        spark,
+        _parts_seq_edges(spark, sf_dir).select(
+            F.col("src_actor").alias("src"),
+            F.col("dst_actor").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ),
+        fractions=_ROBUSTNESS_FRACTIONS,
+        strategy="random",
+        edge_partitions=8,
+    )
+
+
+def _sql_robustness(
+    fractions=_ROBUSTNESS_FRACTIONS, strategy: str = "degree",
+    seed: str = "fail42",
+) -> str:
     """Per-fraction min-label closure over the hub-filtered graph —
     quadratic per fraction, fine at driver scale; the engine path is
     the scalable one."""
@@ -2887,7 +2910,10 @@ deg AS MATERIALIZED (
   GROUP BY id),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
 ranked AS MATERIALIZED (
-  SELECT id, ROW_NUMBER() OVER (ORDER BY deg DESC, id ASC) AS rn
+  SELECT id, ROW_NUMBER() OVER (ORDER BY """ + (
+        "deg DESC, id ASC" if strategy == "degree"
+        else f"md5('{seed}:' || CAST(id AS VARCHAR)), id ASC"
+    ) + """) AS rn
   FROM deg)"""]
     rows = []
     for i, f in enumerate(fractions):
@@ -2932,6 +2958,7 @@ FROM profile
 
 
 SQL_ROBUSTNESS = _sql_robustness()
+SQL_ERROR_TOLERANCE = _sql_robustness(strategy="random")
 
 
 def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3901,6 +3928,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reciprocity": q_reciprocity,
     "bowtie": q_bowtie,
     "robustness": q_robustness,
+    "error_tolerance": q_error_tolerance,
     "triad_census": q_triad_census,
     "rank_drift": q_rank_drift,
     "rich_club": q_rich_club,
@@ -4004,6 +4032,7 @@ _QUERY_PRIORITY: list[str] = [
     "component_sizes",
     "bowtie",
     "robustness",
+    "error_tolerance",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -4146,6 +4175,7 @@ ORACLE_SQL: dict[str, str] = {
     "reciprocity": SQL_RECIPROCITY,
     "bowtie": SQL_BOWTIE,
     "robustness": SQL_ROBUSTNESS,
+    "error_tolerance": SQL_ERROR_TOLERANCE,
     "triad_census": SQL_TRIAD_CENSUS,
     "rank_drift": SQL_RANK_DRIFT,
     "rich_club": SQL_RICH_CLUB,

@@ -80,3 +80,64 @@ def test_remove_everything(spark):
     fr = (1.0,)
     got = _run(spark, edges, fr)
     assert got == _oracle(edges, fr) == [(1.0, 3, 0, 0, 0.0)]
+
+
+def _oracle_random(edges, fractions, seed="fail42"):
+    import hashlib
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    deg = Counter()
+    for lo, hi in und:
+        deg[lo] += 1
+        deg[hi] += 1
+    n = len(deg)
+    rows = []
+    for f in fractions:
+        k = int(math.floor(f * n))
+        victims = set(sorted(
+            deg, key=lambda v: (
+                hashlib.md5(f"{seed}:{v}".encode()).hexdigest(), v)
+        )[:k])
+        verts = set(deg) - victims
+        parent = {v: v for v in verts}
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for lo, hi in und:
+            if lo in verts and hi in verts:
+                parent[find(lo)] = find(hi)
+        sizes = Counter(find(v) for v in verts)
+        giant = max(sizes.values()) if sizes else 0
+        share = round(giant / (n - k), 9) if n - k > 0 else 0.0
+        rows.append((float(f), k, n - k, giant, share))
+    return sorted(rows)
+
+
+def test_random_failure_matches_md5_oracle_and_spares_the_star(spark):
+    """On the 9-leaf star with k=1: random removal almost surely takes
+    a LEAF (md5-pinned here: whichever the hash picks, the oracle
+    replicates it exactly), and the attack/error gap shows when the
+    hub survives."""
+    edges = [(0, i) for i in range(1, 10)]
+    fr = (0.1, 0.3)
+    got = sorted(
+        tuple(r)
+        for r in attack_tolerance(
+            spark, _df(spark, edges), fractions=fr, strategy="random",
+            edge_partitions=4,
+        ).collect()
+    )
+    assert got == _oracle_random(edges, fr)
+
+
+def test_random_strategy_rejects_unknown(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        attack_tolerance(
+            spark, _df(spark, [(1, 2)]), strategy="nope"
+        )
