@@ -157,3 +157,93 @@ def triangle_census(
     finally:
         de.unpersist()
     return out
+
+
+def directed_assortativity(
+    spark: SparkSession, edges: DataFrame
+) -> DataFrame:
+    """The four directed degree-correlation coefficients (Foster,
+    Foster, Grassberger, Paczuski, PNAS 2010): for every edge u→v and
+    every mode pair (α, β) ∈ {out, in}², the Pearson correlation of
+    (α-degree of u, β-degree of v) — a directed graph has FOUR
+    assortativities, and their signs disagree on real networks (the
+    paper's point; the undirected scalar A16 reports hides this).
+
+    Pinned semantics: self-loops dropped, parallel edges collapsed;
+    all 24 sufficient statistics (n and Σx, Σy, Σx², Σy², Σxy per
+    mode) are exact BIGINT sums aggregated in ONE pass over the
+    degree-joined edge table, so the four r values are fixed double
+    expressions over identical integers in both engines (the A16
+    discipline), rounded to 9dp; a zero-variance side reports NULL r.
+    At 100-TB edge counts promote the products to decimal(38,0) — the
+    plan shape is unchanged.
+
+    Shape (design-for-100x): two degree aggregates, one full outer
+    join into a |V|-row degree table (AQE-broadcast when small), one
+    edge scan with two hash joins, ONE 24-column aggregate; output is
+    exactly 4 rows.  Returns (mode, n_edges, r).
+    """
+    de = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    od = de.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("dout")
+    )
+    idg = de.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("din")
+    )
+    degs = (
+        od.join(idg, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("dout", F.lit(0)).cast("long").alias("dout"),
+            F.coalesce("din", F.lit(0)).cast("long").alias("din"),
+        )
+    )
+    p = (
+        de.join(
+            degs.withColumnsRenamed(
+                {"id": "src", "dout": "so", "din": "si"}), "src")
+        .join(
+            degs.withColumnsRenamed(
+                {"id": "dst", "dout": "to", "din": "ti"}), "dst")
+    )
+    modes = {
+        "out-out": ("so", "to"),
+        "out-in": ("so", "ti"),
+        "in-out": ("si", "to"),
+        "in-in": ("si", "ti"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for m, (x, y) in modes.items():
+        tag = m.replace("-", "_")
+        aggs += [
+            F.sum(x).alias(f"sx_{tag}"),
+            F.sum(y).alias(f"sy_{tag}"),
+            F.sum(F.col(x) * F.col(x)).alias(f"sxx_{tag}"),
+            F.sum(F.col(y) * F.col(y)).alias(f"syy_{tag}"),
+            F.sum(F.col(x) * F.col(y)).alias(f"sxy_{tag}"),
+        ]
+    s = p.agg(*aggs)
+    out = None
+    for m in modes:
+        tag = m.replace("-", "_")
+        n = F.col("n")
+        num = (n * F.col(f"sxy_{tag}")
+               - F.col(f"sx_{tag}") * F.col(f"sy_{tag}")).cast("double")
+        denx = (n * F.col(f"sxx_{tag}")
+                - F.col(f"sx_{tag}") * F.col(f"sx_{tag}")).cast("double")
+        deny = (n * F.col(f"syy_{tag}")
+                - F.col(f"sy_{tag}") * F.col(f"sy_{tag}")).cast("double")
+        row = s.select(
+            F.lit(m).alias("mode"),
+            n.cast("long").alias("n_edges"),
+            F.when(
+                (denx > 0) & (deny > 0),
+                F.round(num / F.sqrt(denx * deny), 9),
+            ).alias("r"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

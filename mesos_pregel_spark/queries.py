@@ -2961,6 +2961,79 @@ SQL_ROBUSTNESS = _sql_robustness()
 SQL_ERROR_TOLERANCE = _sql_robustness(strategy="random")
 
 
+def q_directed_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foster et al.'s four directed degree correlations on the parts
+    co-purchase sequence digraph."""
+    from mesos_pregel_spark.algos.directed import directed_assortativity
+
+    return directed_assortativity(
+        spark,
+        _parts_seq_edges(spark, sf_dir).select(
+            F.col("src_actor").alias("src"),
+            F.col("dst_actor").alias("dst"),
+        ),
+    )
+
+
+def _sql_dir_assort() -> str:
+    modes = {
+        "out-out": ("so", "tout"),
+        "out-in": ("so", "ti"),
+        "in-out": ("si", "tout"),
+        "in-in": ("si", "ti"),
+    }
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    rows = []
+    for m, (x, y) in modes.items():
+        tag = m.replace("-", "_")
+        sums += [
+            f"CAST(SUM({x}) AS BIGINT) AS sx_{tag}",
+            f"CAST(SUM({y}) AS BIGINT) AS sy_{tag}",
+            f"CAST(SUM({x} * {x}) AS BIGINT) AS sxx_{tag}",
+            f"CAST(SUM({y} * {y}) AS BIGINT) AS syy_{tag}",
+            f"CAST(SUM({x} * {y}) AS BIGINT) AS sxy_{tag}",
+        ]
+        rows.append(f"""
+SELECT '{m}' AS mode, n AS n_edges,
+       CASE WHEN CAST(n * sxx_{tag} - sx_{tag} * sx_{tag} AS DOUBLE) > 0
+             AND CAST(n * syy_{tag} - sy_{tag} * sy_{tag} AS DOUBLE) > 0
+       THEN ROUND(
+         CAST(n * sxy_{tag} - sx_{tag} * sy_{tag} AS DOUBLE)
+         / SQRT(CAST(n * sxx_{tag} - sx_{tag} * sx_{tag} AS DOUBLE)
+                * CAST(n * syy_{tag} - sy_{tag} * sy_{tag} AS DOUBLE)), 9)
+       END AS r
+FROM stats""")
+    return f"""
+WITH seq AS (
+  SELECT l_orderkey, l_partkey AS src,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+  FROM lineitem),
+de AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM seq
+  WHERE dst IS NOT NULL AND src <> dst),
+od AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS dout
+       FROM de GROUP BY src),
+idg AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS din
+        FROM de GROUP BY dst),
+degs AS (
+  SELECT COALESCE(o.id, i.id) AS id,
+         COALESCE(o.dout, 0) AS dout, COALESCE(i.din, 0) AS din
+  FROM od o FULL OUTER JOIN idg i ON i.id = o.id),
+p AS (
+  SELECT s.dout AS so, s.din AS si, t.dout AS tout, t.din AS ti
+  FROM de
+  JOIN degs s ON s.id = de.src
+  JOIN degs t ON t.id = de.dst),
+stats AS (
+  SELECT {", ".join(sums)} FROM p)
+{" UNION ALL ".join(rows)}
+"""
+
+
+SQL_DIRECTED_ASSORTATIVITY = _sql_dir_assort()
+
+
 def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed-edge reciprocity of the parts co-purchase sequence
     graph (algos/directed.py — exact long counts, one rounded
@@ -3929,6 +4002,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bowtie": q_bowtie,
     "robustness": q_robustness,
     "error_tolerance": q_error_tolerance,
+    "directed_assortativity": q_directed_assortativity,
     "triad_census": q_triad_census,
     "rank_drift": q_rank_drift,
     "rich_club": q_rich_club,
@@ -4033,6 +4107,7 @@ _QUERY_PRIORITY: list[str] = [
     "bowtie",
     "robustness",
     "error_tolerance",
+    "directed_assortativity",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -4176,6 +4251,7 @@ ORACLE_SQL: dict[str, str] = {
     "bowtie": SQL_BOWTIE,
     "robustness": SQL_ROBUSTNESS,
     "error_tolerance": SQL_ERROR_TOLERANCE,
+    "directed_assortativity": SQL_DIRECTED_ASSORTATIVITY,
     "triad_census": SQL_TRIAD_CENSUS,
     "rank_drift": SQL_RANK_DRIFT,
     "rich_club": SQL_RICH_CLUB,

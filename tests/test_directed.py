@@ -144,3 +144,64 @@ def test_rank_drift_replication(spark):
         (3, "a"): (4.0, 1, -1),        # previous appearance = window 1
         (3, "c"): (4.0, 1, -1),        # previous appearance = window 0
     }
+
+
+def _oracle_dir_assort(edges):
+    """Exact-recipe replication of directed_assortativity."""
+    import math as _math
+    from collections import Counter
+
+    de = {(a, b) for a, b in edges if a != b}
+    dout, din = Counter(), Counter()
+    for a, b in de:
+        dout[a] += 1
+        din[b] += 1
+    modes = {
+        "out-out": lambda a, b: (dout[a], dout[b]),
+        "out-in": lambda a, b: (dout[a], din[b]),
+        "in-out": lambda a, b: (din[a], dout[b]),
+        "in-in": lambda a, b: (din[a], din[b]),
+    }
+    n = len(de)
+    out = {}
+    for m, f in modes.items():
+        sx = sy = sxx = syy = sxy = 0
+        for a, b in de:
+            x, y = f(a, b)
+            sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
+        denx = float(n * sxx - sx * sx)
+        deny = float(n * syy - sy * sy)
+        r = (round(float(n * sxy - sx * sy) / _math.sqrt(denx * deny), 9)
+             if denx > 0 and deny > 0 else None)
+        out[m] = (n, r)
+    return out
+
+
+def test_directed_assortativity_matches_recipe_oracle(spark):
+    from mesos_pregel_spark.algos.directed import directed_assortativity
+
+    edges = [
+        (1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (4, 2), (5, 4), (2, 5),
+        (6, 1), (6, 2), (6, 3), (3, 6), (7, 7),     # self-loop dropped
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["mode"]: (r["n_edges"], r["r"])
+        for r in directed_assortativity(spark, df).collect()
+    }
+    assert got == _oracle_dir_assort(edges)
+    assert len(got) == 4
+
+
+def test_directed_assortativity_zero_variance_is_null(spark):
+    from mesos_pregel_spark.algos.directed import directed_assortativity
+
+    # directed 3-cycle: every in/out degree is 1 -> zero variance
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {
+        r["mode"]: r["r"]
+        for r in directed_assortativity(spark, df).collect()
+    }
+    assert got == {m: None for m in ("out-out", "out-in", "in-out", "in-in")}
