@@ -1269,11 +1269,15 @@ def run_scaling() -> None:
         )
         # the child prints a compact final line (driver contract) and
         # writes the full payload — throughput/detail — to
-        # bench_full.json.  Remove any stale copy BEFORE launching:
-        # without this, a crashed leg would silently reuse the
-        # previous leg's payload and report a bogus ~0.25 efficiency.
+        # bench_full_partial.json (the child runs with SPARK_GRAFT_ONLY
+        # set, so it takes the partial-file path and the committed
+        # full-suite bench_full.json survives).  Remove any stale copy
+        # BEFORE launching: without this, a crashed leg would silently
+        # reuse the previous leg's payload and report a bogus ~0.25
+        # efficiency.
         full_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_full_partial.json")
         try:
             os.remove(full_path)
         except OSError:
@@ -1358,9 +1362,14 @@ def _print_compact(result: dict) -> None:
     BENCH_r04.json recorded ``parsed: null``.  So: write the FULL payload
     to bench_full.json, print a compact line (metric/value/queries +
     normalization scalars only) LAST, and hard-assert it stays ≤1500
-    chars to leave margin."""
+    chars to leave margin.
+
+    Partial runs (``SPARK_GRAFT_ONLY``) write ``bench_full_partial.json``
+    instead: the committed bench_full.json is the FULL-suite record, and
+    a quick --only smoke run must not clobber it (it did, twice)."""
+    fname = "bench_full_partial.json" if ONLY else "bench_full.json"
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+        os.path.dirname(os.path.abspath(__file__)), fname)
     with open(full_path, "w") as f:
         json.dump(result, f, indent=1)
     compact = {
@@ -1372,7 +1381,7 @@ def _print_compact(result: dict) -> None:
         "cpus": result["cpus"],
         "value_normalized": result["value_normalized"],
         "host_speed_factor": result["calibration"]["host_speed_factor"],
-        "full_payload": "bench_full.json",
+        "full_payload": fname,
     }
     line = json.dumps(compact)
     if len(line) > 1500:  # drop per-query detail before breaking the parse

@@ -472,3 +472,80 @@ def heaps_law(docs: DataFrame, partitions: int | None = None) -> DataFrame:
     return scored.crossJoin(F.broadcast(grand)).select(
         "n_points", "total_tokens", "vocab_size", "beta", "ln_k"
     )
+
+
+def textrank(
+    docs: DataFrame, max_supersteps: int = 4, min_len: int = 3
+) -> DataFrame:
+    """TextRank keyword scores (Mihalcea-Tarau 2004): build the word
+    co-occurrence graph of the corpus and rank every word with the
+    engine's OWN weighted-PageRank kernel — the text-to-graph
+    synthesis this engine exists for (edge_extract lifts transcripts
+    into an actor graph; this lifts the token stream into a word
+    graph and reuses the identical superstep machinery).
+
+    Pinned semantics (mirrored by queries_text.SQL_TEXTRANK):
+    - pinned tokenization; co-occurrence = consecutive token pairs
+      within a document (window 2, the paper's default);
+    - pairs kept when BOTH tokens have length >= min_len and differ
+      (the paper's syntactic filter, re-expressed as a deterministic
+      length gate — no POS tagger in either engine);
+    - UNDIRECTED graph, canonicalized (least, greatest), edge weight
+      = raw co-occurrence count, symmetrized into two directed rows
+      for the kernel;
+    - weighted PageRank, d = 0.85, x_0 = 1/N, a FIXED superstep
+      budget (bounded-iteration semantics like katz/eigenvector);
+      scores round to 9 dp.  Scores are returned for the WHOLE
+      vocabulary — top-k selection is the caller's one ORDER BY, so
+      no float-boundary LIMIT enters the cross-engine contract.
+
+    Shape (design-for-100x): one corpus scan -> one (a, b) hash
+    aggregate builds the graph (map-side combinable); the rank loop is
+    the engine's scatter/combine superstep — one shuffle per step over
+    src-partitioned persisted edges.  Vocabulary-scale vertices (~1e8
+    at 100 TB with garbage types) are far below the kernel's tested
+    edge cardinality; hub words (stopword survivors) are exactly the
+    skew the combiner's map-side partials + optional salting absorb.
+    Returns (token, textrank).
+    """
+    nt = F.size(F.col("toks"))
+    pairs = F.when(
+        nt >= 2,
+        F.transform(
+            F.sequence(F.lit(1), nt - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    und = (
+        docs.select(tokens_col(F.col("text")).alias("toks"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .filter(
+            (F.length("w1") >= min_len)
+            & (F.length("w2") >= min_len)
+            & (F.col("w1") != F.col("w2"))
+        )
+        .select(
+            F.least("w1", "w2").alias("a"),
+            F.greatest("w1", "w2").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "weight"
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "weight")
+    )
+    from mesos_pregel_spark.algos.pagerank import pagerank
+
+    ranks, _run = pagerank(
+        docs.sparkSession, edges, tol=0.0,
+        max_supersteps=max_supersteps, edge_partitions=8, weighted=True,
+    )
+    return ranks.select(
+        F.col("id").alias("token"), F.round("pagerank", 9).alias("textrank")
+    )

@@ -3435,6 +3435,53 @@ JOIN x4 ON x4.actor = v.actor
 """
 
 
+def q_eigenvector_step4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step power-iteration eigenvector centrality on the events
+    actor graph (algos/eigenvector.py — bare A^T x fixpoint, L2-
+    normalized once at the end; every unnormalized x_t is an exact
+    integer in-walk count, so the unroll cannot drift)."""
+    from mesos_pregel_spark.algos.eigenvector import eigenvector
+
+    scores, _run = eigenvector(
+        spark, _graph_edges(spark, sf_dir),
+        max_supersteps=4, edge_partitions=8,
+    )
+    return scores.select(F.col("id").alias("actor"), "eigenvector")
+
+
+SQL_EIGENVECTOR_STEP4 = _SQL_EDGES + """
+, dedges AS (SELECT DISTINCT src_actor AS s, dst_actor AS d FROM edges),
+e1 AS MATERIALIZED (
+  SELECT v.actor, COALESCE(c.m, CAST(0.0 AS DOUBLE)) AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.d AS actor, SUM(CAST(1.0 AS DOUBLE)) AS m
+    FROM dedges e GROUP BY e.d) c ON v.actor = c.actor),
+e2 AS MATERIALIZED (
+  SELECT v.actor, COALESCE(c.m, CAST(0.0 AS DOUBLE)) AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.d AS actor, SUM(p.x) AS m
+    FROM dedges e JOIN e1 p ON p.actor = e.s GROUP BY e.d) c
+  ON v.actor = c.actor),
+e3 AS MATERIALIZED (
+  SELECT v.actor, COALESCE(c.m, CAST(0.0 AS DOUBLE)) AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.d AS actor, SUM(p.x) AS m
+    FROM dedges e JOIN e2 p ON p.actor = e.s GROUP BY e.d) c
+  ON v.actor = c.actor),
+e4 AS MATERIALIZED (
+  SELECT v.actor, COALESCE(c.m, CAST(0.0 AS DOUBLE)) AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.d AS actor, SUM(p.x) AS m
+    FROM dedges e JOIN e3 p ON p.actor = e.s GROUP BY e.d) c
+  ON v.actor = c.actor),
+nrm AS (SELECT SQRT(SUM(x * x)) AS norm FROM e4)
+SELECT e4.actor,
+       CASE WHEN nrm.norm > 0.0 THEN ROUND(e4.x / nrm.norm, 9)
+            ELSE CAST(0.0 AS DOUBLE) END AS eigenvector
+FROM e4 CROSS JOIN nrm
+"""
+
+
 def q_edge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-level day-over-day delta report of the events interaction
     graph (functions/edges.py::window_edge_delta over the edges_daily
@@ -4011,6 +4058,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_daily": q_pagerank_daily,
     "cc_daily": q_cc_daily,
     "katz_step4": q_katz_step4,
+    "eigenvector_step4": q_eigenvector_step4,
     "edge_delta": q_edge_delta,
     "weighted_clustering": q_weighted_clustering,
     "betweenness": q_betweenness,
@@ -4108,6 +4156,8 @@ _QUERY_PRIORITY: list[str] = [
     "robustness",
     "error_tolerance",
     "directed_assortativity",
+    "eigenvector_step4",
+    "textrank",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -4260,6 +4310,7 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank_daily": SQL_PAGERANK_DAILY,
     "cc_daily": SQL_CC_DAILY,
     "katz_step4": SQL_KATZ_STEP4,
+    "eigenvector_step4": SQL_EIGENVECTOR_STEP4,
     "edge_delta": SQL_EDGE_DELTA,
     "weighted_clustering": SQL_WEIGHTED_CLUSTERING,
     "betweenness": SQL_BETWEENNESS,

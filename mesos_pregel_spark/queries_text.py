@@ -73,6 +73,7 @@ from mesos_pregel_spark.functions.composition import (
     pmi_topk,
     source_kl,
     source_mix,
+    textrank,
     vocab_stats,
 )
 from mesos_pregel_spark.functions.decontam import decontaminate
@@ -1352,6 +1353,65 @@ ORDER BY pmi_micro DESC, cnt DESC, w1 ASC, w2 ASC LIMIT {_PMI_TOP_K}
 """
 
 
+# TextRank keyword scores (functions/composition.py::textrank): the
+# word co-occurrence graph + a 4-step weighted-PageRank unroll — the
+# same MATERIALIZED-CTE-per-superstep technique as the actor-graph
+# pagerank oracles, applied to the token substrate.  Scores cover the
+# whole vocabulary (no float-boundary LIMIT in the contract).
+_TEXTRANK_STEPS, _TEXTRANK_MIN_LEN = 4, 3
+
+
+def _sql_textrank(steps: int) -> str:
+    parts = [f"""
+WITH toks AS (
+  SELECT string_split({_NORM}, ' ') AS t FROM documents
+),
+wpairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (
+    SELECT t, CAST(unnest(range(1, len(t))) AS BIGINT) AS i
+    FROM toks WHERE len(t) >= 2)
+),
+und AS (
+  SELECT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM wpairs
+  WHERE LENGTH(w1) >= {_TEXTRANK_MIN_LEN}
+    AND LENGTH(w2) >= {_TEXTRANK_MIN_LEN} AND w1 <> w2
+  GROUP BY 1, 2
+),
+wedges AS MATERIALIZED (
+  SELECT a AS s, b AS d, w FROM und
+  UNION ALL SELECT b, a, w FROM und
+),
+wverts AS (SELECT DISTINCT s AS token FROM wedges),
+wn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wverts),
+wout AS (SELECT s, SUM(w) AS wt FROM wedges GROUP BY s),
+tr0 AS MATERIALIZED (
+  SELECT token, 1.0/(SELECT n FROM wn) AS pr FROM wverts
+)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+tr{k} AS MATERIALIZED (
+  SELECT v.token,
+         0.15/(SELECT n FROM wn) + 0.85*COALESCE(c.s, 0.0) AS pr
+  FROM wverts v LEFT JOIN (
+    SELECT e.d AS token, SUM(p.pr * e.w / wout.wt) AS s
+    FROM wedges e
+    JOIN tr{k-1} p ON e.s = p.token
+    JOIN wout ON e.s = wout.s
+    GROUP BY e.d) c
+  ON v.token = c.token
+)""")
+    parts.append(f"""
+SELECT token, ROUND(pr, 9) AS textrank FROM tr{steps}
+""")
+    return "".join(parts)
+
+
+SQL_TEXTRANK = _sql_textrank(_TEXTRANK_STEPS)
+
+
 # Heaps'-law vocabulary-growth fit (functions/composition.py::
 # heaps_law): the global doc_id-ordered running totals are plain
 # windows here (DuckDB sorts centrally anyway); the Spark side uses
@@ -1616,6 +1676,9 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _docs(s, d), n=_HOTSPOT_N, top_k=_HOTSPOT_K),
     "pmi_topk": lambda s, d: pmi_topk(
         _docs(s, d), min_count=_PMI_MIN_COUNT, top_k=_PMI_TOP_K),
+    "textrank": lambda s, d: textrank(
+        _docs(s, d), max_supersteps=_TEXTRANK_STEPS,
+        min_len=_TEXTRANK_MIN_LEN),
     "heaps_law": lambda s, d: heaps_law(_docs(s, d)),
     "fuzzy_decontaminate": _fuzzy_decontaminate,
     "dup_source_matrix": lambda s, d: _eager_release(
@@ -1661,6 +1724,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "chunk_windows": SQL_CHUNK_WINDOWS,
     "ngram_hotspots": SQL_NGRAM_HOTSPOTS,
     "pmi_topk": SQL_PMI_TOPK,
+    "textrank": SQL_TEXTRANK,
     "heaps_law": SQL_HEAPS_LAW,
     "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
     "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,

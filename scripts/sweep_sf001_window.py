@@ -31,7 +31,8 @@ def main() -> int:
             f"read_parquet('{SF}/{t}.parquet')"
         )
     qs, osql = em.queries(), em.oracle_sql()
-    names = list(qs.keys())[:N]
+    only = os.environ.get("SWEEP_ONLY")
+    names = only.split(",") if only else list(qs.keys())[:N]
     bad = []
     for name in names:
         t0 = time.monotonic()

@@ -332,3 +332,82 @@ def test_heaps_law_matches_recipe_oracle(spark):
 def test_heaps_law_degenerate_single_point(spark):
     got = _heaps_run(spark, [(0, "only doc here")])
     assert got[0] == 1 and got[3] is None and got[4] is None
+
+
+def _oracle_textrank(texts, k=4, min_len=3):
+    """Exact-recipe replication of functions/composition.py::textrank
+    (pinned tokenization, length-gated adjacent pairs, canonicalized
+    undirected weights, 4-step weighted PageRank, 9-dp round)."""
+    import re
+    from collections import Counter
+
+    und = Counter()
+    for t in texts:
+        toks = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        for a, b in zip(toks, toks[1:]):
+            if len(a) >= min_len and len(b) >= min_len and a != b:
+                und[(min(a, b), max(a, b))] += 1
+    edges = {}
+    for (a, b), w in und.items():
+        edges[(a, b)] = float(w)
+        edges[(b, a)] = float(w)
+    verts = {v for p in edges for v in p}
+    n = float(len(verts))
+    wout = Counter()
+    for (s, _d), w in edges.items():
+        wout[s] += w
+    pr = {v: 1.0 / n for v in verts}
+    for _ in range(k):
+        agg = {v: 0.0 for v in verts}
+        for (s, d), w in edges.items():
+            agg[d] += pr[s] * w / wout[s]
+        pr = {v: (1.0 - 0.85) / n + 0.85 * agg[v] for v in verts}
+    return {v: round(p, 9) for v, p in pr.items()}
+
+
+def test_textrank_matches_recipe_oracle(spark):
+    from mesos_pregel_spark.functions.composition import textrank
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "quick brown foxes love quick brown dogs",
+        "graph ranking ranks graph words by graph structure",
+        "ranking words  with\tgraph   structure", "x y", "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["token"]: r["textrank"] for r in textrank(df).collect()}
+    assert got == _oracle_textrank(texts)
+
+
+def test_textrank_hub_word_outranks_leaf(spark):
+    """A word co-occurring with many distinct words must outrank a
+    word that appears only once at the corpus edge."""
+    from mesos_pregel_spark.functions.composition import textrank
+
+    texts = [
+        "graph theory", "graph algebra", "graph mining", "graph walks",
+        "graph systems", "lonely sentinel",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["token"]: r["textrank"] for r in textrank(df).collect()}
+    assert got["graph"] > got["theory"]
+    assert got["graph"] > got["lonely"]
+    # short tokens are gated out of the graph entirely
+    assert "x" not in got and "y" not in got
+
+
+def test_textrank_short_token_gate(spark):
+    """Pairs survive only when BOTH sides pass the length gate; a doc
+    of all-short tokens contributes no vertices."""
+    from mesos_pregel_spark.functions.composition import textrank
+
+    df = spark.createDataFrame(
+        [(0, "a bb very long words"), (1, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {r["token"] for r in textrank(df).collect()}
+    assert got == {"very", "long", "words"}
