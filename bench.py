@@ -368,6 +368,23 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         detail["pagerank_final_max_delta"] = run.metrics[-1]["max_delta"]
         gp.unpersist()
 
+    if on("eigenvector"):
+        # Bare power iteration: same scatter/combine plan as PageRank
+        # minus the damping arithmetic — its per-superstep time is the
+        # floor the ranking family pays for one message shuffle.
+        from mesos_pregel_spark.algos.eigenvector import eigenvector
+
+        t = time.monotonic()
+        escores, erun = eigenvector(
+            spark, g, max_supersteps=4, edge_partitions=nparts)
+        n_ev = escores.count()
+        ev_sec = time.monotonic() - t
+        e_edges = detail.get("pagerank_distinct_edges", g_edges)
+        queries["eigenvector"] = round(ev_sec, 3)
+        throughput["eigenvector_edges_per_sec"] = round(
+            e_edges * len(erun.metrics) / ev_sec)
+        detail["eigenvector_vertices"] = n_ev
+
     comps_cc = None
     if on("cc"):
         t = time.monotonic()
@@ -1092,6 +1109,32 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         detail["corpusfit_heaps_beta"] = hrow["beta"]
         detail["corpusfit_hill_alpha"] = arow["alpha"]
         cdocs.unpersist()
+
+    if on("textrank"):
+        # Text-to-graph synthesis: one corpus scan builds the word
+        # co-occurrence graph, then the engine's weighted-PageRank
+        # kernel ranks the vocabulary — the bench row times BOTH the
+        # graph build and 4 supersteps (a real pipeline pays both).
+        from mesos_pregel_spark.fixtures import generate_documents_dist
+        from mesos_pregel_spark.functions.composition import textrank
+
+        n_docs_tr = max(10_000, int(100_000 * scale))
+        tdocs = (
+            generate_documents_dist(
+                spark, n_docs_tr, dup_frac=0.2, partitions=nparts)
+            .select("doc_id", "text")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_tdocs = tdocs.count()
+        t = time.monotonic()
+        tr = textrank(tdocs, max_supersteps=4)
+        n_words = tr.count()
+        tr_sec = time.monotonic() - t
+        queries["textrank"] = round(tr_sec, 3)
+        throughput["textrank_docs_per_sec"] = round(n_tdocs / tr_sec)
+        detail["textrank_docs"] = n_tdocs
+        detail["textrank_vocab_vertices"] = n_words
+        tdocs.unpersist()
 
     if on("triads"):
         # Directed triangle census + reciprocity + rich-club profile
