@@ -70,3 +70,54 @@ def session_stats(
         (F.max("us") - F.min("us")).alias("duration_us"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+def turn_entropy(events: DataFrame) -> DataFrame:
+    """Per-conversation turn-taking entropy: the Shannon entropy of
+    the actor (event_type/role) distribution over a conversation's
+    turns — the transcript-quality signal that separates a balanced
+    multi-party dialogue (high H) from a monologue or a tool-spam loop
+    (H near 0).  A training-mix recipe thresholds or stratifies on it
+    next to quality_score.
+
+    Pinned semantics (exact DuckDB twin, queries.SQL_TURN_ENTROPY —
+    the pmi/source_kl micro-nat discipline):
+
+    - c = turns per (conversation, actor); n = turns per conversation
+      (exact integer aggregates);
+    - each actor term c*ln(c) is snapped to BIGINT micro-nats BEFORE
+      the cross-partition sum (ROUND(c*ln(c)*1e6)), so partition order
+      can never change a digit; c = 1 contributes exactly 0;
+    - H = ln(n) - (s_micro/1e6)/n, one final ln + division from exact
+      integers, rounded to 9 dp.  The micro-nat snap bounds the
+      quantization error at 5e-7/n nats — deterministic, documented,
+      and far inside any downstream threshold's tolerance (a
+      single-actor conversation may read as ±a few 1e-8 instead of
+      exactly 0; that is the price of an order-independent sum).
+
+    Shape (design-for-100x): two hash aggregates, both map-side
+    combinable, shuffling on user_id then (user_id) again — AQE
+    coalesces them into one exchange reuse; no windows, no UDFs.
+    Returns (user_id, n_turns, n_actors, entropy).
+    """
+    by_actor = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c_d = F.col("c").cast("double")
+    t_micro = F.round(c_d * F.log(c_d) * 1e6).cast("long")
+    per_conv = (
+        by_actor.select("user_id", "c", t_micro.alias("t_micro"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_turns"),
+            F.count(F.lit(1)).cast("long").alias("n_actors"),
+            F.sum("t_micro").cast("long").alias("s_micro"),
+        )
+    )
+    n_d = F.col("n_turns").cast("double")
+    ent = F.round(
+        F.log(n_d) - (F.col("s_micro").cast("double") / 1e6) / n_d, 9
+    )
+    return per_conv.select(
+        "user_id", "n_turns", "n_actors", ent.alias("entropy")
+    )

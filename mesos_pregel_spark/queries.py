@@ -1253,6 +1253,37 @@ FROM s2 GROUP BY user_id, session_idx
 """
 
 
+def q_turn_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation turn-taking entropy over the events log
+    (functions/sessions.py::turn_entropy — actor-distribution Shannon
+    entropy, micro-nat-snapped terms for order-independent sums)."""
+    from mesos_pregel_spark.functions.sessions import turn_entropy
+
+    return turn_entropy(_events(spark, sf_dir))
+
+
+SQL_TURN_ENTROPY = """
+WITH by_actor AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+per_conv AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n_turns,
+         CAST(COUNT(*) AS BIGINT) AS n_actors,
+         CAST(SUM(CAST(ROUND(
+           CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)) * 1e6
+         ) AS BIGINT)) AS BIGINT) AS s_micro
+  FROM by_actor GROUP BY user_id
+)
+SELECT user_id, n_turns, n_actors,
+       ROUND(LN(CAST(n_turns AS DOUBLE))
+             - (CAST(s_micro AS DOUBLE) / 1e6) / CAST(n_turns AS DOUBLE),
+             9) AS entropy
+FROM per_conv
+"""
+
+
 _COLORING_STEPS = 25
 
 
@@ -4026,6 +4057,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_histogram": q_degree_histogram,
     "hill_alpha": q_hill_alpha,
     "sessions": q_sessions,
+    "turn_entropy": q_turn_entropy,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -4158,6 +4190,7 @@ _QUERY_PRIORITY: list[str] = [
     "directed_assortativity",
     "eigenvector_step4",
     "textrank",
+    "turn_entropy",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -4278,6 +4311,7 @@ ORACLE_SQL: dict[str, str] = {
     "degree_histogram": SQL_DEGREE_HISTOGRAM,
     "hill_alpha": SQL_HILL_ALPHA,
     "sessions": SQL_SESSIONS,
+    "turn_entropy": SQL_TURN_ENTROPY,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,

@@ -178,3 +178,68 @@ def test_pack_concat_no_stratum_window_in_plan(spark):
             # a serial plan would show partitionBy [stratum#...] alone
             # directly over the doc scan
             assert "pid" in line, f"stratum-only window over docs: {line}"
+
+
+def _oracle_entropy(rows):
+    """Exact-recipe replication of sessions.py::turn_entropy."""
+    import decimal
+    import math
+    from collections import Counter
+
+    def snap(x):
+        return int(decimal.Decimal(x).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+
+    by = Counter()
+    for user, actor in rows:
+        by[(user, actor)] += 1
+    out = {}
+    for user in {u for u, _ in by}:
+        cs = [c for (u, _a), c in by.items() if u == user]
+        n = sum(cs)
+        s_micro = sum(snap(float(c) * math.log(float(c)) * 1e6) for c in cs)
+        out[user] = (
+            n, len(cs), round(math.log(float(n)) - (s_micro / 1e6) / n, 9)
+        )
+    return out
+
+
+def test_turn_entropy_matches_recipe_oracle(spark):
+    from mesos_pregel_spark.functions.sessions import turn_entropy
+
+    rows = [
+        ("c1", "user"), ("c1", "assistant"), ("c1", "user"),
+        ("c1", "assistant"), ("c1", "tool"),
+        ("c2", "assistant"), ("c2", "assistant"), ("c2", "assistant"),
+        ("c3", "user"),
+        ("c4", "user"), ("c4", "assistant"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    got = {
+        r["user_id"]: (r["n_turns"], r["n_actors"], r["entropy"])
+        for r in turn_entropy(df).collect()
+    }
+    assert got == _oracle_entropy(rows)
+    # balanced 2-actor conversation ~ ln 2; monologue ~ 0
+    assert abs(got["c4"][2] - 0.693147181) < 1e-6
+    assert abs(got["c2"][2]) < 1e-6
+    assert got["c3"] == (1, 1, 0.0)
+
+
+def test_turn_entropy_order_invariance(spark):
+    """Micro-nat snapping makes the sum order-independent: shuffled
+    input and different partitioning give bit-identical entropy."""
+    import random
+
+    from mesos_pregel_spark.functions.sessions import turn_entropy
+
+    rng = random.Random(11)
+    rows = [(f"c{rng.randrange(6)}", f"a{rng.randrange(4)}")
+            for _ in range(300)]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    a = turn_entropy(spark.createDataFrame(
+        rows, "user_id string, event_type string").repartition(2)).collect()
+    b = turn_entropy(spark.createDataFrame(
+        shuffled, "user_id string, event_type string").repartition(9)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
