@@ -1284,6 +1284,83 @@ FROM per_conv
 """
 
 
+def q_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column analytics: extract the integer ``$.k``
+    field from the events table's JSON ``props`` column JVM-side
+    (``get_json_object`` — no Python, stays in whole-stage codegen)
+    and roll up the ``value`` measure per (event_type, k-decile).
+
+    Pinned cross-engine semantics:
+    - k = JSON path $.k cast to BIGINT; rows with no parseable k are
+      excluded (both engines yield NULL there);
+    - bucket = FLOOR(k/10) computed in double then cast — identical
+      for every |k| < 2^53, engine-independent (integer ``//`` differs
+      between engines on negatives);
+    - the double ``value`` snaps to exact cents BEFORE the
+      cross-partition sum (the micro-unit discipline), so the rollup
+      is an integer aggregate; avg_value is ONE final division,
+      rounded to 9 dp.
+
+    Shape (design-for-100x): one parquet scan (props/value/event_type
+    pruned at the reader), one hash aggregate with map-side partials —
+    the JSON parse is per-row scalar work that scales linearly and
+    pushes no shuffle."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    cents = F.round(F.col("value") * 100.0).cast("long")
+    return (
+        ev.select("event_type", k.alias("k"), cents.alias("cents"))
+        .where(F.col("k").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("k").cast("double") / 10.0).cast("long")
+            .alias("k_decile"),
+            "k", "cents",
+        )
+        .groupBy("event_type", "k_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            "event_type", "k_decile", "n_events", "n_distinct_k",
+            "sum_cents",
+            F.round(
+                (F.col("sum_cents").cast("double") / 100.0)
+                / F.col("n_events").cast("double"), 9
+            ).alias("avg_value"),
+        )
+    )
+
+
+SQL_PROPS_ROLLUP = """
+WITH ex AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(k AS DOUBLE) / 10.0) AS BIGINT) AS k_decile,
+         k, cents
+  FROM ex WHERE k IS NOT NULL
+),
+g AS (
+  SELECT event_type, k_decile,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM b GROUP BY 1, 2
+)
+SELECT event_type, k_decile, n_events, n_distinct_k, sum_cents,
+       ROUND((CAST(sum_cents AS DOUBLE) / 100.0)
+             / CAST(n_events AS DOUBLE), 9) AS avg_value
+FROM g
+"""
+
+
 _COLORING_STEPS = 25
 
 
@@ -4058,6 +4135,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hill_alpha": q_hill_alpha,
     "sessions": q_sessions,
     "turn_entropy": q_turn_entropy,
+    "props_rollup": q_props_rollup,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -4191,6 +4269,7 @@ _QUERY_PRIORITY: list[str] = [
     "eigenvector_step4",
     "textrank",
     "turn_entropy",
+    "props_rollup",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -4312,6 +4391,7 @@ ORACLE_SQL: dict[str, str] = {
     "hill_alpha": SQL_HILL_ALPHA,
     "sessions": SQL_SESSIONS,
     "turn_entropy": SQL_TURN_ENTROPY,
+    "props_rollup": SQL_PROPS_ROLLUP,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,
