@@ -1284,6 +1284,81 @@ FROM per_conv
 """
 
 
+def q_reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversational response-time profile: for every consecutive
+    turn pair within a conversation (the X4 linking rule — order by
+    (ts, event_id) within user_id), the gap in MICROSECONDS from the
+    src actor's turn to the dst actor's reply, rolled up per
+    (src_actor, dst_actor).  The transcript-dynamics twin of
+    edge_extract: that counts transitions, this times them ("how fast
+    does the assistant answer the user").
+
+    Pinned: all arithmetic on epoch-microsecond longs (NTZ-safe, the
+    sessions discipline) — n / min / max / sum are exact integers;
+    avg_gap_us is an exact integer FLOOR division (sum div n — a 9-dp
+    double round of a millions-of-µs average is where the engines'
+    decimal-rounding implementations diverge; measured MISMATCH at
+    sf0.01, so the contract stays all-integer).  Self-transitions are
+    KEPT (monologue pacing is signal here; edge extraction drops
+    them, this does not).
+
+    Shape (design-for-100x): one window pass partitioned by user_id +
+    one hash aggregate over at most |actors|^2 groups — the same
+    single-exchange shape as sessionize."""
+    from pyspark.sql import Window
+
+    from mesos_pregel_spark.functions.sessions import _us_col
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _us_col()
+    seq = _events(spark, sf_dir).select(
+        F.col("event_type").alias("src_actor"),
+        us.alias("us"),
+        F.lead("event_type").over(w).alias("dst_actor"),
+        F.lead(us).over(w).alias("nxt_us"),
+    )
+    gaps = seq.where(F.col("dst_actor").isNotNull()).select(
+        "src_actor", "dst_actor",
+        (F.col("nxt_us") - F.col("us")).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("src_actor", "dst_actor")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_replies"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.sum("gap_us").cast("long").alias("sum_gap_us"),
+        )
+        .select(
+            "src_actor", "dst_actor", "n_replies", "min_gap_us",
+            "max_gap_us", "sum_gap_us",
+            F.expr("sum_gap_us div n_replies").alias("avg_gap_us"),
+        )
+    )
+
+
+SQL_REPLY_LATENCY = """
+WITH seq AS (
+  SELECT event_type AS src_actor, epoch_us(ts) AS us,
+         LEAD(event_type) OVER w AS dst_actor,
+         LEAD(epoch_us(ts)) OVER w AS nxt_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+gaps AS (
+  SELECT src_actor, dst_actor, nxt_us - us AS gap_us
+  FROM seq WHERE dst_actor IS NOT NULL
+)
+SELECT src_actor, dst_actor,
+       CAST(COUNT(*) AS BIGINT) AS n_replies,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS avg_gap_us
+FROM gaps GROUP BY 1, 2
+"""
+
+
 def q_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column analytics: extract the integer ``$.k``
     field from the events table's JSON ``props`` column JVM-side
@@ -4136,6 +4211,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions": q_sessions,
     "turn_entropy": q_turn_entropy,
     "props_rollup": q_props_rollup,
+    "reply_latency": q_reply_latency,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -4270,6 +4346,7 @@ _QUERY_PRIORITY: list[str] = [
     "textrank",
     "turn_entropy",
     "props_rollup",
+    "reply_latency",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -4392,6 +4469,7 @@ ORACLE_SQL: dict[str, str] = {
     "sessions": SQL_SESSIONS,
     "turn_entropy": SQL_TURN_ENTROPY,
     "props_rollup": SQL_PROPS_ROLLUP,
+    "reply_latency": SQL_REPLY_LATENCY,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,
