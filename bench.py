@@ -1195,6 +1195,42 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         wedges.unpersist()
         ev.unpersist()
 
+    if on("convstats"):
+        # Conversation-analytics batch over the real events table:
+        # sessionization rollup, turn-taking entropy, reply-latency
+        # profile, and the JSON props rollup — four one-or-two-
+        # aggregate scans sharing one cached input.
+        from mesos_pregel_spark.functions.sessions import (
+            session_stats,
+            turn_entropy,
+        )
+        from mesos_pregel_spark.queries import (
+            q_props_rollup,
+            q_reply_latency,
+        )
+
+        cev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(nparts, "user_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_cev = cev.count()
+        t = time.monotonic()
+        n_sess = session_stats(cev).count()
+        n_ent = turn_entropy(cev).count()
+        n_lat = q_reply_latency(spark, sf_dir).count()
+        n_pr = q_props_rollup(spark, sf_dir).count()
+        cs_sec = time.monotonic() - t
+        queries["convstats"] = round(cs_sec, 3)
+        throughput["convstats_events_per_sec"] = round(
+            n_cev * 4 / cs_sec)   # 4 passes over the log
+        detail["convstats_events"] = n_cev
+        detail["convstats_sessions"] = n_sess
+        detail["convstats_conversations"] = n_ent
+        detail["convstats_actor_pairs"] = n_lat
+        detail["convstats_prop_cells"] = n_pr
+        cev.unpersist()
+
     spark_probe_end = spark_probe(spark)
     spark.stop()
     cpu_mops_end = cpu_probe()
