@@ -1127,7 +1127,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         )
         n_tdocs = tdocs.count()
         t = time.monotonic()
-        tr = textrank(tdocs, max_supersteps=4)
+        tr = textrank(tdocs, max_supersteps=4, edge_partitions=nparts)
         n_words = tr.count()
         tr_sec = time.monotonic() - t
         queries["textrank"] = round(tr_sec, 3)

@@ -475,7 +475,10 @@ def heaps_law(docs: DataFrame, partitions: int | None = None) -> DataFrame:
 
 
 def textrank(
-    docs: DataFrame, max_supersteps: int = 4, min_len: int = 3
+    docs: DataFrame,
+    max_supersteps: int = 4,
+    min_len: int = 3,
+    edge_partitions: int | None = 8,
 ) -> DataFrame:
     """TextRank keyword scores (Mihalcea-Tarau 2004): build the word
     co-occurrence graph of the corpus and rank every word with the
@@ -544,7 +547,8 @@ def textrank(
 
     ranks, _run = pagerank(
         docs.sparkSession, edges, tol=0.0,
-        max_supersteps=max_supersteps, edge_partitions=8, weighted=True,
+        max_supersteps=max_supersteps, edge_partitions=edge_partitions,
+        weighted=True,
     )
     return ranks.select(
         F.col("id").alias("token"), F.round("pagerank", 9).alias("textrank")
