@@ -1253,6 +1253,116 @@ FROM s2 GROUP BY user_id, session_idx
 """
 
 
+def q_session_copairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-presence over sessions: for every unordered
+    actor pair, in how many sessions do BOTH appear, and the lift
+    (observed co-presence / independence expectation) — the
+    association read-out a tool-routing or curriculum recipe consults
+    ("which tools travel together").  Substrate = the same 30-min
+    gap sessionization as q_sessions.
+
+    Pinned cross-engine semantics:
+    - session key = (user_id, session_idx); presence is DISTINCT per
+      session; pairs canonicalized a < b (strings);
+    - counts are exact integers; lift = ROUND((n_both*S)/(n_a*n_b), 9)
+      with both products formed as exact BIGINTs first and ONE double
+      division — the pmi expression-shape discipline.
+
+    Shape (design-for-100x): distinct (session, actor) is one hash
+    aggregate; the within-session pair join fans out by the per-
+    session DISTINCT actor count (≤ |actor vocabulary|, 5 here —
+    a high-cardinality actor set would take the A15/A27 hub cap, the
+    knob is the same); marginals are two more tiny aggregates
+    broadcast back over the ≤ |actors|² pair table."""
+    from mesos_pregel_spark.functions.sessions import sessionize
+
+    pres = (
+        sessionize(_events(spark, sf_dir), gap_us=_SESSION_GAP_US)
+        .select("user_id", "session_idx", "event_type")
+        .distinct()
+    )
+    a = pres.select(
+        "user_id", "session_idx", F.col("event_type").alias("a")
+    )
+    b = pres.select(
+        "user_id", "session_idx", F.col("event_type").alias("b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "session_idx"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    marg = pres.groupBy(F.col("event_type").alias("actor")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    total = pres.select("user_id", "session_idx").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("s_total")
+    )
+    return (
+        pairs
+        .join(marg.select(F.col("actor").alias("a"),
+                          F.col("n_sessions").alias("n_a")), "a")
+        .join(marg.select(F.col("actor").alias("b"),
+                          F.col("n_sessions").alias("n_b")), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a", "b", "n_both", "n_a", "n_b",
+            F.round(
+                (F.col("n_both") * F.col("s_total")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"), 9
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_SESSION_COPAIRS = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS ns,
+         epoch_us(ts) AS us, event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT user_id, event_type,
+         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM s
+),
+pres AS (
+  SELECT DISTINCT user_id, session_idx, event_type FROM s2
+),
+pairs AS (
+  SELECT p1.event_type AS a, p2.event_type AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM pres p1 JOIN pres p2
+    ON p1.user_id = p2.user_id AND p1.session_idx = p2.session_idx
+  WHERE p1.event_type < p2.event_type
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT event_type AS actor, CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM pres GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s_total
+  FROM (SELECT DISTINCT user_id, session_idx FROM pres)
+)
+SELECT p.a, p.b, p.n_both, ma.n_sessions AS n_a, mb.n_sessions AS n_b,
+       ROUND(CAST(p.n_both * t.s_total AS DOUBLE)
+             / CAST(ma.n_sessions * mb.n_sessions AS DOUBLE), 9) AS lift
+FROM pairs p
+JOIN marg ma ON ma.actor = p.a
+JOIN marg mb ON mb.actor = p.b
+CROSS JOIN tot t
+"""
+
+
 def q_turn_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation turn-taking entropy over the events log
     (functions/sessions.py::turn_entropy — actor-distribution Shannon
@@ -4212,6 +4322,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "turn_entropy": q_turn_entropy,
     "props_rollup": q_props_rollup,
     "reply_latency": q_reply_latency,
+    "session_copairs": q_session_copairs,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -4347,6 +4458,7 @@ _QUERY_PRIORITY: list[str] = [
     "turn_entropy",
     "props_rollup",
     "reply_latency",
+    "session_copairs",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -4470,6 +4582,7 @@ ORACLE_SQL: dict[str, str] = {
     "turn_entropy": SQL_TURN_ENTROPY,
     "props_rollup": SQL_PROPS_ROLLUP,
     "reply_latency": SQL_REPLY_LATENCY,
+    "session_copairs": SQL_SESSION_COPAIRS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,

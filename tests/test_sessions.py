@@ -243,3 +243,45 @@ def test_turn_entropy_order_invariance(spark):
     b = turn_entropy(spark.createDataFrame(
         shuffled, "user_id string, event_type string").repartition(9)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_session_copairs_hand_case(spark, tmp_path):
+    """q_session_copairs on a hand-built events parquet: two sessions
+    for u1 (gap > 30 min splits), one for u2; lift checks against the
+    hand contingency table."""
+    import datetime as dt
+
+    from mesos_pregel_spark.queries import q_session_copairs
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, typ, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ,
+                1.0, "{}")
+
+    rows = [
+        # u1 session 1: a, b together
+        ev(1, 1, "a", 0), ev(2, 1, "b", 1),
+        # u1 session 2 (gap 60 min): a alone
+        ev(3, 1, "a", 61),
+        # u2 session 1: a, b, c
+        ev(4, 2, "a", 0), ev(5, 2, "b", 2), ev(6, 2, "c", 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    # q_* reads <sf_dir>/events.parquet
+    got = {
+        (r["a"], r["b"]): (r["n_both"], r["n_a"], r["n_b"], r["lift"])
+        for r in q_session_copairs(spark, str(tmp_path)).collect()
+    }
+    # S = 3 sessions; n_a = 3, n_b = 2, n_c = 1
+    assert got == {
+        ("a", "b"): (2, 3, 2, round(2 * 3 / (3 * 2), 9)),
+        ("a", "c"): (1, 3, 1, round(1 * 3 / (3 * 1), 9)),
+        ("b", "c"): (1, 2, 1, round(1 * 3 / (2 * 1), 9)),
+    }
