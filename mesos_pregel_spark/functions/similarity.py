@@ -343,3 +343,82 @@ def ann_lsh_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_purity(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    n_cells: int = 16,
+) -> DataFrame:
+    """Label purity of the IVF inverted lists — the index-quality /
+    clustering-evaluation read-out over ``ivf_topk``'s own coarse
+    quantizer: per cell, how dominated is the list by one planted
+    ``label``?  Low purity cells are where IVF recall dies (mixed
+    lists force higher n_probe); a pipeline checks this before
+    committing to an (n_cells, n_probe) operating point.
+
+    Pinned semantics (exact DuckDB twin, queries_text.SQL_IVF_PURITY):
+    - the assignment is BIT-IDENTICAL to ivf_topk's: n_cells lowest
+      vec_ids as centroids, argmax of 6dp-ROUNDED cosine with
+      cell-asc tie-break;
+    - per cell: n_vectors, the majority label (ties -> MIN label),
+      its count, purity = ONE rounded division of exact integers.
+
+    Shape (design-for-100x): corpus x broadcast(centroids) argmax
+    (one scan, no shuffle), then two hash aggregates keyed by cell /
+    (cell, label) — n_cells x n_labels groups, trivially bounded.
+    Returns (cell, n_vectors, majority_label, n_majority, purity).
+    """
+    from pyspark.sql import Window
+
+    emb = embeddings.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("e"),
+        F.col("label").cast("long").alias("label"),
+    )
+    cents = (
+        emb.orderBy("vec_id").limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("e").alias("c"))
+    )
+    ccos = _dot(F.col("c"), F.col("e")) / (
+        F.sqrt(_dot(F.col("c"), F.col("c")))
+        * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    cell_rank = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cell")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "cell", F.round(ccos, 6).alias("ccos"))
+        .withColumn("crank", F.row_number().over(cell_rank))
+        .where(F.col("crank") == 1)
+        .select("vec_id", "label", "cell")
+    )
+    by_label = assigned.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    maj_rank = Window.partitionBy("cell").orderBy(
+        F.desc("n"), F.asc("label")
+    )
+    majority = (
+        by_label.withColumn("mrank", F.row_number().over(maj_rank))
+        .where(F.col("mrank") == 1)
+        .select(
+            "cell",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    totals = by_label.groupBy("cell").agg(
+        F.sum("n").cast("long").alias("n_vectors")
+    )
+    return (
+        totals.join(majority, "cell")
+        .select(
+            "cell", "n_vectors", "majority_label", "n_majority",
+            F.round(
+                F.col("n_majority").cast("double")
+                / F.col("n_vectors").cast("double"), 9
+            ).alias("purity"),
+        )
+    )

@@ -48,6 +48,7 @@ from mesos_pregel_spark.functions.similarity import (
     cosine_scores,
     cosine_topk,
     embedding_near_dups,
+    ivf_purity,
     ivf_topk,
 )
 from mesos_pregel_spark.functions.pipeline import clean_corpus
@@ -467,6 +468,46 @@ SQL_ANN_MULTITABLE_TOPK = _sql_ann_multitable_topk()
 # to its nearest centroid by (cosine@6dp desc, cell asc) — the SAME
 # rounded ranking the engine uses, so near-tie assignments cannot flip
 # across engines; queries probe their 2 nearest cells.
+SQL_IVF_PURITY = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS label
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16
+),
+assigned AS (
+  SELECT vec_id, label, cell FROM (
+    SELECT e.vec_id, e.label, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(c.cv, e.v), 6) DESC,
+                      c.cell ASC) AS crank
+    FROM e, cents c
+  ) WHERE crank = 1
+),
+by_label AS (
+  SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM assigned GROUP BY 1, 2
+),
+majority AS (
+  SELECT cell, label AS majority_label, n AS n_majority FROM (
+    SELECT cell, label, n,
+           ROW_NUMBER() OVER (
+             PARTITION BY cell ORDER BY n DESC, label ASC) AS mrank
+    FROM by_label
+  ) WHERE mrank = 1
+),
+totals AS (
+  SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vectors FROM by_label GROUP BY 1
+)
+SELECT t.cell, t.n_vectors, m.majority_label, m.n_majority,
+       ROUND(CAST(m.n_majority AS DOUBLE) / CAST(t.n_vectors AS DOUBLE), 9)
+         AS purity
+FROM totals t JOIN majority m ON m.cell = t.cell
+"""
+
+
 SQL_IVF_TOPK = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (
@@ -1638,6 +1679,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": lambda s, d: ann_lsh_topk(s, _emb(s, d)),
     "ann_multitable_topk": lambda s, d: ann_lsh_multitable_topk(s, _emb(s, d)),
     "ivf_topk": lambda s, d: ivf_topk(s, _emb(s, d)),
+    "ivf_purity": lambda s, d: ivf_purity(s, _emb(s, d)),
     "tfidf_topk": lambda s, d: tfidf_topk(_docs(s, d), k=_TFIDF_K),
     "cluster_balanced_sample": lambda s, d: cluster_balanced_sample(
         s, _emb(s, d), k=_KMEANS_K, iters=_KMEANS_ITERS,
@@ -1702,6 +1744,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_multitable_topk": SQL_ANN_MULTITABLE_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
+    "ivf_purity": SQL_IVF_PURITY,
     "kmeans": SQL_KMEANS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "cluster_balanced_sample": SQL_CLUSTER_BALANCED_SAMPLE,
