@@ -422,3 +422,48 @@ def ivf_purity(
             ).alias("purity"),
         )
     )
+
+
+def ann_recall(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Recall@k of the hyperplane-LSH ANN path measured against the
+    exact brute-force top-k — the operational metric an ANN operating
+    point is chosen by, computed entirely from the two already-pinned
+    operators (``ann_lsh_topk`` vs ``cosine_topk``), so the result is
+    deterministic by construction: recall = |approx ∩ exact| / k per
+    query, exact integer intersection via an equi-join on
+    (query_id, vec_id), ONE rounded division.
+
+    Shape (design-for-100x): both inputs are top-k tables
+    (n_queries x k rows) — the join and aggregate are trivially
+    bounded; ALL the heavy lifting lives in the audited underlying
+    operators.  Returns (query_id, n_hits, recall).
+    """
+    exact = cosine_topk(spark, embeddings, n_queries=n_queries, k=k)
+    approx = ann_lsh_topk(
+        spark, embeddings, n_queries=n_queries, k=k, n_planes=n_planes
+    )
+    hits = (
+        exact.select("query_id", "vec_id")
+        .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    # queries whose approx list shares nothing with the exact list
+    # still report (n_hits = 0)
+    qids = exact.select("query_id").distinct()
+    return (
+        qids.join(hits, "query_id", "left_outer")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / float(k), 9
+            ).alias("recall"),
+        )
+    )

@@ -47,6 +47,7 @@ from mesos_pregel_spark.functions.similarity import (
     ann_lsh_topk,
     cosine_scores,
     cosine_topk,
+    ann_recall,
     embedding_near_dups,
     ivf_purity,
     ivf_topk,
@@ -400,6 +401,22 @@ FROM ranked WHERE rank <= {k}
 
 
 SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
+
+SQL_ANN_RECALL = f"""
+WITH exact_k AS ({SQL_COSINE_TOPK}),
+approx_k AS ({SQL_ANN_LSH_TOPK}),
+hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact_k e JOIN approx_k a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+),
+qids AS (SELECT DISTINCT query_id FROM exact_k)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0, 9) AS recall
+FROM qids q LEFT JOIN hits h ON h.query_id = q.query_id
+"""
 
 
 def _sql_ann_multitable_topk(
@@ -1677,6 +1694,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         s, _emb(s, d), threshold=EMBED_NEAR_DUP_THRESHOLD,
         n_planes=_EMBED_PLANES),
     "ann_lsh_topk": lambda s, d: ann_lsh_topk(s, _emb(s, d)),
+    "ann_recall": lambda s, d: ann_recall(s, _emb(s, d)),
     "ann_multitable_topk": lambda s, d: ann_lsh_multitable_topk(s, _emb(s, d)),
     "ivf_topk": lambda s, d: ivf_topk(s, _emb(s, d)),
     "ivf_purity": lambda s, d: ivf_purity(s, _emb(s, d)),
@@ -1742,6 +1760,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_recall": SQL_ANN_RECALL,
     "ann_multitable_topk": SQL_ANN_MULTITABLE_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "ivf_purity": SQL_IVF_PURITY,
