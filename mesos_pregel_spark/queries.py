@@ -2523,6 +2523,99 @@ ORDER BY aa_num DESC, cn DESC, lo, hi LIMIT {_LINKPRED_TOPK}
 _DENSEST_ROUNDS = 8
 
 
+def q_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Andersen-Chung-Lang local clustering on the parts graph: PPR
+    from the minimum part id, sweep by ppr/deg, conductance curve of
+    the rank prefixes (algos/sweep.py — the engine's own 4-superstep
+    PPR kernel feeds the sweep)."""
+    from mesos_pregel_spark.algos.sweep import sweep_cut
+
+    return sweep_cut(spark, _parts_edges(spark, sf_dir))
+
+
+_SWEEP_INF = 1 << 40
+
+
+def _sql_sweep_cut(steps: int = 4, max_k: int = 64) -> str:
+    parts = ["""
+, sym AS MATERIALIZED (
+  SELECT lo AS s, hi AS d FROM und UNION ALL SELECT hi, lo FROM und
+),
+sd AS (SELECT MIN(id) AS s FROM pdeg),
+sp0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id = (SELECT s FROM sd) THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END AS pr
+  FROM pdeg
+)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+sp{k} AS MATERIALIZED (
+  SELECT v.id,
+         0.15 * (CASE WHEN v.id = (SELECT s FROM sd)
+                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         + 0.85 * COALESCE(c.mm, CAST(0.0 AS DOUBLE)) AS pr
+  FROM pdeg v LEFT JOIN (
+    SELECT e.d AS id, SUM(p.pr / dd.deg) AS mm
+    FROM sym e
+    JOIN sp{k-1} p ON p.id = e.s
+    JOIN pdeg dd ON dd.id = e.s
+    GROUP BY e.d) c ON c.id = v.id
+)""")
+    parts.append(f""",
+smic AS (
+  SELECT id, CAST(ROUND(ROUND(pr, 9) * 1e9) AS BIGINT) AS smicro
+  FROM sp{steps}
+),
+sup AS (
+  SELECT s.id, s.smicro, p.deg FROM smic s JOIN pdeg p ON p.id = s.id
+  WHERE s.smicro > 0
+),
+topk AS (
+  SELECT id, deg, rk FROM (
+    SELECT id, deg,
+           ROW_NUMBER() OVER (
+             ORDER BY CAST(smicro AS DOUBLE) / CAST(deg AS DOUBLE) DESC,
+                      id ASC) AS rk
+    FROM sup) WHERE rk <= {max_k}
+),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+er AS (
+  SELECT LEAST(COALESCE(rl.rk, {_SWEEP_INF}),
+               COALESCE(rh.rk, {_SWEEP_INF})) AS rmin,
+         GREATEST(COALESCE(rl.rk, {_SWEEP_INF}),
+                  COALESCE(rh.rk, {_SWEEP_INF})) AS rmax
+  FROM und e
+  LEFT JOIN topk rl ON rl.id = e.lo
+  LEFT JOIN topk rh ON rh.id = e.hi
+),
+cmin AS (SELECT rmin AS rk, CAST(COUNT(*) AS BIGINT) AS c_min
+         FROM er WHERE rmin <= {max_k} GROUP BY 1),
+cmax AS (SELECT rmax AS rk, CAST(COUNT(*) AS BIGINT) AS c_max
+         FROM er WHERE rmax <= {max_k} GROUP BY 1),
+curve AS (
+  SELECT t.rk AS i, t.id AS part, t.deg,
+         CAST(SUM(t.deg) OVER w AS BIGINT) AS vol,
+         CAST(SUM(COALESCE(n.c_min, 0)) OVER w
+              - SUM(COALESCE(x.c_max, 0)) OVER w AS BIGINT) AS cut
+  FROM topk t
+  LEFT JOIN cmin n ON n.rk = t.rk
+  LEFT JOIN cmax x ON x.rk = t.rk
+  WINDOW w AS (ORDER BY t.rk ROWS UNBOUNDED PRECEDING)
+)
+SELECT i, part, CAST(deg AS BIGINT) AS deg, vol, cut,
+       CASE WHEN LEAST(vol, 2 * (SELECT m FROM mm) - vol) > 0
+            THEN ROUND(CAST(cut AS DOUBLE)
+                 / CAST(LEAST(vol, 2 * (SELECT m FROM mm) - vol)
+                        AS DOUBLE), 9)
+       END AS conductance
+FROM curve
+""")
+    return _SQL_PARTS + "".join(parts)
+
+
+SQL_SWEEP_CUT = _sql_sweep_cut()
+
+
 def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy-peel densest subgraph (eps=1/2); the oracle unrolls the
     IDENTICAL 8-round schedule, and every density and cut comparison
@@ -4323,6 +4416,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_rollup": q_props_rollup,
     "reply_latency": q_reply_latency,
     "session_copairs": q_session_copairs,
+    "sweep_cut": q_sweep_cut,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -4461,6 +4555,7 @@ _QUERY_PRIORITY: list[str] = [
     "session_copairs",
     "ivf_purity",
     "ann_recall",
+    "sweep_cut",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -4585,6 +4680,7 @@ ORACLE_SQL: dict[str, str] = {
     "props_rollup": SQL_PROPS_ROLLUP,
     "reply_latency": SQL_REPLY_LATENCY,
     "session_copairs": SQL_SESSION_COPAIRS,
+    "sweep_cut": SQL_SWEEP_CUT,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,
