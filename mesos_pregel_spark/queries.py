@@ -2616,6 +2616,49 @@ FROM curve
 SQL_SWEEP_CUT = _sql_sweep_cut()
 
 
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round Weisfeiler-Lehman color refinement on the parts graph
+    (algos/wl.py — structural-role signatures; sorted neighbor
+    multiset + md5 digest, order-independent by construction)."""
+    from mesos_pregel_spark.algos.wl import wl_colors
+
+    out = wl_colors(spark, _parts_edges(spark, sf_dir), rounds=3)
+    return out.select(F.col("id").alias("part"), "wl_color", "class_size")
+
+
+def _sql_wl_colors(rounds: int = 3) -> str:
+    parts = ["""
+, wsym AS MATERIALIZED (
+  SELECT lo AS s, hi AS d FROM und UNION ALL SELECT hi, lo FROM und
+),
+w0 AS MATERIALIZED (
+  SELECT id, CAST(deg AS VARCHAR) AS color FROM pdeg
+)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+w{k} AS MATERIALIZED (
+  SELECT p.id,
+         md5(p.color || '|' ||
+             array_to_string(list_sort(list(c.color)), ',')) AS color
+  FROM w{k-1} p
+  JOIN wsym e ON e.d = p.id
+  JOIN w{k-1} c ON c.id = e.s
+  GROUP BY p.id, p.color
+)""")
+    parts.append(f""",
+wsizes AS (
+  SELECT color, CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM w{rounds} GROUP BY 1
+)
+SELECT w.id AS part, w.color AS wl_color, s.class_size
+FROM w{rounds} w JOIN wsizes s ON s.color = w.color
+""")
+    return _SQL_PARTS + "".join(parts)
+
+
+SQL_WL_COLORS = _sql_wl_colors()
+
+
 def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy-peel densest subgraph (eps=1/2); the oracle unrolls the
     IDENTICAL 8-round schedule, and every density and cut comparison
@@ -4417,6 +4460,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reply_latency": q_reply_latency,
     "session_copairs": q_session_copairs,
     "sweep_cut": q_sweep_cut,
+    "wl_colors": q_wl_colors,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -4556,6 +4600,7 @@ _QUERY_PRIORITY: list[str] = [
     "ivf_purity",
     "ann_recall",
     "sweep_cut",
+    "wl_colors",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -4681,6 +4726,7 @@ ORACLE_SQL: dict[str, str] = {
     "reply_latency": SQL_REPLY_LATENCY,
     "session_copairs": SQL_SESSION_COPAIRS,
     "sweep_cut": SQL_SWEEP_CUT,
+    "wl_colors": SQL_WL_COLORS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,
