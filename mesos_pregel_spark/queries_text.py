@@ -736,6 +736,35 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, eval_docs, n=DECON_N)
 
 
+def _decontam_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination rate per source — the report a data recipe reads
+    before deciding which source needs a harder filter: the pinned
+    exact-8-gram decontamination verdicts rolled up on the documents
+    table's source label.  Counts exact integers, rate = ONE rounded
+    division; one broadcast-joinable (doc_id, source) projection over
+    the already-audited decontaminate output."""
+    rep = _decontaminate(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    contaminated = F.sum(
+        F.when(F.col("contaminated"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        rep.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            contaminated.alias("n_contaminated"),
+        )
+        .select(
+            "source", "n_docs", "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_docs").cast("double"), 9
+            ).alias("contamination_rate"),
+        )
+    )
+
+
 def _sql_decontaminate(n: int = DECON_N, mod: int = DECON_EVAL_MOD) -> str:
     return f"""
 WITH norm AS (
@@ -765,6 +794,19 @@ FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
 
 
 SQL_DECONTAMINATE = _sql_decontaminate()
+
+SQL_DECONTAM_BY_SOURCE = f"""
+WITH rep AS ({SQL_DECONTAMINATE}),
+srcmap AS (SELECT doc_id, source FROM documents)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN r.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       ROUND(CAST(SUM(CASE WHEN r.contaminated THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 9) AS contamination_rate
+FROM rep r JOIN srcmap s ON s.doc_id = r.doc_id
+GROUP BY s.source
+"""
 
 
 def _sql_fuzzy_decon(
@@ -1709,6 +1751,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hex pair; kernel stats are float64-exact)
     "multimodal_features": lambda s, d: _multimodal_features(s, d),
     "decontaminate": _decontaminate,
+    "decontam_by_source": _decontam_by_source,
     "stratified_sample": lambda s, d: stratified_sample(
         _docs(s, d), SAMPLE_RATES, stratum_col="source", seed="sample42"),
     "sample_budget": lambda s, d: sample_to_token_budget(
@@ -1769,6 +1812,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "cluster_balanced_sample": SQL_CLUSTER_BALANCED_SAMPLE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "decontaminate": SQL_DECONTAMINATE,
+    "decontam_by_source": SQL_DECONTAM_BY_SOURCE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "sample_budget": SQL_SAMPLE_BUDGET,
     "pii_redact": SQL_PII_REDACT,
