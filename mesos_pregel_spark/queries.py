@@ -2616,6 +2616,63 @@ FROM curve
 SQL_SWEEP_CUT = _sql_sweep_cut()
 
 
+def q_molloy_reed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Molloy-Reed criterion on the parts graph — the THEORY number
+    the A37/A37b robustness curves measure empirically: a random
+    graph with given degrees has a giant component iff
+    kappa = <k^2>/<k> > 2 (Molloy-Reed 1995), and the random-failure
+    percolation threshold is f_c = 1 - 1/(kappa - 1) (Cohen et al.
+    2000) — kappa >> 2 is WHY scale-free graphs survive random
+    failure and die under hub attack.
+
+    Pinned: <k> and <k^2> as exact integer sums over the degree
+    table (sum_k, sum_k2 — BIGINTs; k^2 ≤ 2^62 for any realistic
+    degree), kappa and f_c each ONE pinned double expression rounded
+    to 9 dp; f_c is NULL when kappa ≤ 1 (the formula's pole —
+    degenerate edgeless/matching-only graphs).  One hash aggregate
+    over the |V|-row degree table — nothing else."""
+    deg = (
+        _parts_edges(spark, sf_dir)
+        .select("src", "dst")
+        .distinct()
+        .select(F.explode(F.array("src", "dst")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum("deg").cast("long").alias("sum_k"),
+        F.sum(F.col("deg") * F.col("deg")).cast("long").alias("sum_k2"),
+    )
+    # kappa = <k^2>/<k> = (sum_k2/n)/(sum_k/n) = sum_k2/sum_k — ONE
+    # division of exact integers, identical shape in the twin
+    kappa = F.col("sum_k2").cast("double") / F.col("sum_k").cast("double")
+    return agg.select(
+        "n_vertices", "sum_k", "sum_k2",
+        F.round(kappa, 9).alias("kappa"),
+        F.when(
+            kappa > 1.0,
+            F.round(F.lit(1.0) - F.lit(1.0) / (kappa - F.lit(1.0)), 9),
+        ).alias("f_critical"),
+    )
+
+
+SQL_MOLLOY_REED = _SQL_PARTS + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(deg) AS BIGINT) AS sum_k,
+       CAST(SUM(deg * deg) AS BIGINT) AS sum_k2,
+       ROUND(CAST(SUM(deg * deg) AS DOUBLE) / CAST(SUM(deg) AS DOUBLE), 9)
+         AS kappa,
+       CASE WHEN CAST(SUM(deg * deg) AS DOUBLE) / CAST(SUM(deg) AS DOUBLE)
+                 > 1.0
+            THEN ROUND(1.0 - 1.0 /
+                 (CAST(SUM(deg * deg) AS DOUBLE)
+                  / CAST(SUM(deg) AS DOUBLE) - 1.0), 9)
+       END AS f_critical
+FROM pdeg
+"""
+
+
 def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-round Weisfeiler-Lehman color refinement on the parts graph
     (algos/wl.py — structural-role signatures; sorted neighbor
@@ -4461,6 +4518,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_copairs": q_session_copairs,
     "sweep_cut": q_sweep_cut,
     "wl_colors": q_wl_colors,
+    "molloy_reed": q_molloy_reed,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -4602,6 +4660,7 @@ _QUERY_PRIORITY: list[str] = [
     "sweep_cut",
     "wl_colors",
     "decontam_by_source",
+    "molloy_reed",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -4728,6 +4787,7 @@ ORACLE_SQL: dict[str, str] = {
     "session_copairs": SQL_SESSION_COPAIRS,
     "sweep_cut": SQL_SWEEP_CUT,
     "wl_colors": SQL_WL_COLORS,
+    "molloy_reed": SQL_MOLLOY_REED,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,
