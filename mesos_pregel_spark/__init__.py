@@ -37,7 +37,12 @@ from mesos_pregel_spark.algos.msbfs import multi_source_bfs
 from mesos_pregel_spark.algos.landmarks import landmark_distances
 from mesos_pregel_spark.algos.scc import strongly_connected_components
 from mesos_pregel_spark.algos.ktruss import k_truss
+from mesos_pregel_spark.algos.eigenvector import eigenvector
+from mesos_pregel_spark.algos.sweep import sweep_cut
+from mesos_pregel_spark.algos.wl import wl_colors
 from mesos_pregel_spark.functions.pipeline import clean_corpus
+from mesos_pregel_spark.functions.composition import textrank
+from mesos_pregel_spark.functions.sessions import turn_entropy
 from mesos_pregel_spark.functions.dedup import (
     exact_duplicates,
     lsh_candidates,
@@ -86,6 +91,11 @@ __all__ = [
     "language_id",
     "quality_score",
     "token_stats",
+    "eigenvector",
+    "sweep_cut",
+    "wl_colors",
+    "textrank",
+    "turn_entropy",
 ]
 
 __version__ = "0.1.0"
