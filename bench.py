@@ -719,6 +719,54 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             [m for m in run_ds.metrics if "round" in m])
         detail["structure_densest_members"] = ds_members
 
+    if on("localstruct"):
+        # The round's late structural trio on the shared zipf graph:
+        # ACL sweep cut (4-superstep PPR + one edge scan against a
+        # broadcast <=64-row rank map), 3-round Weisfeiler-Lehman
+        # refinement (one shuffle per round, hub lists collapse to a
+        # 32-byte digest), and the Molloy-Reed closed form (one
+        # aggregate).
+        from mesos_pregel_spark.algos.sweep import sweep_cut
+        from mesos_pregel_spark.algos.wl import wl_colors
+
+        und_g = (
+            g.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") < F.col("dst"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_und = und_g.count()
+        t = time.monotonic()
+        sc_rows = sweep_cut(spark, und_g).count()
+        sc_sec = time.monotonic() - t
+        t = time.monotonic()
+        wl = wl_colors(spark, und_g, rounds=3)
+        n_classes = wl.select("wl_color").distinct().count()
+        wl_sec = time.monotonic() - t
+        t = time.monotonic()
+        deg_g = (
+            und_g.select(F.explode(F.array("src", "dst")).alias("id"))
+            .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+        )
+        mr = deg_g.agg(
+            (F.sum(F.col("deg") * F.col("deg")).cast("double")
+             / F.sum("deg").cast("double")).alias("kappa")
+        ).collect()[0]
+        mr_sec = time.monotonic() - t
+        queries["localstruct"] = round(sc_sec + wl_sec + mr_sec, 3)
+        throughput["localstruct_wl_edges_per_sec"] = round(
+            n_und * 3 / wl_sec)
+        detail["localstruct_und_edges"] = n_und
+        detail["localstruct_sweep_rows"] = sc_rows
+        detail["localstruct_sweep_sec"] = round(sc_sec, 3)
+        detail["localstruct_wl_classes"] = n_classes
+        detail["localstruct_wl_sec"] = round(wl_sec, 3)
+        detail["localstruct_kappa"] = round(mr["kappa"], 3)
+        und_g.unpersist()
+
     if on("landmarks"):
         from mesos_pregel_spark.algos.landmarks import landmark_distances
 
