@@ -235,3 +235,67 @@ def test_ngram_hotspots_total_count_property(spark, docs):
     rows = ngram_hotspots(df, n=2, top_k=10**6).collect()
     want = sum(max(max(len(t), 1) - 1, 0) for t in docs)
     assert sum(r["cnt"] for r in rows) == want
+
+
+# undirected micro-graphs: unique canonical pairs over a small vertex set
+micro_graphs = st.sets(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).map(
+        lambda p: (min(p), max(p))
+    ).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=16,
+)
+
+
+@given(edges=micro_graphs)
+@SET
+def test_turn_entropy_bounds_property(spark, edges):
+    """0 <= H <= ln(n_actors) + snap slack for every conversation."""
+    import math
+
+    from mesos_pregel_spark.functions.sessions import turn_entropy
+
+    rows = [(f"c{a % 3}", f"actor{b}") for a, b in edges]
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    for r in turn_entropy(df).collect():
+        assert r["entropy"] >= -1e-6
+        assert r["entropy"] <= math.log(r["n_actors"]) + 1e-6
+
+
+@given(edges=micro_graphs)
+@SET
+def test_wl_class_sizes_partition_vertices_property(spark, edges):
+    """WL class sizes sum to |V| and every class member count is
+    consistent with its recorded class_size."""
+    from collections import Counter
+
+    from mesos_pregel_spark.algos.wl import wl_colors
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+    rows = wl_colors(spark, df).collect()
+    verts = {v for e in edges for v in e}
+    assert len(rows) == len(verts)
+    by_color = Counter(r["wl_color"] for r in rows)
+    for r in rows:
+        assert by_color[r["wl_color"]] == r["class_size"]
+
+
+@given(edges=micro_graphs)
+@SET
+def test_sweep_conductance_bounds_property(spark, edges):
+    """Conductance in [0, 1]; vol strictly increasing; cut >= 0; the
+    full-support prefix of a connected component never exceeds phi=1."""
+    from mesos_pregel_spark.algos.sweep import sweep_cut
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+    rows = sweep_cut(spark, df).orderBy("i").collect()
+    prev_vol = 0
+    for r in rows:
+        assert r["cut"] >= 0
+        assert r["vol"] > prev_vol
+        prev_vol = r["vol"]
+        if r["conductance"] is not None:
+            assert 0.0 <= r["conductance"] <= 1.0
