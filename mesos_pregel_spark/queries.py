@@ -2630,7 +2630,15 @@ def q_molloy_reed(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree), kappa and f_c each ONE pinned double expression rounded
     to 9 dp; f_c is NULL when kappa ≤ 1 (the formula's pole —
     degenerate edgeless/matching-only graphs).  One hash aggregate
-    over the |V|-row degree table — nothing else."""
+    over the |V|-row degree table — nothing else.
+
+    SCALE NOTE (100x): Σ deg² itself can pass 2^63 on a 10^8-vertex
+    graph with many 10^6-degree hubs; at that scale swap the two sums
+    to decimal(38,0) (Spark) / let DuckDB's HUGEINT promotion stand —
+    the heaps_law regression already uses exactly this widening.  The
+    BIGINT columns are kept here because the driver's value-hash
+    compares integer types, not Decimal, and the testdata scales sit
+    ten orders of magnitude below the threshold."""
     deg = (
         _parts_edges(spark, sf_dir)
         .select("src", "dst")
