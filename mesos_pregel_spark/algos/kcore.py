@@ -226,3 +226,84 @@ def core_number(
         n_salt=n_salt, salt_hot_k=salt_hot_k,
         edge_partitions=edge_partitions,
     )
+
+
+def onion_layers(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 2,
+    max_supersteps: int = 50,
+    edge_partitions: int | None = None,
+) -> tuple[DataFrame, PregelRun]:
+    """Peeling LAYERS of the fixed-k core decomposition (the per-k
+    slice of the onion decomposition, Hebert-Dufresne-Grochow-Allard
+    Sci.Rep. 2016): layer(v) = the peel round that removed v (1-based);
+    survivors of the k-core keep layer 0.  Where ``k_core`` answers
+    "in or out", the layer answers "how DEEP inside the periphery" —
+    the depth profile a curriculum or trust ordering reads.
+
+    Same pinned peel as ``k_core`` (round r removes every alive vertex
+    whose alive-degree < k; monotone, so a capped run is exact for the
+    rounds it ran and capped ≡ unrolled at any shared round count).
+    The round counter lives in the program ``ctx`` (apply runs exactly
+    once per superstep); checkpoint resume recomputes it as
+    max(layer) over the restored state.
+
+    Execution shape: identical to k_core — one scatter + count-combine
+    per round over the symmetrized edges; the layer column is one
+    extra CASE in apply.  Returns (layers(id, layer), run)."""
+
+    def init(e: DataFrame, ctx: dict) -> DataFrame:
+        ctx["round"] = 0
+        return (
+            e.select(F.col("src").alias("id")).distinct()
+            .select(
+                "id", F.lit(True).alias("alive"),
+                F.lit(0).cast("long").alias("layer"),
+            )
+        )
+
+    def restore_ctx(state: DataFrame, ctx: dict) -> None:
+        ctx["round"] = state.agg(F.max("layer")).collect()[0][0] or 0
+
+    def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:
+        ctx["round"] = ctx.get("round", 0) + 1
+        rnd = ctx["round"]
+        deg = F.coalesce(combined["deg"], F.lit(0))
+        removed_now = state["alive"] & (deg < k)
+        return (
+            state.join(combined, state["id"] == combined["dst"], "left_outer")
+            .select(
+                state["id"],
+                (state["alive"] & (deg >= k)).alias("alive"),
+                F.when(removed_now, F.lit(rnd).cast("long"))
+                .otherwise(state["layer"]).alias("layer"),
+                removed_now.alias("removed"),
+            )
+        )
+
+    program = VertexProgram(
+        name="onion",
+        init=init,
+        restore_ctx=restore_ctx,
+        prep_edges=lambda e: symmetrize(e.select("src", "dst", "weight"))
+        .select("src", "dst"),
+        edge_cols=("src", "dst"),
+        msg_cols=[F.lit(1).cast("long").alias("m")],
+        active_filter=F.col("alive"),
+        combiner={"deg": ("m", "sum")},
+        apply=apply,
+        aggregators=[
+            F.sum(F.col("removed").cast("long")).alias("removed"),
+            F.sum(F.col("alive").cast("long")).alias("core_size"),
+        ],
+        halt=lambda aggs: aggs["removed"] == 0,
+        converged_at_cap=True,
+        finalize=lambda s: s.select("id", "layer"),
+        params={"k": k},
+    )
+    return pregel(
+        spark, edges, program,
+        max_supersteps=max_supersteps,
+        edge_partitions=edge_partitions,
+    )

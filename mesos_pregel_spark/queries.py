@@ -847,6 +847,62 @@ SELECT actor, CAST(alive AS BIGINT) AS in_core FROM a{steps}
 SQL_KCORE = _sql_kcore()
 
 
+def q_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peeling layers of the fixed-k core decomposition on the same
+    customer↔supplier substrate as `kcore` (algos/kcore.py::
+    onion_layers — layer = peel round that removed the vertex,
+    0 = survived into the k-core)."""
+    from mesos_pregel_spark.algos.kcore import onion_layers
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    layers, _run = onion_layers(
+        spark, e, k=_KCORE_K, max_supersteps=_KCORE_STEPS, edge_partitions=8
+    )
+    return layers.select(F.col("id").alias("actor"), "layer")
+
+
+def _sql_onion(k: int = _KCORE_K, steps: int = _KCORE_STEPS) -> str:
+    parts = ["""
+WITH e AS (
+  SELECT 'c:' || o_custkey AS s, 's:' || l_suppkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+o0 AS MATERIALIZED (
+  SELECT DISTINCT s AS actor, TRUE AS alive, CAST(0 AS BIGINT) AS layer
+  FROM sym
+)"""]
+    for i in range(1, steps + 1):
+        parts.append(f""",
+o{i} AS MATERIALIZED (
+  SELECT p.actor,
+         (p.alive AND COALESCE(dg.c, 0) >= {k}) AS alive,
+         CASE WHEN p.alive AND COALESCE(dg.c, 0) < {k}
+              THEN CAST({i} AS BIGINT) ELSE p.layer END AS layer
+  FROM o{i-1} p LEFT JOIN (
+    SELECT sym.d AS actor, COUNT(*) AS c
+    FROM sym JOIN o{i-1} q ON q.actor = sym.s AND q.alive
+    GROUP BY sym.d) dg ON dg.actor = p.actor
+)""")
+    parts.append(f"""
+SELECT actor, layer FROM o{steps}
+""")
+    return "".join(parts)
+
+
+SQL_ONION_LAYERS = _sql_onion()
+
+
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (coloring algorithm) on the
     directed events actor graph; labels = SCC-minimum actor."""
@@ -4527,6 +4583,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sweep_cut": q_sweep_cut,
     "wl_colors": q_wl_colors,
     "molloy_reed": q_molloy_reed,
+    "onion_layers": q_onion_layers,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -4669,6 +4726,7 @@ _QUERY_PRIORITY: list[str] = [
     "wl_colors",
     "decontam_by_source",
     "molloy_reed",
+    "onion_layers",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -4796,6 +4854,7 @@ ORACLE_SQL: dict[str, str] = {
     "sweep_cut": SQL_SWEEP_CUT,
     "wl_colors": SQL_WL_COLORS,
     "molloy_reed": SQL_MOLLOY_REED,
+    "onion_layers": SQL_ONION_LAYERS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,

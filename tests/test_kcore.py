@@ -144,3 +144,61 @@ def test_core_number_capped_equals_unrolled_prefix(spark):
     assert {r["id"]: r["core"] for r in got.collect()} == {
         1: 2, 2: 2, 3: 2, 4: 1, 5: 1,
     }
+
+
+def _py_onion(edges, k, rounds=50):
+    """Exact-recipe replication of onion_layers' fixed-k peel."""
+    nbrs = {}
+    for a, b in {(min(e), max(e)) for e in edges}:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    alive = set(nbrs)
+    layer = {v: 0 for v in nbrs}
+    for r in range(1, rounds + 1):
+        doomed = {v for v in alive
+                  if len(nbrs[v] & alive) < k}
+        if not doomed:
+            break
+        for v in doomed:
+            layer[v] = r
+        alive -= doomed
+    return layer
+
+
+def test_onion_layers_matches_python(spark):
+    import random
+
+    from mesos_pregel_spark.algos.kcore import onion_layers
+
+    rng = random.Random(31)
+    edges = list({tuple(sorted((rng.randrange(12), rng.randrange(12))))
+                  for _ in range(36)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(
+        [(int(a), int(b), 1.0) for a, b in edges],
+        "src long, dst long, weight double",
+    ).repartition(3)
+    layers, run = onion_layers(spark, df, k=2, max_supersteps=50,
+                               edge_partitions=3)
+    got = {r["id"]: r["layer"] for r in layers.collect()}
+    assert got == _py_onion(edges, 2)
+
+
+def test_onion_layers_consistent_with_kcore(spark):
+    """layer == 0 exactly for the k-core survivors k_core reports."""
+    from mesos_pregel_spark.algos.kcore import k_core, onion_layers
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]   # triangle + tail
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges],
+        "src long, dst long, weight double",
+    )
+    layers, _ = onion_layers(spark, df, k=2, edge_partitions=2)
+    members, _ = k_core(spark, df, k=2, edge_partitions=2)
+    got_layer = {r["id"]: r["layer"] for r in layers.collect()}
+    got_core = {r["id"]: r["in_core"] for r in members.collect()}
+    for v, in_core in got_core.items():
+        assert (got_layer[v] == 0) == in_core
+    # the tail peels outside-in: 5 first, then 4
+    assert got_layer[5] == 1 and got_layer[4] == 2
+    assert got_layer[1] == got_layer[2] == got_layer[3] == 0
