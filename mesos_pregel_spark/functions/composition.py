@@ -553,3 +553,83 @@ def textrank(
     return ranks.select(
         F.col("id").alias("token"), F.round("pagerank", 9).alias("textrank")
     )
+
+
+DOC_KL_TOP_K = 50
+
+
+def doc_kl_outliers(docs: DataFrame, top_k: int = DOC_KL_TOP_K) -> DataFrame:
+    """Per-DOCUMENT unigram KL divergence from the corpus blend — the
+    document-granular cousin of ``source_kl``: a doc whose unigram
+    distribution sits far from the corpus is boilerplate, a language
+    the blend doesn't speak, or machine noise; top-k by KL is the
+    triage list a cleaning pass reads next to quality_score (which
+    scores FORM; this scores lexical TYPICALITY).
+
+    Same pinned arithmetic as source_kl (micro-nat snap per
+    (doc, term) BEFORE summation), so the per-doc sums are exact
+    integers under any partitioning.  The top-k ordering is
+    (sum_micro/n_d as ONE double division of exact integers) DESC
+    then doc_id ASC — duplicate documents tie exactly and break
+    deterministically.  The REPORTED value is ``kl_micro`` =
+    GREATEST(sum_micro,0) div n_d, an exact BIGINT floor division in
+    micro-nats: a 9dp double round here landed EXACTLY on a decimal
+    .5 boundary at sf0.01 (1.0092864375) where Spark's BigDecimal
+    half-up and DuckDB's multiply-round disagree — measured, so the
+    contract stays all-integer (the reply_latency lesson; the clamp
+    pins the sub-micro-nat negative snap noise a distribution equal
+    to the corpus can produce).
+
+    Shape (design-for-100x): the (doc, term) aggregate is token-
+    stream-scale but one hash aggregate; the vocab table joins back by
+    term (AQE broadcasts when small, splits zipf skew otherwise);
+    top-k is a TakeOrdered, never a global sort.
+    Returns (doc_id, n_tokens, n_terms, kl).
+    """
+    dt = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_dt"))
+        .localCheckpoint(eager=True)
+    )
+    per_doc = dt.groupBy("doc_id").agg(
+        F.sum("c_dt").cast("long").alias("n_d"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    per_term = dt.groupBy("term").agg(
+        F.sum("c_dt").cast("long").alias("c_t")
+    )
+    total = per_doc.agg(F.sum("n_d").cast("long").alias("n_total"))
+    lr_micro = F.round(
+        F.log(
+            (F.col("c_dt").cast("double") * F.col("n_total").cast("double"))
+            / (F.col("c_t").cast("double") * F.col("n_d").cast("double"))
+        ) * 1e6
+    ).cast("long")
+    return (
+        dt.join(per_term, "term")
+        .join(per_doc, "doc_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "n_d", "n_terms",
+            (F.col("c_dt") * lr_micro).alias("contrib"),
+        )
+        .groupBy("doc_id", "n_d", "n_terms")
+        .agg(F.sum("contrib").alias("sum_micro"))
+        .orderBy(
+            F.desc(
+                F.col("sum_micro").cast("double") / F.col("n_d").cast("double")
+            ),
+            F.asc("doc_id"),
+        )
+        .limit(top_k)
+        .select(
+            "doc_id",
+            F.col("n_d").alias("n_tokens"),
+            "n_terms",
+            F.expr("greatest(sum_micro, 0L) div n_d").alias("kl_micro"),
+        )
+    )

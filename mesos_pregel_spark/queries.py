@@ -4727,6 +4727,7 @@ _QUERY_PRIORITY: list[str] = [
     "decontam_by_source",
     "molloy_reed",
     "onion_layers",
+    "doc_kl_outliers",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---

@@ -69,6 +69,7 @@ from mesos_pregel_spark.functions.text import (
 from mesos_pregel_spark.sources.multimodal import decode_features, synthesize_media
 from mesos_pregel_spark.functions.clustering import cluster_balanced_sample, kmeans
 from mesos_pregel_spark.functions.composition import (
+    doc_kl_outliers,
     heaps_law,
     length_histogram,
     ngram_hotspots,
@@ -1656,6 +1657,50 @@ FROM sums c JOIN per_source ps ON ps.source = c.source
 """
 
 
+# Per-document KL outliers (functions/composition.py::doc_kl_outliers):
+# source_kl's exact micro-nat contract at doc granularity; the top-k
+# ordering divides the exact integer pair ONCE per doc so duplicate
+# documents tie exactly and break on doc_id.
+SQL_DOC_KL_OUTLIERS = f"""
+WITH dt AS (
+  SELECT doc_id, token AS term, CAST(COUNT(*) AS BIGINT) AS c_dt FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+    FROM documents) t
+  WHERE token <> '' GROUP BY doc_id, token
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(c_dt) AS BIGINT) AS n_d,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM dt GROUP BY doc_id
+),
+per_term AS (
+  SELECT term, CAST(SUM(c_dt) AS BIGINT) AS c_t FROM dt GROUP BY term
+),
+tot AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n_total FROM per_doc),
+contrib AS (
+  SELECT d.doc_id,
+         d.c_dt * CAST(ROUND(LN(
+           (CAST(d.c_dt AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+           / (CAST(p.c_t AS DOUBLE) * CAST(pd.n_d AS DOUBLE))) * 1e6)
+           AS BIGINT) AS c
+  FROM dt d
+  JOIN per_term p ON p.term = d.term
+  JOIN per_doc pd ON pd.doc_id = d.doc_id
+  CROSS JOIN tot t
+),
+sums AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS sum_micro
+  FROM contrib GROUP BY doc_id
+)
+SELECT pd.doc_id, pd.n_d AS n_tokens, pd.n_terms,
+       CAST(GREATEST(s.sum_micro, 0) // pd.n_d AS BIGINT) AS kl_micro
+FROM sums s JOIN per_doc pd ON pd.doc_id = s.doc_id
+ORDER BY CAST(s.sum_micro AS DOUBLE) / CAST(pd.n_d AS DOUBLE) DESC,
+         pd.doc_id ASC
+LIMIT 50
+"""
+
+
 # C4-style span dedup (functions/dedup.py::span_dedup_stats): full
 # 8-token spans, md5 span hash, keep-first by (doc_id, pos); the
 # struct MIN is lexicographic in BOTH engines, so "first occurrence"
@@ -1773,6 +1818,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": lambda s, d: span_dedup_stats(
         _docs(s, d), span_tokens=_SPAN_TOKENS),
     "source_kl": lambda s, d: source_kl(_docs(s, d)),
+    "doc_kl_outliers": lambda s, d: doc_kl_outliers(_docs(s, d)),
     "chunk_windows": lambda s, d: chunk_windows(
         _docs(s, d), window_tokens=_CHUNK_W, stride=_CHUNK_S),
     "ngram_hotspots": lambda s, d: ngram_hotspots(
@@ -1827,6 +1873,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "span_dedup": SQL_SPAN_DEDUP,
     "source_kl": SQL_SOURCE_KL,
+    "doc_kl_outliers": SQL_DOC_KL_OUTLIERS,
     "chunk_windows": SQL_CHUNK_WINDOWS,
     "ngram_hotspots": SQL_NGRAM_HOTSPOTS,
     "pmi_topk": SQL_PMI_TOPK,
