@@ -1419,6 +1419,215 @@ CROSS JOIN tot t
 """
 
 
+def q_pagerank_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed weighted PageRank: each consecutive-turn link
+    contributes exp(-0.1 * age_days) instead of 1, so the ranking
+    follows RECENT interaction structure — the temporal x ranking
+    synthesis (a drifting graph's stale hubs decay out; compare
+    rank_drift, which reports the drift, where this RANKS under it).
+
+    Pinned cross-engine semantics:
+    - age in days from the corpus max timestamp, epoch-µs integer
+      subtraction then ONE double division (NTZ-safe);
+    - each occurrence's decay term snaps to BIGINT micro-units
+      (ROUND(exp(..)*1e6)) BEFORE the per-edge sum — the micro-unit
+      discipline, so edge weights are exact integers (exp, like ln in
+      pmi/source_kl, sees a bit-identical double argument in both
+      engines);
+    - self-transitions dropped (the edge_extract rule); 2 weighted
+      supersteps, d = 0.85, scores rounded 9dp (the ranking-family
+      contract).
+
+    Shape: one window pass + one hash aggregate builds the decayed
+    edge table; the rank loop is the audited weighted kernel."""
+    from pyspark.sql import Window
+
+    from mesos_pregel_spark.functions.sessions import _us_col
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _us_col()
+    seq = _events(spark, sf_dir).select(
+        F.col("event_type").alias("src"),
+        us.alias("us"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    mx = seq.agg(F.max("us").alias("m"))
+    term = F.round(
+        F.exp(
+            F.lit(-0.1)
+            * ((F.col("m") - F.col("us")).cast("double") / 86400000000.0)
+        ) * 1e6
+    ).cast("long")
+    edges = (
+        seq.where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .crossJoin(F.broadcast(mx))
+        .select("src", "dst", term.alias("t"))
+        .groupBy("src", "dst")
+        .agg(F.sum("t").cast("double").alias("weight"))
+    )
+    ranks, _run = pagerank(
+        spark, edges, tol=0.0, max_supersteps=2,
+        edge_partitions=8, weighted=True,
+    )
+    return ranks.select(
+        F.col("id").alias("actor"), F.round("pagerank", 9).alias("pagerank")
+    )
+
+
+SQL_PAGERANK_DECAYED = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+dseq AS (
+  SELECT user_id, event_type AS s, epoch_us(ts) AS us,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS d
+  FROM events
+),
+dedges AS (
+  SELECT s, d,
+         CAST(SUM(CAST(ROUND(EXP(-0.1 *
+           (CAST((SELECT m FROM mx) - us AS DOUBLE) / 86400000000.0))
+           * 1e6) AS BIGINT)) AS DOUBLE) AS weight
+  FROM dseq WHERE d IS NOT NULL AND s <> d
+  GROUP BY s, d
+),
+dverts AS (
+  SELECT DISTINCT a AS actor FROM (
+    SELECT s AS a FROM dedges UNION ALL SELECT d FROM dedges)
+),
+dn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dverts),
+dwd AS (SELECT s, SUM(weight) AS w FROM dedges GROUP BY s),
+dp1 AS MATERIALIZED (
+  SELECT v.actor,
+         0.15/(SELECT n FROM dn) + 0.85*COALESCE(c.sm, 0.0) AS pr
+  FROM dverts v LEFT JOIN (
+    SELECT e.d AS actor,
+           SUM((1.0/(SELECT n FROM dn)) * e.weight / dwd.w) AS sm
+    FROM dedges e JOIN dwd ON e.s = dwd.s
+    GROUP BY e.d) c
+  ON v.actor = c.actor
+),
+dp2 AS MATERIALIZED (
+  SELECT v.actor,
+         0.15/(SELECT n FROM dn) + 0.85*COALESCE(c.sm, 0.0) AS pr
+  FROM dverts v LEFT JOIN (
+    SELECT e.d AS actor, SUM(p.pr * e.weight / dwd.w) AS sm
+    FROM dedges e
+    JOIN dp1 p ON e.s = p.actor
+    JOIN dwd ON e.s = dwd.s
+    GROUP BY e.d) c
+  ON v.actor = c.actor
+)
+SELECT actor, ROUND(pr, 9) AS pagerank FROM dp2
+"""
+
+
+_PATHS_TOP_K = 50
+
+
+def q_actor_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most common length-3 actor paths (consecutive-turn actor
+    trigrams within a conversation under the X2 stable order) — the
+    sequence-mining read-out over the same substrate edge_extract
+    counts pairwise: "user→assistant→tool" vs "user→assistant→user"
+    is exactly the workflow-shape signal a routing recipe reads.
+
+    Pinned: trigram = three CONSECUTIVE turns of one user_id ordered
+    by (ts, event_id); counts exact integers; all-integer-then-string
+    ordering (cnt DESC, a ASC, b ASC, c ASC) makes the LIMIT
+    deterministic (the ngram_hotspots discipline).  One window pass
+    partitioned by user_id (two LEADs ride one sort) + one hash
+    aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _events(spark, sf_dir).select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    return (
+        seq.where(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"), F.asc("c"))
+        .limit(_PATHS_TOP_K)
+    )
+
+
+SQL_ACTOR_PATHS = f"""
+WITH seq AS (
+  SELECT event_type AS a,
+         LEAD(event_type, 1) OVER w AS b,
+         LEAD(event_type, 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+GROUP BY a, b, c
+ORDER BY cnt DESC, a ASC, b ASC, c ASC
+LIMIT {_PATHS_TOP_K}
+"""
+
+
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session funnel: per (first actor, last actor) of a session, how
+    many sessions start there and end there — the entry/exit report a
+    conversation-design pass reads next to session_stats (which actor
+    opens, which actor closes, and how often a session both opens and
+    closes on the same tool-spam loop).
+
+    Pinned: session = the 30-min gap rule (q_sessions substrate);
+    first/last = struct-MIN/MAX over (us, event_id, event_type) —
+    lexicographic struct ordering pins ties identically in both
+    engines (the span_dedup keep-first trick); counts exact."""
+    from mesos_pregel_spark.functions.sessions import sessionize
+
+    s = sessionize(_events(spark, sf_dir), gap_us=_SESSION_GAP_US)
+    ends = s.groupBy("user_id", "session_idx").agg(
+        F.min(F.struct("us", "event_id", "event_type")).alias("first"),
+        F.max(F.struct("us", "event_id", "event_type")).alias("last"),
+    )
+    return (
+        ends.select(
+            F.col("first.event_type").alias("entry_actor"),
+            F.col("last.event_type").alias("exit_actor"),
+        )
+        .groupBy("entry_actor", "exit_actor")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+
+
+SQL_SESSION_FUNNEL = f"""
+WITH s AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT user_id, event_type, event_id, us,
+         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM s
+),
+ends AS (
+  SELECT user_id, session_idx,
+         MIN(struct_pack(u := us, e := event_id, t := event_type)) AS fst,
+         MAX(struct_pack(u := us, e := event_id, t := event_type)) AS lst
+  FROM s2 GROUP BY user_id, session_idx
+)
+SELECT fst['t'] AS entry_actor,
+       lst['t'] AS exit_actor,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM ends GROUP BY 1, 2
+"""
+
+
 def q_turn_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation turn-taking entropy over the events log
     (functions/sessions.py::turn_entropy — actor-distribution Shannon
@@ -4577,6 +4786,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hill_alpha": q_hill_alpha,
     "sessions": q_sessions,
     "turn_entropy": q_turn_entropy,
+    "actor_paths": q_actor_paths,
+    "session_funnel": q_session_funnel,
+    "pagerank_decayed": q_pagerank_decayed,
     "props_rollup": q_props_rollup,
     "reply_latency": q_reply_latency,
     "session_copairs": q_session_copairs,
@@ -4728,6 +4940,9 @@ _QUERY_PRIORITY: list[str] = [
     "molloy_reed",
     "onion_layers",
     "doc_kl_outliers",
+    "actor_paths",
+    "session_funnel",
+    "pagerank_decayed",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -4849,6 +5064,9 @@ ORACLE_SQL: dict[str, str] = {
     "hill_alpha": SQL_HILL_ALPHA,
     "sessions": SQL_SESSIONS,
     "turn_entropy": SQL_TURN_ENTROPY,
+    "actor_paths": SQL_ACTOR_PATHS,
+    "session_funnel": SQL_SESSION_FUNNEL,
+    "pagerank_decayed": SQL_PAGERANK_DECAYED,
     "props_rollup": SQL_PROPS_ROLLUP,
     "reply_latency": SQL_REPLY_LATENCY,
     "session_copairs": SQL_SESSION_COPAIRS,
