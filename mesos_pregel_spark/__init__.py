@@ -57,10 +57,16 @@ from mesos_pregel_spark.functions.similarity import (
     ivf_topk,
 )
 from mesos_pregel_spark.functions.text import (
+    bm25_topk,
     fingerprint,
     language_id,
     quality_score,
     token_stats,
+)
+from mesos_pregel_spark.functions.decontam import ngram_novelty
+from mesos_pregel_spark.algos.structure import (
+    attribute_assortativity,
+    partition_cut,
 )
 
 __all__ = [
@@ -96,6 +102,10 @@ __all__ = [
     "wl_colors",
     "textrank",
     "turn_entropy",
+    "bm25_topk",
+    "ngram_novelty",
+    "attribute_assortativity",
+    "partition_cut",
 ]
 
 __version__ = "0.1.0"

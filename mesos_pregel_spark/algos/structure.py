@@ -793,3 +793,133 @@ def hill_alpha(deg: DataFrame, dmin: int = 2) -> DataFrame:
             ),
         ).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# categorical (attribute) assortativity and partitioner cut quality
+# ---------------------------------------------------------------------------
+
+
+def attribute_assortativity(
+    spark: SparkSession, edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Newman's categorical assortativity coefficient (Newman, "Mixing
+    patterns in networks", PRE 2003 eq. 2): given a vertex attribute
+    (``labels``: (id, label)), r = (Tr e − Σᵢ aᵢbᵢ)/(1 − Σᵢ aᵢbᵢ) over
+    the class mixing matrix e — do same-class vertices link to each
+    other more (r>0) or less (r<0) than degree-preserving chance?  The
+    diagnostic a pipeline reads before deciding whether an attribute
+    (brand, source, language, community) is a useful partitioning or
+    stratification key.
+
+    Exact-integer formulation (undirected, each edge counted in both
+    directions so e is symmetric and aᵢ = bᵢ):
+    with m = |E|, T = 2·(same-class edges), stubsᵢ = class i's
+    endpoint count (degree mass), r = (2m·T − Σstubsᵢ²) / ((2m)² −
+    Σstubsᵢ²).  Numerator and denominator are EXACT integers widened
+    to decimal(38,0) — Σstubs² reaches (2m)² ≈ 4·10²⁴ at m = 10¹²,
+    past int64 (the molloy_reed widening) — and r is ONE double
+    division of the two, bit-identical cross-engine.
+
+    Shape (design-for-100x): two label-broadcast joins over the edge
+    list (labels is #vertices rows but only (id, label) wide; AQE
+    promotes when it fits, else a shuffle join on id), then ONE
+    map-side-combinable aggregate to (n_classes, m, same, Σstubs²) —
+    the edge list is never shuffled on a skewed key.  Returns one row
+    (n_classes, m_edges, same_edges, r).
+    """
+    und = canonical_undirected(edges)
+    lab_lo = labels.select(F.col("id").alias("lo"), F.col("label").alias("la"))
+    lab_hi = labels.select(F.col("id").alias("hi"), F.col("label").alias("lb"))
+    tagged = und.join(lab_lo, "lo").join(lab_hi, "hi")
+    # per-class endpoint (stub) counts: each edge contributes one stub
+    # to each endpoint's class
+    stubs = (
+        tagged.select(F.col("la").alias("label"))
+        .unionAll(tagged.select(F.col("lb").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("stubs"))
+    )
+    sums = stubs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.col("stubs") * F.col("stubs")).cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    base = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0))
+        .cast("long").alias("same_edges"),
+    )
+    out = base.crossJoin(F.broadcast(sums))
+    two_m = F.col("m_edges").cast("decimal(38,0)") * 2
+    t = F.col("same_edges").cast("decimal(38,0)") * 2
+    num = (two_m * t - F.col("s2")).cast("double")
+    den = (two_m * two_m - F.col("s2")).cast("double")
+    return out.select(
+        "n_classes", "m_edges", "same_edges",
+        F.round(num / den, 9).alias("r"),
+    )
+
+
+def partition_cut(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_partitions: tuple[int, ...] = (8, 32, 128),
+) -> DataFrame:
+    """Edge-cut profile of the engine's hash partitioner (P7): for
+    each candidate partition count P, the fraction of undirected edges
+    whose endpoints land in different partitions under the pinned
+    md5-uniform vertex hash — every cut edge is one message that
+    crosses executors per superstep, so this table IS the scatter
+    stage's network bill, read before sizing a cluster or choosing
+    P for bucketing.  ``random_expect`` = 1 − 1/P is the uniform-hash
+    expectation; a structure-aware assignment (community labels,
+    range-bucketed ids) beats it, a uniform hash converges to it from
+    below — the gap quantifies how much locality a smarter
+    partitioner could still win.
+
+    Pinned hash (cross-engine): pid = (first 12 md5 hex chars of the
+    id string, parsed base-16) mod P — the sampling stack's 48-bit
+    md5-uniform (functions/sampling.py), never Spark's internal
+    murmur (DuckDB cannot reproduce it).
+
+    Shape (design-for-100x): ONE scan of the canonical edge list
+    computing both endpoint hashes as codegen expressions, one
+    map-side-combinable aggregate emitting every P's cut count in the
+    same pass (no per-P rescan), then an O(|P|)-row unpivot.  Returns
+    (n_partitions, n_edges, cut_edges, cut_ratio, random_expect).
+    """
+    und = canonical_undirected(edges)
+
+    def pid(col: str) -> F.Column:
+        h12 = F.substring(F.md5(F.col(col).cast("string")), 1, 12)
+        return F.conv(h12, 16, 10).cast("long")
+
+    hashed = und.select(pid("lo").alias("hlo"), pid("hi").alias("hhi"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("m")]
+    for p in n_partitions:
+        aggs.append(
+            F.sum(
+                F.when(F.col("hlo") % p != F.col("hhi") % p, 1).otherwise(0)
+            ).cast("long").alias(f"cut_{p}")
+        )
+    one = hashed.agg(*aggs)
+    stack_args = ", ".join(
+        f"{p}, cut_{p}" for p in n_partitions
+    )
+    rows = one.selectExpr(
+        "m",
+        f"stack({len(n_partitions)}, {stack_args}) "
+        "AS (n_partitions, cut_edges)",
+    )
+    return rows.select(
+        F.col("n_partitions").cast("int").alias("n_partitions"),
+        F.col("m").alias("n_edges"),
+        "cut_edges",
+        F.round(
+            F.col("cut_edges").cast("double") / F.col("m").cast("double"), 9
+        ).alias("cut_ratio"),
+        F.round(
+            F.lit(1.0) - F.lit(1.0) / F.col("n_partitions").cast("double"), 9
+        ).alias("random_expect"),
+    )

@@ -91,3 +91,51 @@ def decontaminate(
             (F.coalesce(F.col("n_hits"), F.lit(0)) >= 1).alias("contaminated"),
         )
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document n-gram NOVELTY — the memorization-risk /
+    boilerplate triage the eval-hygiene step's mirror image: instead
+    of comparing against a held-out blocklist, each document is scored
+    against the REST OF THE CORPUS.  A document whose distinct word
+    n-grams mostly appear in other documents is template/boilerplate
+    (or a near-copy the pairwise dedup stack should have caught); a
+    document whose grams appear nowhere else is novel content.
+
+    Pinned semantics (shared with the DuckDB twin and the python
+    oracle): grams are the decontamination stack's distinct md5'd word
+    ``n``-grams per document (``ngram_hashes`` — same short-doc floor);
+    a gram is NOVEL when exactly ONE document in the corpus contains
+    it (doc-frequency 1; counted over distinct-per-doc grams, so
+    self-repetition inside one document stays novel);
+    novelty_ratio = n_novel / n_grams rounded 9dp.
+
+    Shape (design-for-100x): the (doc_id, gram) stream is linear in
+    corpus tokens; doc-frequency is ONE map-side-combinable hash
+    aggregate keyed by gram; the verdict joins the df table back to
+    the stream on the same gram key — two shuffles total, both on the
+    uniformly-distributed md5 key (no hot keys by construction), then
+    one per-doc aggregate.  No UDFs, no windows, no driver data.
+    Returns (doc_id, n_grams, n_novel, novelty_ratio).
+    """
+    grams = ngram_hashes(docs, n)
+    gdf = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("gram_docs")
+    )
+    return (
+        grams.join(gdf, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("gram_docs") == 1, 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"), 9
+            ).alias("novelty_ratio"),
+        )
+    )

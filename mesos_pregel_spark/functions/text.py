@@ -443,3 +443,116 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
             ).alias("nll"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    n_query_terms: int = 6,
+    topk: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval scoring (Robertson et al., TREC-3 1994;
+    the Lucene default ranking function) — the relevance-ranking step
+    a data pipeline runs when mining a corpus for documents matching a
+    query (eval-set curation, topic mining, RAG index sanity checks).
+
+    The query is DERIVED from the corpus so the operator is
+    self-contained at any scale factor: the ``n_query_terms`` terms
+    with the highest document frequency (ties broken term-ascending) —
+    a deterministic, data-defined "head query" that exercises exactly
+    the BM25 machinery (idf discounts the common terms, tf saturates
+    via k1, dl/avgdl normalizes long documents via b).
+
+    Pinned semantics (cross-engine determinism, shared with the DuckDB
+    twin in queries_text.py):
+
+    - tokens: the repo's pinned tokenization (``tokens_col``), empty
+      tokens dropped; dl = per-doc token count; N = total corpus rows
+      (empty docs count toward N and avgdl's denominator, matching the
+      classical corpus-statistics definition);
+    - avgdl6 = ROUND(total_tokens / N, 6) and r6 = ROUND(dl / avgdl6,
+      6) — both single IEEE divisions rounded at 6dp so downstream
+      products are engine-identical;
+    - idf6 = ROUND(LN((N - df + 0.5)/(df + 0.5) + 1.0), 6) — the
+      Lucene "+1 inside the log" variant (non-negative for df <= N);
+      rounded BEFORE use so a 1-ulp libm ln() divergence cannot
+      surface (the tfidf_topk contract);
+    - per-(doc, term) contribution = idf6 * ((tf * (k1+1)) / (tf + k1
+      * (1 - b + b * r6))) — a pinned parenthesization of double ops,
+      then CAST(ROUND(x * 1e6) AS BIGINT): integer MICRO-points, so
+      the per-document SUM over matched query terms is exact integer
+      arithmetic, order-independent (the unigram_logprob contract);
+    - score = ROUND(sum_micro / 1e6, 6); ranking by (sum_micro DESC,
+      doc_id ASC) — the tie-break compares exact integers, never
+      doubles.
+
+    Shape (design-for-100x): two hash aggregates (tf, df) + a 1-row
+    corpus-stats broadcast + a ``topk``-row TakeOrdered — the query-
+    term table is ``n_query_terms`` rows and is explicitly broadcast,
+    so the scoring join never shuffles the corpus; the final global
+    top-k is Spark's TakeOrderedAndProject (per-partition heads, no
+    full sort).  Returns (rank, doc_id, n_hits, score).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).crossJoin(
+        F.broadcast(toks.agg(
+            F.count(F.lit(1)).cast("long").alias("total_tokens")
+        ))
+    )
+    qterms = df.orderBy(F.desc("df"), F.asc("term")).limit(n_query_terms)
+
+    avgdl6 = F.round(
+        F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+        6,
+    )
+    r6 = F.round(F.col("dl").cast("double") / F.col("avgdl6"), 6)
+    idf6 = F.round(
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df").cast("double")
+             + 0.5) / (F.col("df").cast("double") + 0.5) + 1.0
+        ),
+        6,
+    )
+    tf_d = F.col("tf").cast("double")
+    contrib = F.col("idf6") * (
+        (tf_d * (k1 + 1.0))
+        / (tf_d + k1 * ((1.0 - b) + b * F.col("r6")))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms.select("term", "df")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl6", avgdl6)
+        .withColumn("r6", r6)
+        .withColumn("idf6", idf6)
+        .select(
+            "doc_id",
+            F.round(contrib * 1e6).cast("long").alias("micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.sum("micro").alias("sum_micro"),
+        )
+    )
+    top = scored.orderBy(F.desc("sum_micro"), F.asc("doc_id")).limit(topk)
+    w = Window.orderBy(F.desc("sum_micro"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id", "n_hits",
+        F.round(F.col("sum_micro").cast("double") / 1e6, 6).alias("score"),
+    )

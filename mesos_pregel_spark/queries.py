@@ -4737,6 +4737,108 @@ SQL_BORUVKA_MSF = _sql_boruvka()
 
 
 # ---------------------------------------------------------------------------
+# attribute assortativity + partitioner cut profile (algos/structure.py)
+# ---------------------------------------------------------------------------
+
+
+def q_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman categorical assortativity of the parts co-purchase graph
+    over the part BRAND attribute (algos/structure.py::
+    attribute_assortativity — exact-integer mixing-matrix sums widened
+    to decimal(38,0), one double division)."""
+    from mesos_pregel_spark.algos.structure import attribute_assortativity
+
+    labels = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("label")
+    )
+    return attribute_assortativity(
+        spark, _parts_edges(spark, sf_dir), labels
+    )
+
+
+SQL_BRAND_ASSORTATIVITY = _SQL_PARTS + """
+, lab AS (SELECT p_partkey AS id, p_brand AS label FROM part),
+tagged AS MATERIALIZED (
+  SELECT la.label AS la, lb.label AS lb
+  FROM und
+  JOIN lab la ON la.id = und.lo
+  JOIN lab lb ON lb.id = und.hi
+),
+stubs AS (
+  SELECT label, CAST(COUNT(*) AS HUGEINT) AS stubs FROM (
+    SELECT la AS label FROM tagged UNION ALL SELECT lb FROM tagged) u
+  GROUP BY label
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(stubs * stubs) AS HUGEINT) AS s2
+  FROM stubs
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+         CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+           AS same_edges
+  FROM tagged
+)
+SELECT n_classes, m_edges, same_edges,
+       ROUND(
+         CAST(2 * CAST(m_edges AS HUGEINT) * 2 * CAST(same_edges AS HUGEINT)
+              - s2 AS DOUBLE)
+         / CAST(4 * CAST(m_edges AS HUGEINT) * CAST(m_edges AS HUGEINT)
+              - s2 AS DOUBLE), 9) AS r
+FROM base, sums
+"""
+
+
+_CUT_PARTITIONS = (8, 32, 128)
+
+
+def q_partition_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-partitioner edge-cut profile of the parts graph at P in
+    {8, 32, 128} (algos/structure.py::partition_cut — the scatter
+    stage's cross-executor message bill under the pinned md5-uniform
+    vertex hash)."""
+    from mesos_pregel_spark.algos.structure import partition_cut
+
+    return partition_cut(
+        spark, _parts_edges(spark, sf_dir), n_partitions=_CUT_PARTITIONS
+    )
+
+
+def _sql_partition_cut(plist: tuple[int, ...] = _CUT_PARTITIONS) -> str:
+    cuts = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN hlo % {p} <> hhi % {p} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS cut_{p}" for p in plist
+    )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT CAST({p} AS INT) AS n_partitions, m AS n_edges, "
+        f"cut_{p} AS cut_edges FROM one" for p in plist
+    )
+    return _SQL_PARTS + f"""
+, hashed AS (
+  SELECT CAST(('0x' || substr(md5(CAST(lo AS VARCHAR)), 1, 12)) AS BIGINT)
+           AS hlo,
+         CAST(('0x' || substr(md5(CAST(hi AS VARCHAR)), 1, 12)) AS BIGINT)
+           AS hhi
+  FROM und
+),
+one AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         {cuts}
+  FROM hashed
+)
+SELECT n_partitions, n_edges, cut_edges,
+       ROUND(CAST(cut_edges AS DOUBLE) / CAST(n_edges AS DOUBLE), 9)
+         AS cut_ratio,
+       ROUND(1.0 - 1.0 / CAST(n_partitions AS DOUBLE), 9) AS random_expect
+FROM ({unions})
+"""
+
+
+SQL_PARTITION_CUT = _sql_partition_cut()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4796,6 +4898,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wl_colors": q_wl_colors,
     "molloy_reed": q_molloy_reed,
     "onion_layers": q_onion_layers,
+    "brand_assortativity": q_brand_assortativity,
+    "partition_cut": q_partition_cut,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -4943,6 +5047,11 @@ _QUERY_PRIORITY: list[str] = [
     "actor_paths",
     "session_funnel",
     "pagerank_decayed",
+    "bm25_topk",
+    "ngram_novelty",
+    "dedup_keep_best",
+    "brand_assortativity",
+    "partition_cut",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -5074,6 +5183,8 @@ ORACLE_SQL: dict[str, str] = {
     "wl_colors": SQL_WL_COLORS,
     "molloy_reed": SQL_MOLLOY_REED,
     "onion_layers": SQL_ONION_LAYERS,
+    "brand_assortativity": SQL_BRAND_ASSORTATIVITY,
+    "partition_cut": SQL_PARTITION_CUT,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,

@@ -54,6 +54,7 @@ from mesos_pregel_spark.functions.similarity import (
 )
 from mesos_pregel_spark.functions.pipeline import clean_corpus
 from mesos_pregel_spark.functions.text import (
+    bm25_topk,
     tfidf_topk,
     unigram_logprob,
     bigram_logprob,
@@ -79,7 +80,7 @@ from mesos_pregel_spark.functions.composition import (
     textrank,
     vocab_stats,
 )
-from mesos_pregel_spark.functions.decontam import decontaminate
+from mesos_pregel_spark.functions.decontam import decontaminate, ngram_novelty
 from mesos_pregel_spark.functions.packing import chunk_windows, pack_concat
 from mesos_pregel_spark.functions.sampling import (
     sample_to_token_budget,
@@ -1759,6 +1760,129 @@ FROM lens GROUP BY 1
 """
 
 
+_BM25_Q = 6
+_BM25_K = 20
+
+# BM25 twin: the same pinned double-op sequence as functions/text.py::
+# bm25_topk — idf and the dl/avgdl ratio each ROUNDED at 6dp before
+# use, the per-(doc, term) contribution snapped to integer MICRO-points
+# before the per-doc SUM (order-independent exact integers), ranking by
+# the integer sum.
+SQL_BM25_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+toks AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+st AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS total_tokens
+),
+q AS (SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT {_BM25_Q}),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ROUND(LN((CAST(st.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+                    / (CAST(q.df AS DOUBLE) + 0.5) + 1.0), 6)
+           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75
+                     * ROUND(CAST(dl.dl AS DOUBLE)
+                             / ROUND(CAST(st.total_tokens AS DOUBLE)
+                                     / CAST(st.n_docs AS DOUBLE), 6), 6))))
+           * 1e6) AS BIGINT) AS micro
+  FROM tf JOIN q USING (term) JOIN dl USING (doc_id), st
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(SUM(micro) AS BIGINT) AS sum_micro
+  FROM scored GROUP BY doc_id
+),
+top AS (SELECT * FROM agg ORDER BY sum_micro DESC, doc_id ASC LIMIT {_BM25_K})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sum_micro DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, n_hits,
+       ROUND(CAST(sum_micro AS DOUBLE) / 1e6, 6) AS score
+FROM top
+"""
+
+
+_NOVELTY_N = 5
+
+
+def _sql_ngram_novelty(n: int = _NOVELTY_N) -> str:
+    return f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    [MD5(array_to_string(list_slice(toks, i, i + {n - 1}), ' '))
+     FOR i IN generate_series(1, GREATEST(len(toks) - {n - 1}, 1))]
+  )) AS gram
+  FROM norm
+),
+gdf AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS gram_docs FROM grams GROUP BY gram
+),
+agg AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN gram_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM grams g JOIN gdf USING (gram) GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       ROUND(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 9)
+         AS novelty_ratio
+FROM agg
+"""
+
+
+SQL_NGRAM_NOVELTY = _sql_ngram_novelty()
+
+
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical pick per duplicate cluster — the
+    retention rule a production dedup actually ships: within each
+    transitive near-dup cluster keep the HIGHEST-quality member
+    (quality_score DESC, doc_id ASC tie-break), not the smallest id.
+    Composition of the engine's own CC clustering (_dedup_clusters)
+    with the pinned quality score; the per-cluster argmax is one
+    window over cluster-sized groups (near-dup clusters are small by
+    construction — the banded LSH candidate generation bounds them),
+    so no single task ever sorts a corpus-sized partition."""
+    from pyspark.sql import Window
+
+    clusters = _dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    q = quality_score(_docs(spark, sf_dir))
+    joined = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return joined.select(
+        "doc_id", "cluster", "quality",
+        (F.row_number().over(w) == 1).alias("keep_best"),
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH clu AS ({SQL_DEDUP_CLUSTERS}),
+q AS ({SQL_QUALITY})
+SELECT clu.doc_id, clu.cluster, q.quality,
+       ROW_NUMBER() OVER (
+         PARTITION BY clu.cluster
+         ORDER BY q.quality DESC, clu.doc_id ASC) = 1 AS keep_best
+FROM clu JOIN q ON q.doc_id = clu.doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": lambda s, d: token_stats(_docs(s, d)),
     "quality_score": lambda s, d: quality_score(_docs(s, d)),
@@ -1786,6 +1910,10 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": lambda s, d: ivf_topk(s, _emb(s, d)),
     "ivf_purity": lambda s, d: ivf_purity(s, _emb(s, d)),
     "tfidf_topk": lambda s, d: tfidf_topk(_docs(s, d), k=_TFIDF_K),
+    "bm25_topk": lambda s, d: bm25_topk(
+        _docs(s, d), n_query_terms=_BM25_Q, topk=_BM25_K),
+    "ngram_novelty": lambda s, d: ngram_novelty(_docs(s, d), n=_NOVELTY_N),
+    "dedup_keep_best": _dedup_keep_best,
     "cluster_balanced_sample": lambda s, d: cluster_balanced_sample(
         s, _emb(s, d), k=_KMEANS_K, iters=_KMEANS_ITERS,
         per_cell=_CBS_PER_CELL),
@@ -1855,6 +1983,9 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "ivf_purity": SQL_IVF_PURITY,
     "kmeans": SQL_KMEANS,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "bm25_topk": SQL_BM25_TOPK,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "cluster_balanced_sample": SQL_CLUSTER_BALANCED_SAMPLE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "decontaminate": SQL_DECONTAMINATE,

@@ -1,0 +1,200 @@
+"""ngram_novelty (functions/decontam.py), attribute_assortativity and
+partition_cut (algos/structure.py): python replications and the
+semantic pins each operator exists for."""
+
+import hashlib
+
+from mesos_pregel_spark.algos.structure import (
+    attribute_assortativity,
+    partition_cut,
+)
+from mesos_pregel_spark.functions.decontam import ngram_novelty
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+# ---------------------------------------------------------------------------
+
+
+def _py_novelty(rows, n):
+    import re
+
+    grams = {}
+    for d, txt in rows:
+        ts = [t for t in re.sub(r"\s+", " ", txt.lower()).strip().split(" ")
+              if t != ""]
+        gs = set()
+        for i in range(max(len(ts) - n + 1, 1)):
+            gs.add(" ".join(ts[i:i + n]))
+        grams[d] = gs
+    dfreq = {}
+    for gs in grams.values():
+        for g in gs:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    out = {}
+    for d, gs in grams.items():
+        novel = sum(1 for g in gs if dfreq[g] == 1)
+        out[d] = (len(gs), novel, round(novel / len(gs), 9))
+    return out
+
+
+def test_novelty_matches_python(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact copy of 1
+        (3, "one two three four five six seven"),
+        (4, "one two three four nine ten eleven"),    # shares a prefix gram
+        (5, "wholly unique pentagram of fresh words"),
+    ]
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_ratio"])
+        for r in ngram_novelty(_docs(spark, rows), n=4).collect()
+    }
+    assert got == _py_novelty(rows, 4)
+    # exact copies share every gram: zero novelty both ways
+    assert got[1][2] == 0.0 and got[2][2] == 0.0
+    # the unique doc is fully novel
+    assert got[5][2] == 1.0
+    # partial overlap sits strictly between
+    assert 0.0 < got[3][2] < 1.0
+
+
+def test_novelty_short_doc_floor(spark):
+    """Docs below n tokens contribute their whole token sequence as
+    one gram (the decontamination stack's shingle floor)."""
+    rows = [(1, "tiny doc"), (2, "tiny doc"), (3, "other short")]
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"])
+        for r in ngram_novelty(_docs(spark, rows), n=5).collect()
+    }
+    assert got[1] == (1, 0) and got[2] == (1, 0) and got[3] == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# attribute_assortativity
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def _labels(spark, lab):
+    return spark.createDataFrame(
+        list(lab.items()), "id long, label string"
+    )
+
+
+def _py_attr_r(pairs, lab):
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    m = len(edges)
+    same = sum(1 for a, b in edges if lab[a] == lab[b])
+    stubs = {}
+    for a, b in edges:
+        stubs[lab[a]] = stubs.get(lab[a], 0) + 1
+        stubs[lab[b]] = stubs.get(lab[b], 0) + 1
+    s2 = sum(v * v for v in stubs.values())
+    num = 2 * m * 2 * same - s2
+    den = (2 * m) ** 2 - s2
+    return len(stubs), m, same, round(num / den, 9)
+
+
+def test_attr_assortativity_matches_python(spark):
+    # two same-label triangles bridged by one cross edge
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    lab = {1: "a", 2: "a", 3: "a", 4: "b", 5: "b", 6: "b"}
+    row = attribute_assortativity(
+        spark, _edges(spark, pairs), _labels(spark, lab)
+    ).collect()[0]
+    exp = _py_attr_r(pairs, lab)
+    assert (row["n_classes"], row["m_edges"], row["same_edges"],
+            row["r"]) == exp
+    assert row["r"] > 0  # mostly same-label wiring
+
+
+def test_attr_assortativity_perfect_and_disassortative(spark):
+    # disjoint same-label cliques: r = 1 exactly
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5)]
+    lab = {1: "a", 2: "a", 3: "a", 4: "b", 5: "b"}
+    row = attribute_assortativity(
+        spark, _edges(spark, pairs), _labels(spark, lab)
+    ).collect()[0]
+    assert row["r"] == 1.0
+    # complete bipartite cross-labelling: r < 0 and matches python
+    pairs2 = [(1, 3), (1, 4), (2, 3), (2, 4)]
+    lab2 = {1: "a", 2: "a", 3: "b", 4: "b"}
+    row2 = attribute_assortativity(
+        spark, _edges(spark, pairs2), _labels(spark, lab2)
+    ).collect()[0]
+    assert row2["r"] == _py_attr_r(pairs2, lab2)[3]
+    assert row2["r"] < 0
+
+
+# ---------------------------------------------------------------------------
+# partition_cut
+# ---------------------------------------------------------------------------
+
+
+def _py_pid(v, p):
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16) % p
+
+
+def test_partition_cut_matches_python(spark):
+    pairs = [(i, j) for i in range(1, 12) for j in range(i + 1, 12)
+             if (i + j) % 3 != 0]
+    out = {
+        r["n_partitions"]: r
+        for r in partition_cut(
+            spark, _edges(spark, pairs), n_partitions=(2, 8, 32)
+        ).collect()
+    }
+    for p, row in out.items():
+        exp_cut = sum(1 for a, b in pairs if _py_pid(a, p) != _py_pid(b, p))
+        assert row["n_edges"] == len(pairs)
+        assert row["cut_edges"] == exp_cut
+        assert row["cut_ratio"] == round(exp_cut / len(pairs), 9)
+        assert row["random_expect"] == round(1.0 - 1.0 / p, 9)
+
+
+def test_partition_cut_monotone_expectation(spark):
+    """More partitions can only push the uniform-hash expectation up;
+    P=1 cuts nothing (the degenerate pin)."""
+    pairs = [(i, i + 1) for i in range(1, 40)]
+    out = {
+        r["n_partitions"]: r
+        for r in partition_cut(
+            spark, _edges(spark, pairs), n_partitions=(1, 4, 64)
+        ).collect()
+    }
+    assert out[1]["cut_edges"] == 0
+    assert out[1]["random_expect"] == 0.0
+    assert out[4]["random_expect"] < out[64]["random_expect"]
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best (queries_text.py composition)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_keep_best_is_the_quality_argmax(spark):
+    """Per duplicate cluster exactly ONE keep_best, and it is the
+    (quality DESC, doc_id ASC) argmax — the retention rule that
+    distinguishes this from dedup_clusters' min-id canonical pick."""
+    from mesos_pregel_spark.queries_text import _dedup_keep_best
+
+    rows = _dedup_keep_best(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "fixture corpus must contain near-dup clusters"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        kept = [r for r in members if r["keep_best"]]
+        assert len(kept) == 1
+        best = min(members, key=lambda r: (-r["quality"], r["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
