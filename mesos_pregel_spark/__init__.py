@@ -68,6 +68,7 @@ from mesos_pregel_spark.algos.structure import (
     attribute_assortativity,
     partition_cut,
 )
+from mesos_pregel_spark.algos.coarsen import coarsen_graph
 
 __all__ = [
     "get_spark",
@@ -106,6 +107,7 @@ __all__ = [
     "ngram_novelty",
     "attribute_assortativity",
     "partition_cut",
+    "coarsen_graph",
 ]
 
 __version__ = "0.1.0"

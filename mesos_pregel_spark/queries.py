@@ -4839,6 +4839,90 @@ SQL_PARTITION_CUT = _sql_partition_cut()
 
 
 # ---------------------------------------------------------------------------
+# coarsening by matching contraction (algos/coarsen.py)
+# ---------------------------------------------------------------------------
+
+_COARSEN_ROUNDS = 6
+
+
+def q_coarsen_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One multilevel coarsening level of the parts graph: contract
+    the deterministic local-max matching (capped at 6 rounds — capped
+    ≡ unrolled) into super-vertices and re-aggregate edge weights
+    (algos/coarsen.py)."""
+    from mesos_pregel_spark.algos.coarsen import coarsen_graph
+
+    coarse, _sup = coarsen_graph(
+        spark, _parts_edges(spark, sf_dir), max_rounds=_COARSEN_ROUNDS,
+        edge_partitions=8,
+    )
+    return coarse
+
+
+def _sql_coarsen(rounds: int = _COARSEN_ROUNDS) -> str:
+    """The matching unroll (SQL_MATCHING's mutual-pointer rounds) on
+    the parts graph's VARCHAR id forms, then the contraction: numeric
+    min(id, mate) as the super id, intra-super edges dropped, weights
+    re-aggregated on the canonical coarse key."""
+    parts = [_SQL_PARTS + """
+, undw AS MATERIALIZED (
+  SELECT a.p AS lo, b.p AS hi, CAST(COUNT(*) AS BIGINT) AS w
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+msym AS MATERIALIZED (
+  SELECT CAST(lo AS VARCHAR) AS s, CAST(hi AS VARCHAR) AS d FROM undw
+  UNION ALL SELECT CAST(hi AS VARCHAR), CAST(lo AS VARCHAR) FROM undw
+),
+ms0 AS MATERIALIZED (
+  SELECT DISTINCT s AS actor, 0 AS st, CAST(NULL AS VARCHAR) AS mate
+  FROM msym
+)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+mc{k} AS (
+  SELECT msym.d AS actor,
+         SUBSTR(MIN(MD5(LEAST(msym.s, msym.d) || '|' ||
+                        GREATEST(msym.s, msym.d)) || '|' || msym.s),
+                34) AS cand
+  FROM msym
+  JOIN ms{k-1} a ON a.actor = msym.s AND a.st = 0
+  JOIN ms{k-1} b ON b.actor = msym.d AND b.st = 0
+  GROUP BY msym.d
+),
+ms{k} AS MATERIALIZED (
+  SELECT v.actor,
+         CASE WHEN v.st = 1 OR m.actor IS NOT NULL THEN 1 ELSE 0 END AS st,
+         COALESCE(v.mate, m.cand) AS mate
+  FROM ms{k-1} v
+  LEFT JOIN (
+    SELECT c1.actor, c1.cand
+    FROM mc{k} c1 JOIN mc{k} c2 ON c2.actor = c1.cand
+    WHERE c2.cand = c1.actor
+  ) m ON m.actor = v.actor
+)""")
+    parts.append(f""",
+sup AS (
+  SELECT CAST(actor AS BIGINT) AS id,
+         CASE WHEN mate IS NOT NULL
+              THEN LEAST(CAST(actor AS BIGINT), CAST(mate AS BIGINT))
+              ELSE CAST(actor AS BIGINT) END AS super
+  FROM ms{rounds}
+)
+SELECT LEAST(sa.super, sb.super) AS lo,
+       GREATEST(sa.super, sb.super) AS hi,
+       CAST(SUM(e.w) AS BIGINT) AS weight
+FROM undw e JOIN sup sa ON sa.id = e.lo JOIN sup sb ON sb.id = e.hi
+WHERE sa.super <> sb.super
+GROUP BY 1, 2
+""")
+    return "".join(parts)
+
+
+SQL_COARSEN_GRAPH = _sql_coarsen()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4900,6 +4984,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "onion_layers": q_onion_layers,
     "brand_assortativity": q_brand_assortativity,
     "partition_cut": q_partition_cut,
+    "coarsen_graph": q_coarsen_graph,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -5052,6 +5137,7 @@ _QUERY_PRIORITY: list[str] = [
     "dedup_keep_best",
     "brand_assortativity",
     "partition_cut",
+    "coarsen_graph",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -5185,6 +5271,7 @@ ORACLE_SQL: dict[str, str] = {
     "onion_layers": SQL_ONION_LAYERS,
     "brand_assortativity": SQL_BRAND_ASSORTATIVITY,
     "partition_cut": SQL_PARTITION_CUT,
+    "coarsen_graph": SQL_COARSEN_GRAPH,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,
