@@ -69,6 +69,7 @@ from mesos_pregel_spark.algos.structure import (
     partition_cut,
 )
 from mesos_pregel_spark.algos.coarsen import coarsen_graph
+from mesos_pregel_spark.algos.trustrank import spam_mass
 
 __all__ = [
     "get_spark",
@@ -108,6 +109,7 @@ __all__ = [
     "attribute_assortativity",
     "partition_cut",
     "coarsen_graph",
+    "spam_mass",
 ]
 
 __version__ = "0.1.0"

@@ -4923,6 +4923,107 @@ SQL_COARSEN_GRAPH = _sql_coarsen()
 
 
 # ---------------------------------------------------------------------------
+# TrustRank / spam mass (algos/trustrank.py)
+# ---------------------------------------------------------------------------
+
+_SPAM_STEPS = 4
+_SPAM_SEEDS = 4
+
+
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass on the transcript actor graph: trusted seeds
+    = the 4 highest-out-degree actors (od DESC, actor ASC — the
+    high-activity core), trust = 4-step personalized PageRank from
+    them, rel_mass = rank share not attributable to trusted teleport
+    (algos/trustrank.py)."""
+    from mesos_pregel_spark.algos.trustrank import spam_mass
+
+    e = _graph_edges(spark, sf_dir)
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    seeds = [
+        r["src"]
+        for r in od.orderBy(F.desc("od"), F.asc("src"))
+        .limit(_SPAM_SEEDS).collect()
+    ]
+    out = spam_mass(spark, e, seeds, steps=_SPAM_STEPS, edge_partitions=8)
+    return out.select(
+        F.col("id").alias("actor"), "pr_n", "tr_n", "rel_mass"
+    )
+
+
+def _sql_spam_mass(steps: int = _SPAM_STEPS,
+                   n_seeds: int = _SPAM_SEEDS) -> str:
+    """pr-unroll + trust-unroll + exact nano-unit sums + the pinned
+    rel-mass expression (algos/trustrank.py contract)."""
+    e_mass = repr(1.0 / n_seeds)
+    parts = [_SQL_EDGES + f"""
+, n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+od AS (SELECT src_actor, COUNT(*) AS od FROM edges GROUP BY src_actor),
+pr0 AS MATERIALIZED (
+  SELECT actor, 1.0/(SELECT n FROM n) AS pr FROM verts
+),
+seeds AS (
+  SELECT src_actor AS actor FROM od
+  ORDER BY od DESC, src_actor ASC LIMIT {n_seeds}
+),
+ev AS MATERIALIZED (
+  SELECT v.actor,
+         CASE WHEN s.actor IS NOT NULL THEN {e_mass} ELSE 0.0 END AS e
+  FROM verts v LEFT JOIN seeds s ON s.actor = v.actor
+),
+tr0 AS MATERIALIZED (SELECT actor, e AS pr FROM ev)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+pr{k} AS MATERIALIZED (
+  SELECT v.actor,
+         0.15/(SELECT n FROM n) + 0.85*COALESCE(c.s, 0.0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.dst_actor AS actor, SUM(p.pr/od.od) AS s
+    FROM edges e
+    JOIN pr{k-1} p ON e.src_actor = p.actor
+    JOIN od ON e.src_actor = od.src_actor
+    GROUP BY e.dst_actor) c
+  ON v.actor = c.actor
+),
+tr{k} AS MATERIALIZED (
+  SELECT v.actor,
+         0.15*v.e + 0.85*COALESCE(c.s, 0.0) AS pr
+  FROM ev v LEFT JOIN (
+    SELECT e.dst_actor AS actor, SUM(p.pr/od.od) AS s
+    FROM edges e
+    JOIN tr{k-1} p ON e.src_actor = p.actor
+    JOIN od ON e.src_actor = od.src_actor
+    GROUP BY e.dst_actor) c
+  ON v.actor = c.actor
+)""")
+    parts.append(f""",
+nano AS (
+  SELECT p.actor,
+         CAST(ROUND(p.pr * 1e9) AS BIGINT) AS pr_n,
+         CAST(ROUND(t.pr * 1e9) AS BIGINT) AS tr_n
+  FROM pr{steps} p JOIN tr{steps} t ON t.actor = p.actor
+),
+sums AS (
+  SELECT CAST(SUM(pr_n) AS BIGINT) AS sum_pr,
+         CAST(SUM(tr_n) AS BIGINT) AS sum_tr
+  FROM nano
+)
+SELECT actor, pr_n, tr_n,
+       CASE WHEN pr_n > 0 THEN
+         ROUND((CAST(pr_n AS DOUBLE)
+                - CAST(tr_n AS DOUBLE)
+                  * (CAST(sum_pr AS DOUBLE) / CAST(sum_tr AS DOUBLE)))
+               / CAST(pr_n AS DOUBLE), 6)
+       END AS rel_mass
+FROM nano, sums
+""")
+    return "".join(parts)
+
+
+SQL_SPAM_MASS = _sql_spam_mass()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4985,6 +5086,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_assortativity": q_brand_assortativity,
     "partition_cut": q_partition_cut,
     "coarsen_graph": q_coarsen_graph,
+    "spam_mass": q_spam_mass,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -5138,6 +5240,7 @@ _QUERY_PRIORITY: list[str] = [
     "brand_assortativity",
     "partition_cut",
     "coarsen_graph",
+    "spam_mass",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -5272,6 +5375,7 @@ ORACLE_SQL: dict[str, str] = {
     "brand_assortativity": SQL_BRAND_ASSORTATIVITY,
     "partition_cut": SQL_PARTITION_CUT,
     "coarsen_graph": SQL_COARSEN_GRAPH,
+    "spam_mass": SQL_SPAM_MASS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,
