@@ -121,3 +121,61 @@ def turn_entropy(events: DataFrame) -> DataFrame:
     return per_conv.select(
         "user_id", "n_turns", "n_actors", ent.alias("entropy")
     )
+
+
+DAY_US = 86_400_000_000
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix over the event log — the product-
+    analytics read-out a usage pipeline publishes next to the session
+    stats: users are grouped by the DAY of their first activity (the
+    cohort), and each cell reports how many of that cohort were active
+    ``age`` days after joining.  Declining columns = churn; a flat row
+    = a sticky cohort.
+
+    Pinned semantics (exact DuckDB twin in queries.py):
+
+    - day = epoch-microseconds div 86_400_000_000 — the NTZ-safe
+      integer day index shared with the daily edge windows; no
+      timezone, no date types, no float;
+    - cohort(user) = MIN(day) over the user's events; age = day −
+      cohort (≥ 0 by construction);
+    - n_active counts DISTINCT users per (cohort, age);
+      retention = ROUND(n_active / cohort_size, 9) — ONE division of
+      exact integers; the age-0 row always has retention 1.0.
+
+    Execution shape (design-for-100x): the (user, day) distinct and
+    the per-user MIN both shuffle on user_id ONLY (one exchange,
+    reused), the matrix aggregate shuffles O(#users × active-days)
+    rows on the (cohort, age) key — cohort cells are bounded by the
+    calendar, not the corpus, so the output is tiny; cohort sizes ride
+    a broadcast join back onto the matrix.  No windows, no UDFs.
+    Returns (cohort_day, age, n_active, cohort_size, retention).
+    """
+    day = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        f" div {DAY_US}"
+    ).cast("long")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    mat = (
+        ud.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("age")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        mat.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day", "age", "n_active", "cohort_size",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"), 9
+            ).alias("retention"),
+        )
+    )

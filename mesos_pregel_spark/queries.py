@@ -1283,6 +1283,42 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_events(spark, sf_dir), gap_us=_SESSION_GAP_US)
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the events log: users grouped by
+    first-activity day, each cell = distinct users active ``age`` days
+    later (functions/sessions.py::retention_cohorts — NTZ-safe integer
+    day indices, exact counts, one rounded division per cell)."""
+    from mesos_pregel_spark.functions.sessions import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
+SQL_RETENTION_COHORTS = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id
+),
+mat AS (
+  SELECT c.cohort_day, u.day - c.cohort_day AS age,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM ud u JOIN cohort c ON c.user_id = u.user_id
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM cohort GROUP BY cohort_day
+)
+SELECT m.cohort_day, m.age, m.n_active, s.cohort_size,
+       ROUND(CAST(m.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 9)
+         AS retention
+FROM mat m JOIN sizes s ON s.cohort_day = m.cohort_day
+"""
+
+
 SQL_SESSIONS = f"""
 WITH s AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
@@ -5087,6 +5123,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "partition_cut": q_partition_cut,
     "coarsen_graph": q_coarsen_graph,
     "spam_mass": q_spam_mass,
+    "retention_cohorts": q_retention_cohorts,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -5241,6 +5278,7 @@ _QUERY_PRIORITY: list[str] = [
     "partition_cut",
     "coarsen_graph",
     "spam_mass",
+    "retention_cohorts",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -5376,6 +5414,7 @@ ORACLE_SQL: dict[str, str] = {
     "partition_cut": SQL_PARTITION_CUT,
     "coarsen_graph": SQL_COARSEN_GRAPH,
     "spam_mass": SQL_SPAM_MASS,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,

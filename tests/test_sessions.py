@@ -285,3 +285,61 @@ def test_session_copairs_hand_case(spark, tmp_path):
         ("a", "c"): (1, 3, 1, round(1 * 3 / (3 * 1), 9)),
         ("b", "c"): (1, 2, 1, round(1 * 3 / (2 * 1), 9)),
     }
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts (functions/sessions.py)
+# ---------------------------------------------------------------------------
+
+
+def test_retention_cohorts_matches_python(spark):
+    """Python replication of the cohort matrix: NTZ day indices,
+    cohort = first active day, exact distinct-user counts."""
+    from datetime import datetime
+
+    from mesos_pregel_spark.functions.sessions import retention_cohorts
+
+    rows = [
+        # (event_id, user, day, hour)
+        (1, 1, 1, 3), (2, 1, 1, 9), (3, 1, 2, 1), (4, 1, 4, 5),
+        (5, 2, 1, 7), (6, 2, 3, 2),
+        (7, 3, 2, 4), (8, 3, 2, 6), (9, 3, 3, 1),
+        (10, 4, 4, 8),
+    ]
+    events = spark.createDataFrame(
+        [
+            (eid, datetime(2024, 3, day, hour), uid, "e", 0.0, "{}")
+            for eid, uid, day, hour in rows
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    got = {
+        (r["cohort_day"], r["age"]): (r["n_active"], r["cohort_size"],
+                                      r["retention"])
+        for r in retention_cohorts(events).collect()
+    }
+    # python oracle
+    from collections import defaultdict
+    epoch_day = {}
+    for eid, uid, day, hour in rows:
+        d = (datetime(2024, 3, day, hour)
+             - datetime(1970, 1, 1)).total_seconds() * 1e6 // 86400000000
+        epoch_day.setdefault(uid, set()).add(int(d))
+    cohort = {u: min(ds) for u, ds in epoch_day.items()}
+    sizes = defaultdict(int)
+    for u in cohort:
+        sizes[cohort[u]] += 1
+    exp = defaultdict(int)
+    for u, ds in epoch_day.items():
+        for d in ds:
+            exp[(cohort[u], d - cohort[u])] += 1
+    expect = {
+        k: (n, sizes[k[0]], round(n / sizes[k[0]], 9))
+        for k, n in exp.items()
+    }
+    assert got == expect
+    # age-0 rows are always full retention
+    for (c, age), (n, size, ret) in got.items():
+        if age == 0:
+            assert n == size and ret == 1.0
