@@ -556,3 +556,60 @@ def bm25_topk(
         "doc_id", "n_hits",
         F.round(F.col("sum_micro").cast("double") / 1e6, 6).alias("score"),
     )
+
+
+def approx_vocab(
+    docs: DataFrame, k: int = 4, seed: str = "vocab42"
+) -> DataFrame:
+    """Per-source approximate distinct-token count via derandomized
+    Flajolet-Martin sketches, reported NEXT TO the exact count — the
+    sketch-quality read-out a 100-TB pipeline consults before swapping
+    its exact DISTINCT aggregations (a full shuffle of the token
+    stream) for sketch merges (k longs per group, map-side
+    combinable).  At scale the exact column is the one you drop; here
+    it doubles as the built-in accuracy audit.
+
+    DERANDOMIZED like every sampler in this engine (algos/anf.py):
+    register j's contribution for term t is the lowest set bit of the
+    48-bit integer md5(seed:j:t)[:12 hex] (all-zero hash pins 2^48),
+    the per-source mask is a ``bit_or`` aggregate — a union
+    homomorphism, so occurrence multiplicity is irrelevant by
+    construction — and the estimate is the exact-IEEE FM read-out
+    shared with ANF (``fm_estimate``: integer shift + pinned
+    fractional-power literals, no libm pow).  The APPROXIMATION is
+    pinned; the computation is exact, so the DuckDB twin hash-matches.
+
+    Shape (design-for-100x): ONE projection computing k register
+    columns per token row, ONE hash aggregate per source (k bit_ors +
+    the exact COUNT DISTINCT used as the audit baseline).  Returns
+    (source, exact_distinct, fm_estimate, rel_error).
+    """
+    from mesos_pregel_spark.algos.anf import fm_estimate
+
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+
+    def reg(j: int) -> Column:
+        h = (
+            f"cast(conv(substring(md5(concat_ws(':', '{seed}', '{j}', "
+            f"term)), 1, 12), 16, 10) as bigint)"
+        )
+        return F.expr(
+            f"CASE WHEN {h} = 0 THEN shiftleft(cast(1 as bigint), 48) "
+            f"ELSE {h} & -{h} END"
+        )
+
+    masks = toks.groupBy("source").agg(
+        F.count_distinct("term").cast("long").alias("exact_distinct"),
+        *[F.bit_or(reg(j)).alias(f"m{j}") for j in range(k)],
+    )
+    est = fm_estimate([f"m{j}" for j in range(k)])
+    return masks.select(
+        "source", "exact_distinct",
+        est.alias("fm_estimate"),
+        F.round(
+            (est - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"), 6
+        ).alias("rel_error"),
+    )

@@ -5273,6 +5273,7 @@ _QUERY_PRIORITY: list[str] = [
     "pagerank_decayed",
     "bm25_topk",
     "ngram_novelty",
+    "approx_vocab",
     "dedup_keep_best",
     "brand_assortativity",
     "partition_cut",

@@ -54,6 +54,7 @@ from mesos_pregel_spark.functions.similarity import (
 )
 from mesos_pregel_spark.functions.pipeline import clean_corpus
 from mesos_pregel_spark.functions.text import (
+    approx_vocab,
     bm25_topk,
     tfidf_topk,
     unigram_logprob,
@@ -1883,6 +1884,52 @@ FROM clu JOIN q ON q.doc_id = clu.doc_id
 """
 
 
+_AV_K = 4
+_AV_SEED = "vocab42"
+
+
+def _sql_approx_vocab(k: int = _AV_K, seed: str = _AV_SEED) -> str:
+    from mesos_pregel_spark.algos.anf import DUCKDB_SHIFT, fm_estimate_sql
+
+    regs = []
+    for j in range(k):
+        h = (f"CAST(('0x' || substr(md5('{seed}' || ':' || '{j}' || ':' "
+             f"|| term), 1, 12)) AS BIGINT)")
+        regs.append(
+            f"CASE WHEN {h} = 0 THEN (CAST(1 AS BIGINT) << 48) "
+            f"ELSE {h} & -{h} END AS r{j}"
+        )
+    est = fm_estimate_sql([f"m{j}" for j in range(k)], DUCKDB_SHIFT)
+    bit_ors = ",\n         ".join(
+        f"BIT_OR(r{j}) AS m{j}" for j in range(k)
+    )
+    return f"""
+WITH tok AS (
+  SELECT source, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+toks AS (SELECT source, term FROM tok WHERE term <> ''),
+regs AS (
+  SELECT source, term,
+         {",         ".join(regs)}
+  FROM toks
+),
+masks AS (
+  SELECT source,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_distinct,
+         {bit_ors}
+  FROM regs GROUP BY source
+)
+SELECT source, exact_distinct,
+       {est} AS fm_estimate,
+       ROUND(({est} - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+FROM masks
+"""
+
+
+SQL_APPROX_VOCAB = _sql_approx_vocab()
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": lambda s, d: token_stats(_docs(s, d)),
     "quality_score": lambda s, d: quality_score(_docs(s, d)),
@@ -1913,6 +1960,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": lambda s, d: bm25_topk(
         _docs(s, d), n_query_terms=_BM25_Q, topk=_BM25_K),
     "ngram_novelty": lambda s, d: ngram_novelty(_docs(s, d), n=_NOVELTY_N),
+    "approx_vocab": lambda s, d: approx_vocab(
+        _docs(s, d), k=_AV_K, seed=_AV_SEED),
     "dedup_keep_best": _dedup_keep_best,
     "cluster_balanced_sample": lambda s, d: cluster_balanced_sample(
         s, _emb(s, d), k=_KMEANS_K, iters=_KMEANS_ITERS,
@@ -1985,6 +2034,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_topk": SQL_BM25_TOPK,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "approx_vocab": SQL_APPROX_VOCAB,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "cluster_balanced_sample": SQL_CLUSTER_BALANCED_SAMPLE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -112,3 +112,58 @@ def test_empty_docs_never_rank(spark):
     assert all(r["doc_id"] != 5 for r in out)
     ranks = sorted(r["rank"] for r in out)
     assert ranks == list(range(1, len(out) + 1))
+
+
+# ---------------------------------------------------------------------------
+# approx_vocab (FM-sketch distinct counting; functions/text.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_fm_vocab(rows, k, seed):
+    import hashlib
+    import re
+
+    terms = {}
+    for src, txt in rows:
+        for t in re.sub(r"\s+", " ", txt.lower()).strip().split(" "):
+            if t:
+                terms.setdefault(src, set()).add(t)
+    out = {}
+    for src, ts in terms.items():
+        masks = []
+        for j in range(k):
+            m = 0
+            for t in ts:
+                h = int(hashlib.md5(
+                    f"{seed}:{j}:{t}".encode()).hexdigest()[:12], 16)
+                m |= (1 << 48) if h == 0 else (h & -h)
+            masks.append(m)
+        s = sum(((~m) & (m + 1)).bit_length() - 1 for m in masks)
+        i, frac = s // k, s % k
+        est = round((1 << i) * (2.0 ** (frac / k)) / 0.77351, 6)
+        out[src] = (len(ts), est, round((est - len(ts)) / len(ts), 6))
+    return out
+
+
+def test_approx_vocab_matches_python(spark):
+    from mesos_pregel_spark.functions.text import approx_vocab
+
+    rows = [
+        ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("a", "iota kappa lambda mu nu xi omicron pi rho sigma"),
+        ("b", "one two three one two three"),
+        ("c", " ".join(f"w{i}" for i in range(200))),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["source"]: (r["exact_distinct"], r["fm_estimate"], r["rel_error"])
+        for r in approx_vocab(docs, k=4, seed="vocab42").collect()
+    }
+    assert got == _py_fm_vocab(rows, 4, "vocab42")
+    # the sketch estimate must be within an order of magnitude of
+    # exact on every source (FM with k=4 registers is coarse but sane)
+    for exact, est, _err in got.values():
+        assert exact / 10 < est < exact * 10

@@ -112,3 +112,36 @@ def test_capped_rounds_prefix(spark):
     assert {
         (r["lo"], r["hi"]): r["weight"] for r in coarse_df.collect()
     } == exp_coarse
+
+
+def test_contraction_preserves_connectivity(spark):
+    """The invariant a multilevel stack rests on: contracting matched
+    pairs never connects or disconnects anything, so the engine's CC
+    on the COARSE graph, projected back through the super map, equals
+    CC on the FINE graph (up to component relabeling)."""
+    from mesos_pregel_spark.algos.cc import connected_components
+
+    pairs = PAIRS + [(20, 21, 1), (21, 22, 2)]  # second component
+    edges = _edges(spark, pairs)
+    coarse_df, sup_df = coarsen_graph(spark, edges, max_rounds=6)
+    coarse_edges = coarse_df.select(
+        coarse_df["lo"].alias("src"), coarse_df["hi"].alias("dst"),
+        coarse_df["weight"].cast("double").alias("weight"),
+    )
+    fine, _ = connected_components(spark, edges, edge_partitions=4)
+    coarse, _ = connected_components(spark, coarse_edges, edge_partitions=4)
+    sup = {r["id"]: r["super"] for r in sup_df.collect()}
+    comp_coarse = {r["id"]: r["component"] for r in coarse.collect()}
+    comp_fine = {r["id"]: r["component"] for r in fine.collect()}
+
+    def project(v):
+        s = sup[v]
+        # super-vertices with no coarse edge (fully contracted
+        # component) are their own component
+        return comp_coarse.get(s, s)
+
+    # same partition: fine components and projected-coarse components
+    # induce the same equivalence classes
+    from itertools import combinations
+    for a, b in combinations(sorted(comp_fine), 2):
+        assert (comp_fine[a] == comp_fine[b]) == (project(a) == project(b))
