@@ -179,3 +179,92 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    stages: tuple[str, str, str],
+    gap_us: int = DEFAULT_GAP_US,
+) -> DataFrame:
+    """Ordered three-stage funnel over gap-sessionized events — the
+    conversion read-out behind every onboarding / checkout / agent-
+    task-completion dashboard: of the sessions that reached stage 1,
+    how many went on to stage 2 AFTER it, and stage 3 after that?
+
+    Pinned semantics (exact DuckDB twin in queries.py):
+
+    - sessions = the engine's pinned gap sessionization (strict-gt
+      microsecond gap, (ts, event_id) order);
+    - t1 = MIN event time of a stage-1 event in the session; t2 = MIN
+      time of a stage-2 event STRICTLY AFTER t1; t3 = MIN stage-3
+      time strictly after t2 — the strictly-ordered funnel rule (a
+      stage-2 event before the first stage-1 does not count);
+    - all comparisons are epoch-microsecond longs; conversion ratios
+      are ONE rounded division each, NULL when the upstream count is
+      zero.
+
+    Shape (design-for-100x): the sessionize window + three hash
+    aggregates keyed by (user_id, session_idx) — every one shuffles on
+    the same key, so Spark reuses a single exchange; the final rollup
+    is a 1-row aggregate.  Returns one row (n_sessions, n_s1, n_s12,
+    n_s123, conv_12, conv_23).
+    """
+    s1, s2, s3 = stages
+    ev = sessionize(events, gap_us=gap_us)
+    key = ["user_id", "session_idx"]
+    t1 = ev.groupBy(*key).agg(
+        F.min(F.when(F.col("event_type") == s1, F.col("us"))).alias("t1")
+    )
+    t2 = (
+        ev.join(t1, key)
+        .groupBy(*key)
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == s2)
+                    & F.col("t1").isNotNull() & (F.col("us") > F.col("t1")),
+                    F.col("us"),
+                )
+            ).alias("t2")
+        )
+    )
+    t3 = (
+        ev.join(t2, key)
+        .groupBy(*key)
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == s3)
+                    & F.col("t2").isNotNull() & (F.col("us") > F.col("t2")),
+                    F.col("us"),
+                )
+            ).alias("t3")
+        )
+    )
+    per_session = t1.join(t2, key).join(t3, key)
+    counts = per_session.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_s1"),
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_s12"),
+        F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_s123"),
+    )
+    return counts.select(
+        "n_sessions", "n_s1", "n_s12", "n_s123",
+        F.when(
+            F.col("n_s1") > 0,
+            F.round(
+                F.col("n_s12").cast("double") / F.col("n_s1").cast("double"),
+                9,
+            ),
+        ).alias("conv_12"),
+        F.when(
+            F.col("n_s12") > 0,
+            F.round(
+                F.col("n_s123").cast("double")
+                / F.col("n_s12").cast("double"), 9
+            ),
+        ).alias("conv_23"),
+    )

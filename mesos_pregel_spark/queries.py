@@ -1319,6 +1319,103 @@ FROM mat m JOIN sizes s ON s.cohort_day = m.cohort_day
 """
 
 
+_FUNNEL_STAGES = 3
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel over gap-sessionized events: stages
+    = the 3 most frequent event types (count DESC, type ASC), strict
+    t1 < t2 < t3 within a session (functions/sessions.py::
+    funnel_conversion)."""
+    from mesos_pregel_spark.functions.sessions import funnel_conversion
+
+    ev = _events(spark, sf_dir)
+    stages = [
+        r["event_type"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("event_type"))
+        .limit(_FUNNEL_STAGES).collect()
+    ]
+    return funnel_conversion(
+        ev, tuple(stages), gap_us=_SESSION_GAP_US
+    )
+
+
+SQL_FUNNEL_CONVERSION = f"""
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+se AS (
+  SELECT user_id, event_type, us,
+         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM s
+),
+stages AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY event_type
+),
+t1 AS (
+  SELECT user_id, session_idx,
+         MIN(CASE WHEN event_type =
+                  (SELECT event_type FROM stages WHERE rn = 1)
+             THEN us END) AS t1
+  FROM se GROUP BY 1, 2
+),
+t2 AS (
+  SELECT e.user_id, e.session_idx,
+         MIN(CASE WHEN e.event_type =
+                  (SELECT event_type FROM stages WHERE rn = 2)
+                  AND t.t1 IS NOT NULL AND e.us > t.t1
+             THEN e.us END) AS t2
+  FROM se e JOIN t1 t USING (user_id, session_idx)
+  GROUP BY 1, 2
+),
+t3 AS (
+  SELECT e.user_id, e.session_idx,
+         MIN(CASE WHEN e.event_type =
+                  (SELECT event_type FROM stages WHERE rn = 3)
+                  AND t.t2 IS NOT NULL AND e.us > t.t2
+             THEN e.us END) AS t3
+  FROM se e JOIN t2 t USING (user_id, session_idx)
+  GROUP BY 1, 2
+),
+per_session AS (
+  SELECT a.t1, b.t2, c.t3
+  FROM t1 a
+  JOIN t2 b USING (user_id, session_idx)
+  JOIN t3 c USING (user_id, session_idx)
+),
+counts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_s1,
+         CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_s12,
+         CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_s123
+  FROM per_session
+)
+SELECT n_sessions, n_s1, n_s12, n_s123,
+       CASE WHEN n_s1 > 0 THEN
+         ROUND(CAST(n_s12 AS DOUBLE) / CAST(n_s1 AS DOUBLE), 9) END
+         AS conv_12,
+       CASE WHEN n_s12 > 0 THEN
+         ROUND(CAST(n_s123 AS DOUBLE) / CAST(n_s12 AS DOUBLE), 9) END
+         AS conv_23
+FROM counts
+"""
+
+
 SQL_SESSIONS = f"""
 WITH s AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
@@ -5124,6 +5221,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coarsen_graph": q_coarsen_graph,
     "spam_mass": q_spam_mass,
     "retention_cohorts": q_retention_cohorts,
+    "funnel_conversion": q_funnel_conversion,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -5280,6 +5378,7 @@ _QUERY_PRIORITY: list[str] = [
     "coarsen_graph",
     "spam_mass",
     "retention_cohorts",
+    "funnel_conversion",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -5416,6 +5515,7 @@ ORACLE_SQL: dict[str, str] = {
     "coarsen_graph": SQL_COARSEN_GRAPH,
     "spam_mass": SQL_SPAM_MASS,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,

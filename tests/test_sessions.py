@@ -343,3 +343,48 @@ def test_retention_cohorts_matches_python(spark):
     for (c, age), (n, size, ret) in got.items():
         if age == 0:
             assert n == size and ret == 1.0
+
+
+# ---------------------------------------------------------------------------
+# funnel_conversion (functions/sessions.py)
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_conversion_strict_order(spark):
+    """Hand-built sessions pin the strictly-ordered rule: a stage-2
+    event BEFORE the session's first stage-1 event does not convert,
+    and every ratio is the exact count division."""
+    from datetime import datetime, timedelta
+
+    from mesos_pregel_spark.functions.sessions import funnel_conversion
+
+    base = datetime(2024, 5, 1, 12, 0, 0)
+
+    def ev(eid, uid, minute, etype):
+        return (eid, base + timedelta(minutes=minute), uid, etype, 0.0, "{}")
+
+    rows = [
+        # user 1, one session: full A -> B -> C conversion
+        ev(1, 1, 0, "A"), ev(2, 1, 1, "B"), ev(3, 1, 2, "C"),
+        # user 2, one session: B before A — reaches A only (B does not
+        # count, no C at all)
+        ev(4, 2, 0, "B"), ev(5, 2, 1, "A"),
+        # user 3, one session: A -> B but C precedes B — stops at B
+        ev(6, 3, 0, "A"), ev(7, 3, 1, "C"), ev(8, 3, 2, "B"),
+        # user 4: no stage-1 at all
+        ev(9, 4, 0, "B"), ev(10, 4, 1, "C"),
+        # user 1, SECOND session (>30 min gap): A only
+        ev(11, 1, 90, "A"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = funnel_conversion(events, ("A", "B", "C")).collect()[0]
+    assert out["n_sessions"] == 5
+    assert out["n_s1"] == 4      # u1s1, u2, u3, u1s2
+    assert out["n_s12"] == 2     # u1s1, u3
+    assert out["n_s123"] == 1    # u1s1 only
+    assert out["conv_12"] == round(2 / 4, 9)
+    assert out["conv_23"] == round(1 / 2, 9)
