@@ -1279,6 +1279,60 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         detail["convstats_prop_cells"] = n_pr
         cev.unpersist()
 
+    if on("retrieval"):
+        # The final round-5 corpus additions over one persisted corpus:
+        # BM25 top-k relevance mining, per-doc n-gram novelty against
+        # the rest of the corpus, and the FM-sketch vocab audit — three
+        # full-corpus passes sharing one cache (the textprep shape).
+        from mesos_pregel_spark.fixtures import generate_documents_dist
+        from mesos_pregel_spark.functions.decontam import ngram_novelty
+        from mesos_pregel_spark.functions.text import approx_vocab, bm25_topk
+
+        n_docs_rt = max(20_000, int(200_000 * scale))
+        rdocs = (
+            generate_documents_dist(
+                spark, n_docs_rt, dup_frac=0.1, partitions=nparts)
+            .select(
+                "doc_id", "text",
+                (F.col("doc_id") % 8).cast("string").alias("source"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_rdocs = rdocs.count()
+        t = time.monotonic()
+        n_bm = bm25_topk(rdocs, n_query_terms=6, topk=20).count()
+        n_nv = ngram_novelty(rdocs, n=5).count()
+        n_av = approx_vocab(rdocs).count()
+        rt_sec = time.monotonic() - t
+        queries["retrieval"] = round(rt_sec, 3)
+        throughput["retrieval_docs_per_sec"] = round(n_rdocs * 3 / rt_sec)
+        detail["retrieval_docs"] = n_rdocs
+        detail["retrieval_topk_rows"] = n_bm
+        detail["retrieval_novelty_rows"] = n_nv
+        detail["retrieval_vocab_sources"] = n_av
+        rdocs.unpersist()
+
+    if on("multilevel"):
+        # One METIS-style coarsening level of the bench graph: the
+        # matching runs on the already-persisted multigraph; the
+        # reported ratio is the vertex compression a multilevel
+        # partitioner would bank before refining.
+        from mesos_pregel_spark.algos.coarsen import coarsen_graph
+
+        t = time.monotonic()
+        coarse, sup = coarsen_graph(
+            spark, g, max_rounds=4, edge_partitions=nparts)
+        n_coarse = coarse.count()
+        n_super = sup.select("super").distinct().count()
+        n_fine = sup.count()
+        ml_sec = time.monotonic() - t
+        queries["multilevel"] = round(ml_sec, 3)
+        throughput["multilevel_edges_per_sec"] = round(g_edges / ml_sec)
+        detail["multilevel_fine_vertices"] = n_fine
+        detail["multilevel_super_vertices"] = n_super
+        detail["multilevel_coarse_edges"] = n_coarse
+        detail["multilevel_compression"] = round(n_super / n_fine, 3)
+
     spark_probe_end = spark_probe(spark)
     spark.stop()
     cpu_mops_end = cpu_probe()

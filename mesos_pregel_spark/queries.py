@@ -5157,6 +5157,79 @@ SQL_SPAM_MASS = _sql_spam_mass()
 
 
 # ---------------------------------------------------------------------------
+# motif significance (configuration-model triangle expectation)
+# ---------------------------------------------------------------------------
+
+
+def q_motif_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed triangles on the parts graph vs the configuration-
+    model (degree-preserving null) expectation E = (Σk(k−1)/Σk)³/6
+    (Newman, "Random graphs with arbitrary degree distributions", PRE
+    2001) — THE motif-significance read-out: ratio ≫ 1 means the
+    clustering the LCC/transitivity queries measure is structure, not
+    a degree-sequence artifact.  Exact BIGINT degree sums, the
+    expectation a pinned r·r·r/6 double sequence (no libm pow), one
+    rounded division for the ratio."""
+    from mesos_pregel_spark.algos.triangles import (
+        canonical_undirected,
+        triangle_count,
+    )
+
+    edges = _parts_edges(spark, sf_dir)
+    per_vertex, _run = triangle_count(spark, edges)
+    obs = per_vertex.agg(
+        (F.coalesce(F.sum("triangles"), F.lit(0)) / 3).cast("long")
+        .alias("n_triangles")
+    )
+    und = canonical_undirected(edges)
+    deg = (
+        und.select(F.col("lo").alias("id"))
+        .unionAll(und.select(F.col("hi").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    sums = deg.agg(
+        F.sum("deg").cast("long").alias("sum_k"),
+        F.sum(F.col("deg") * (F.col("deg") - 1)).cast("long")
+        .alias("sum_kk1"),
+    )
+    r = F.col("sum_kk1").cast("double") / F.col("sum_k").cast("double")
+    expected = r * r * r / 6.0
+    return obs.crossJoin(F.broadcast(sums)).select(
+        "n_triangles", "sum_k", "sum_kk1",
+        F.round(expected, 6).alias("expected"),
+        F.round(F.col("n_triangles").cast("double") / expected, 6)
+        .alias("ratio"),
+    )
+
+
+SQL_MOTIF_SIGNIFICANCE = _SQL_PARTS + """
+, tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+  JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+obs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri),
+sums AS (
+  SELECT CAST(SUM(deg) AS BIGINT) AS sum_k,
+         CAST(SUM(deg * (deg - 1)) AS BIGINT) AS sum_kk1
+  FROM pdeg
+)
+SELECT n_triangles, sum_k, sum_kk1,
+       ROUND((CAST(sum_kk1 AS DOUBLE) / CAST(sum_k AS DOUBLE))
+             * (CAST(sum_kk1 AS DOUBLE) / CAST(sum_k AS DOUBLE))
+             * (CAST(sum_kk1 AS DOUBLE) / CAST(sum_k AS DOUBLE)) / 6.0, 6)
+         AS expected,
+       ROUND(CAST(n_triangles AS DOUBLE)
+             / ((CAST(sum_kk1 AS DOUBLE) / CAST(sum_k AS DOUBLE))
+                * (CAST(sum_kk1 AS DOUBLE) / CAST(sum_k AS DOUBLE))
+                * (CAST(sum_kk1 AS DOUBLE) / CAST(sum_k AS DOUBLE)) / 6.0),
+             6) AS ratio
+FROM obs, sums
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5222,6 +5295,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spam_mass": q_spam_mass,
     "retention_cohorts": q_retention_cohorts,
     "funnel_conversion": q_funnel_conversion,
+    "motif_significance": q_motif_significance,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -5379,6 +5453,7 @@ _QUERY_PRIORITY: list[str] = [
     "spam_mass",
     "retention_cohorts",
     "funnel_conversion",
+    "motif_significance",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -5516,6 +5591,7 @@ ORACLE_SQL: dict[str, str] = {
     "spam_mass": SQL_SPAM_MASS,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "motif_significance": SQL_MOTIF_SIGNIFICANCE,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,

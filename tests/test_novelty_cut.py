@@ -198,3 +198,37 @@ def test_dedup_keep_best_is_the_quality_argmax(spark):
         assert len(kept) == 1
         best = min(members, key=lambda r: (-r["quality"], r["doc_id"]))
         assert kept[0]["doc_id"] == best["doc_id"]
+
+
+# ---------------------------------------------------------------------------
+# motif_significance (queries.py — configuration-model expectation)
+# ---------------------------------------------------------------------------
+
+
+def test_motif_significance_formula(spark):
+    """The 1-row formula pinned against a hand-computed graph: a
+    triangle-closed graph beats the configuration-model expectation
+    (ratio > 1), and the exact integer sums match."""
+    import duckdb
+
+    from mesos_pregel_spark.queries import SQL_MOTIF_SIGNIFICANCE
+
+    con = duckdb.connect()
+    # two orders sharing parts -> a small co-purchase graph with a
+    # planted triangle
+    con.execute("""
+        CREATE VIEW lineitem AS SELECT * FROM (VALUES
+          (1, 10), (1, 11), (1, 12),          -- triangle 10-11-12
+          (2, 12), (2, 13),
+          (3, 13), (3, 14)
+        ) t(l_orderkey, l_partkey)
+    """)
+    row = con.execute(SQL_MOTIF_SIGNIFICANCE).fetch_arrow_table().to_pylist()[0]
+    # edges: (10,11),(10,12),(11,12),(12,13),(13,14) -> degs: 10:2,
+    # 11:2, 12:3, 13:2, 14:1; sum_k=10, sum_kk1=2+2+6+2+0=12
+    assert row["n_triangles"] == 1
+    assert row["sum_k"] == 10 and row["sum_kk1"] == 12
+    r = 12 / 10
+    assert row["expected"] == round(r * r * r / 6.0, 6)
+    assert row["ratio"] == round(1 / (r * r * r / 6.0), 6)
+    assert row["ratio"] > 1.0
