@@ -487,12 +487,14 @@ def bm25_topk(
       doc_id ASC) — the tie-break compares exact integers, never
       doubles.
 
-    Shape (design-for-100x): two hash aggregates (tf, df) + a 1-row
-    corpus-stats broadcast + a ``topk``-row TakeOrdered — the query-
-    term table is ``n_query_terms`` rows and is explicitly broadcast,
-    so the scoring join never shuffles the corpus; the final global
-    top-k is Spark's TakeOrderedAndProject (per-partition heads, no
-    full sort).  Returns (rank, doc_id, n_hits, score).
+    Shape (design-for-100x): hash aggregates over the (doc, term)
+    table + a 1-row corpus-stats broadcast + a ``topk``-row
+    TakeOrdered — the query-term table is ``n_query_terms`` rows and
+    broadcasts, so after the qterm filter the scoring side is tiny
+    (verified: AQE builds the broadcast from the FILTERED tf side, not
+    the corpus); the final global top-k is TakeOrderedAndProject
+    (per-partition heads, no full sort).  Returns
+    (rank, doc_id, n_hits, score).
     """
     from pyspark.sql import Window
 
@@ -502,15 +504,21 @@ def bm25_topk(
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dl")
-    )
+    # dl / total_tokens / df all derive from the tf aggregate, so every
+    # downstream reduction works on the much smaller (doc, term) table.
+    # NOTE (plan shape): Catalyst does not dedupe the shared tf subtree
+    # across the df/dl/stats branches — physically the corpus is
+    # re-tokenized per branch.  A caller amortizing this over a 100-TB
+    # corpus persists tf (or the token stream) first, exactly like the
+    # bench's shared-corpus-cache workloads; the function stays
+    # cache-free so it composes with the caller's storage policy.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     stats = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     ).crossJoin(
-        F.broadcast(toks.agg(
-            F.count(F.lit(1)).cast("long").alias("total_tokens")
+        F.broadcast(dl.agg(
+            F.sum("dl").cast("long").alias("total_tokens")
         ))
     )
     qterms = df.orderBy(F.desc("df"), F.asc("term")).limit(n_query_terms)

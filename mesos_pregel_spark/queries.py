@@ -4992,11 +4992,11 @@ def q_coarsen_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coarse
 
 
-def _sql_coarsen(rounds: int = _COARSEN_ROUNDS) -> str:
-    """The matching unroll (SQL_MATCHING's mutual-pointer rounds) on
-    the parts graph's VARCHAR id forms, then the contraction: numeric
-    min(id, mate) as the super id, intra-super edges dropped, weights
-    re-aggregated on the canonical coarse key."""
+def _sql_parts_matching_sup(rounds: int) -> str:
+    """Shared CTE chain: the matching unroll (SQL_MATCHING's
+    mutual-pointer rounds) on the parts graph's VARCHAR id forms,
+    ending in the ``sup`` super-vertex map (numeric min(id, mate)).
+    Used by the coarsen twin and the partition-gain twin."""
     parts = [_SQL_PARTS + """
 , undw AS MATERIALIZED (
   SELECT a.p AS lo, b.p AS hi, CAST(COUNT(*) AS BIGINT) AS w
@@ -5041,18 +5041,102 @@ sup AS (
               THEN LEAST(CAST(actor AS BIGINT), CAST(mate AS BIGINT))
               ELSE CAST(actor AS BIGINT) END AS super
   FROM ms{rounds}
-)
+)""")
+    return "".join(parts)
+
+
+def _sql_coarsen(rounds: int = _COARSEN_ROUNDS) -> str:
+    """Coarsen twin: the shared matching/sup chain + the contraction
+    (intra-super edges dropped, weights re-aggregated on the canonical
+    coarse key)."""
+    return _sql_parts_matching_sup(rounds) + """
 SELECT LEAST(sa.super, sb.super) AS lo,
        GREATEST(sa.super, sb.super) AS hi,
        CAST(SUM(e.w) AS BIGINT) AS weight
 FROM undw e JOIN sup sa ON sa.id = e.lo JOIN sup sb ON sb.id = e.hi
 WHERE sa.super <> sb.super
 GROUP BY 1, 2
-""")
-    return "".join(parts)
+"""
 
 
 SQL_COARSEN_GRAPH = _sql_coarsen()
+
+
+_GAIN_P = 32
+
+
+def q_coarsen_partition_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multilevel partitioning WIN, measured: edge-cut of the
+    fine-graph md5-hash partitioner vs the same hash applied to the
+    coarsened super ids (matched pairs co-located by construction —
+    their edges can never cut).  The gap is the network traffic one
+    coarsening level saves every superstep; the partition_cut row is
+    the baseline, this row is the payoff.  The gain equals the matched
+    edges' share of the edge set (non-matched edges are rehashed with
+    the same uniform expectation), so it is modest on a dense substrate
+    like this one and grows as matching rounds / levels stack — the
+    measured number is the honest one-level figure."""
+    from mesos_pregel_spark.algos.coarsen import coarsen_graph
+    from mesos_pregel_spark.algos.triangles import canonical_undirected
+
+    edges = _parts_edges(spark, sf_dir)
+    _coarse, sup = coarsen_graph(
+        spark, edges, max_rounds=_COARSEN_ROUNDS, edge_partitions=8
+    )
+    und = canonical_undirected(edges)
+    tagged = (
+        und.join(sup.withColumnsRenamed({"id": "lo", "super": "slo"}), "lo")
+        .join(sup.withColumnsRenamed({"id": "hi", "super": "shi"}), "hi")
+    )
+
+    def pid(col: str) -> F.Column:
+        h12 = F.substring(F.md5(F.col(col).cast("string")), 1, 12)
+        return F.conv(h12, 16, 10).cast("long") % _GAIN_P
+
+    one = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.when(pid("lo") != pid("hi"), 1).otherwise(0))
+        .cast("long").alias("cut_fine"),
+        F.sum(F.when(pid("slo") != pid("shi"), 1).otherwise(0))
+        .cast("long").alias("cut_super"),
+    )
+    return one.select(
+        F.lit(_GAIN_P).cast("int").alias("n_partitions"),
+        "n_edges", "cut_fine", "cut_super",
+        F.round(
+            (F.col("cut_fine") - F.col("cut_super")).cast("double")
+            / F.col("n_edges").cast("double"), 9
+        ).alias("gain"),
+    )
+
+
+def _sql_coarsen_partition_gain(rounds: int = _COARSEN_ROUNDS,
+                                p: int = _GAIN_P) -> str:
+    def pid(col: str) -> str:
+        return (f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 12)) "
+                f"AS BIGINT) % {p}")
+
+    return _sql_parts_matching_sup(rounds) + f""",
+tagged AS (
+  SELECT e.lo, e.hi, sa.super AS slo, sb.super AS shi
+  FROM undw e JOIN sup sa ON sa.id = e.lo JOIN sup sb ON sb.id = e.hi
+),
+one AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CASE WHEN {pid('lo')} <> {pid('hi')} THEN 1 ELSE 0 END)
+              AS BIGINT) AS cut_fine,
+         CAST(SUM(CASE WHEN {pid('slo')} <> {pid('shi')} THEN 1 ELSE 0 END)
+              AS BIGINT) AS cut_super
+  FROM tagged
+)
+SELECT CAST({p} AS INT) AS n_partitions, n_edges, cut_fine, cut_super,
+       ROUND(CAST(cut_fine - cut_super AS DOUBLE)
+             / CAST(n_edges AS DOUBLE), 9) AS gain
+FROM one
+"""
+
+
+SQL_COARSEN_PARTITION_GAIN = _sql_coarsen_partition_gain()
 
 
 # ---------------------------------------------------------------------------
@@ -5296,6 +5380,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": q_retention_cohorts,
     "funnel_conversion": q_funnel_conversion,
     "motif_significance": q_motif_significance,
+    "coarsen_partition_gain": q_coarsen_partition_gain,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -5454,6 +5539,7 @@ _QUERY_PRIORITY: list[str] = [
     "retention_cohorts",
     "funnel_conversion",
     "motif_significance",
+    "coarsen_partition_gain",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -5592,6 +5678,7 @@ ORACLE_SQL: dict[str, str] = {
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "motif_significance": SQL_MOTIF_SIGNIFICANCE,
+    "coarsen_partition_gain": SQL_COARSEN_PARTITION_GAIN,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,

@@ -145,3 +145,57 @@ def test_contraction_preserves_connectivity(spark):
     from itertools import combinations
     for a, b in combinations(sorted(comp_fine), 2):
         assert (comp_fine[a] == comp_fine[b]) == (project(a) == project(b))
+
+
+def test_partition_gain_python_replication(spark):
+    """coarsen_partition_gain's counting rule replicated in python on
+    a matched-pair-heavy graph: matched edges can never cut under the
+    super-id hash, so the gain is strictly positive here."""
+    import hashlib
+
+    from mesos_pregel_spark.queries import _GAIN_P
+
+    def pid(v):
+        return int(hashlib.md5(
+            str(v).encode()).hexdigest()[:12], 16) % _GAIN_P
+
+    # long path: the local-max matching matches many disjoint pairs
+    pairs = [(i, i + 1, 1) for i in range(1, 40)]
+    edges = _edges(spark, pairs)
+    coarse_df, sup_df = coarsen_graph(spark, edges, max_rounds=6)
+    sup = {r["id"]: r["super"] for r in sup_df.collect()}
+
+    und = {(min(a, b), max(a, b)) for a, b, _ in pairs}
+    cut_fine = sum(1 for a, b in und if pid(a) != pid(b))
+    cut_super = sum(1 for a, b in und if pid(sup[a]) != pid(sup[b]))
+    n_matched_edges = sum(1 for a, b in und if sup[a] == sup[b])
+    assert n_matched_edges > 10  # the matching actually matched
+    # matched edges never cut under super ids
+    assert all(
+        pid(sup[a]) == pid(sup[b]) for a, b in und if sup[a] == sup[b]
+    )
+
+    from mesos_pregel_spark.queries import q_coarsen_partition_gain  # noqa: F401
+    # replicate the engine aggregate directly over the same tagged rows
+    from mesos_pregel_spark.algos.triangles import canonical_undirected
+    from pyspark.sql import functions as F
+
+    tagged = (
+        canonical_undirected(edges)
+        .join(sup_df.withColumnsRenamed({"id": "lo", "super": "slo"}), "lo")
+        .join(sup_df.withColumnsRenamed({"id": "hi", "super": "shi"}), "hi")
+    )
+
+    def spid(col):
+        return F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 12), 16, 10
+        ).cast("long") % _GAIN_P
+
+    row = tagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(spid("lo") != spid("hi"), 1).otherwise(0)).alias("cf"),
+        F.sum(F.when(spid("slo") != spid("shi"), 1).otherwise(0)).alias("cs"),
+    ).collect()[0]
+    assert (row["n"], row["cf"], row["cs"]) == (
+        len(und), cut_fine, cut_super)
+    assert cut_super < cut_fine
