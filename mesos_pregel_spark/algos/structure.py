@@ -855,9 +855,11 @@ def attribute_assortativity(
     t = F.col("same_edges").cast("decimal(38,0)") * 2
     num = (two_m * t - F.col("s2")).cast("double")
     den = (two_m * two_m - F.col("s2")).cast("double")
+    # single-class graph: den = 0 (r is undefined) — emit NULL in both
+    # engines rather than Spark-NULL-vs-DuckDB-NaN on a 0/0
     return out.select(
         "n_classes", "m_edges", "same_edges",
-        F.round(num / den, 9).alias("r"),
+        F.when(den != 0, F.round(num / den, 9)).alias("r"),
     )
 
 

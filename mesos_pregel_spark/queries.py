@@ -4914,11 +4914,14 @@ base AS (
   FROM tagged
 )
 SELECT n_classes, m_edges, same_edges,
-       ROUND(
-         CAST(2 * CAST(m_edges AS HUGEINT) * 2 * CAST(same_edges AS HUGEINT)
-              - s2 AS DOUBLE)
-         / CAST(4 * CAST(m_edges AS HUGEINT) * CAST(m_edges AS HUGEINT)
-              - s2 AS DOUBLE), 9) AS r
+       CASE WHEN 4 * CAST(m_edges AS HUGEINT) * CAST(m_edges AS HUGEINT)
+                 - s2 <> 0 THEN
+         ROUND(
+           CAST(2 * CAST(m_edges AS HUGEINT) * 2 * CAST(same_edges AS HUGEINT)
+                - s2 AS DOUBLE)
+           / CAST(4 * CAST(m_edges AS HUGEINT) * CAST(m_edges AS HUGEINT)
+                - s2 AS DOUBLE), 9)
+       END AS r
 FROM base, sums
 """
 

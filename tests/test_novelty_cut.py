@@ -232,3 +232,14 @@ def test_motif_significance_formula(spark):
     assert row["expected"] == round(r * r * r / 6.0, 6)
     assert row["ratio"] == round(1 / (r * r * r / 6.0), 6)
     assert row["ratio"] > 1.0
+
+
+def test_attr_assortativity_single_class_is_null(spark):
+    """Degenerate single-class graph: r is mathematically undefined
+    (0/0) — both engines must emit NULL, not NaN (the twin contract)."""
+    pairs = [(1, 2), (2, 3)]
+    lab = {1: "a", 2: "a", 3: "a"}
+    row = attribute_assortativity(
+        spark, _edges(spark, pairs), _labels(spark, lab)
+    ).collect()[0]
+    assert row["r"] is None
