@@ -299,3 +299,112 @@ def test_sweep_conductance_bounds_property(spark, edges):
         prev_vol = r["vol"]
         if r["conductance"] is not None:
             assert 0.0 <= r["conductance"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-5 final additions: novelty bounds, funnel monotonicity,
+# partition-cut bounds, attribute-assortativity range
+# ---------------------------------------------------------------------------
+
+small_corpora = st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=1, max_size=10),
+    min_size=1, max_size=6,
+)
+
+
+@given(docs=small_corpora)
+@SET
+def test_ngram_novelty_bounds_property(spark, docs):
+    """novelty_ratio ∈ [0, 1]; duplicating the whole corpus forces
+    every ratio to exactly 0 (no gram can be unique to one doc)."""
+    from mesos_pregel_spark.functions.decontam import ngram_novelty
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in ngram_novelty(df, n=3).collect():
+        assert 0.0 <= r["novelty_ratio"] <= 1.0
+        assert 0 <= r["n_novel"] <= r["n_grams"]
+    dup_rows = rows + [(i + 1000, t) for i, t in rows]
+    ddf = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    for r in ngram_novelty(ddf, n=3).collect():
+        assert r["n_novel"] == 0
+
+
+@given(edges=undirected)
+@SET
+def test_partition_cut_bounds_property(spark, edges):
+    """0 ≤ cut ≤ m at every P, and P=1 always cuts nothing."""
+    from mesos_pregel_spark.algos.structure import partition_cut
+
+    e = [(s, d) for s, d in edges if s != d]
+    if not e:
+        return
+    df = spark.createDataFrame(
+        [(int(s), int(d), 1.0) for s, d in e],
+        "src long, dst long, weight double",
+    )
+    for r in partition_cut(spark, df, n_partitions=(1, 3, 16)).collect():
+        assert 0 <= r["cut_edges"] <= r["n_edges"]
+        if r["n_partitions"] == 1:
+            assert r["cut_edges"] == 0
+
+
+@given(edges=undirected, n_labels=st.sampled_from([1, 2, 3]))
+@SET
+def test_attr_assortativity_range_property(spark, edges, n_labels):
+    """r ∈ [−1, 1] whenever defined; the single-class case is NULL."""
+    from mesos_pregel_spark.algos.structure import attribute_assortativity
+
+    e = [(s, d) for s, d in edges if s != d]
+    if not e:
+        return
+    verts = sorted({v for p in e for v in p})
+    lab = {v: f"c{v % n_labels}" for v in verts}
+    edf = spark.createDataFrame(
+        [(int(s), int(d), 1.0) for s, d in e],
+        "src long, dst long, weight double",
+    )
+    ldf = spark.createDataFrame(
+        [(int(v), c) for v, c in lab.items()], "id long, label string"
+    )
+    row = attribute_assortativity(spark, edf, ldf).collect()[0]
+    classes_present = {lab[v] for v in verts}
+    if row["r"] is None:
+        # undefined only when the denominator vanishes: every stub in
+        # one class
+        assert len(classes_present) == 1 or row["same_edges"] == row["m_edges"]
+    else:
+        assert -1.0 <= row["r"] <= 1.0 + 1e-12
+
+
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 2),            # user
+            st.integers(0, 50),           # minute
+            st.sampled_from("ABCX"),      # event type
+        ),
+        min_size=1, max_size=20, unique=True,
+    )
+)
+@SET
+def test_funnel_monotone_property(spark, log):
+    """n_sessions ≥ n_s1 ≥ n_s12 ≥ n_s123 — the funnel can only
+    narrow."""
+    from datetime import datetime, timedelta
+
+    from mesos_pregel_spark.functions.sessions import funnel_conversion
+
+    base = datetime(2024, 6, 1)
+    rows = [
+        (i, base + timedelta(minutes=m), u, t, 0.0, "{}")
+        for i, (u, m, t) in enumerate(log)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    r = funnel_conversion(df, ("A", "B", "C"), gap_us=10 * 60 * 1_000_000)
+    row = r.collect()[0]
+    assert row["n_sessions"] >= row["n_s1"] >= row["n_s12"] >= row["n_s123"]
