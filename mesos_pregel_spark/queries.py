@@ -5142,6 +5142,55 @@ FROM one
 SQL_COARSEN_PARTITION_GAIN = _sql_coarsen_partition_gain()
 
 
+def q_brand_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """community_stats over the part-BRAND labelling of the parts
+    graph — the conductance answer to the question brand_assortativity
+    asks in correlation terms: how much of each brand-class's edge
+    volume crosses the class boundary (cut/volume per class)?  Read
+    together they decide whether an attribute is a usable partitioning
+    key: assortativity near 0 AND conductance near 1 = hashing by this
+    attribute buys nothing.  Pure composition of the audited
+    community-stats kernel (algos/communities.py) with a different
+    labelling — nothing new computes."""
+    from mesos_pregel_spark.algos.communities import community_stats
+
+    labels = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("label")
+    )
+    return community_stats(spark, _parts_edges(spark, sf_dir), labels)
+
+
+SQL_BRAND_CONDUCTANCE = _SQL_PARTS + """
+, lab AS (SELECT p_partkey AS id, p_brand AS label FROM part),
+cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+cvol AS (
+  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(SUM(d.deg) AS BIGINT) AS volume
+  FROM pdeg d JOIN lab l ON d.id = l.id GROUP BY l.label),
+cint AS (
+  SELECT l1.label, CAST(COUNT(*) AS BIGINT) AS e_in
+  FROM und u JOIN lab l1 ON u.lo = l1.id
+             JOIN lab l2 ON u.hi = l2.id
+  WHERE l1.label = l2.label GROUP BY l1.label),
+cstats AS (
+  SELECT v.label, v.n_vertices,
+         COALESCE(i.e_in, 0) AS internal_edges,
+         v.volume,
+         v.volume - 2 * COALESCE(i.e_in, 0) AS cut,
+         4 * cm.m * COALESCE(i.e_in, 0) - v.volume * v.volume AS mod_num,
+         LEAST(v.volume, 2 * cm.m - v.volume) AS cond_den,
+         cm.m AS m
+  FROM cvol v LEFT JOIN cint i ON v.label = i.label CROSS JOIN cm)
+SELECT label, n_vertices, internal_edges, volume, cut,
+       ROUND(CASE WHEN cond_den = 0 THEN 0.0
+                  ELSE CAST(cut AS DOUBLE) / CAST(cond_den AS DOUBLE) END,
+             9) AS conductance,
+       ROUND(CAST(mod_num AS DOUBLE) / CAST(4 * m * m AS DOUBLE), 9)
+         AS modularity_part
+FROM cstats
+"""
+
+
 # ---------------------------------------------------------------------------
 # TrustRank / spam mass (algos/trustrank.py)
 # ---------------------------------------------------------------------------
@@ -5384,6 +5433,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     "motif_significance": q_motif_significance,
     "coarsen_partition_gain": q_coarsen_partition_gain,
+    "brand_conductance": q_brand_conductance,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -5543,6 +5593,7 @@ _QUERY_PRIORITY: list[str] = [
     "funnel_conversion",
     "motif_significance",
     "coarsen_partition_gain",
+    "brand_conductance",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -5682,6 +5733,7 @@ ORACLE_SQL: dict[str, str] = {
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "motif_significance": SQL_MOTIF_SIGNIFICANCE,
     "coarsen_partition_gain": SQL_COARSEN_PARTITION_GAIN,
+    "brand_conductance": SQL_BRAND_CONDUCTANCE,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,
