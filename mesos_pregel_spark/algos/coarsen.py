@@ -48,15 +48,21 @@ def coarsen_graph(
     edges: DataFrame,
     max_rounds: int = 6,
     edge_partitions: int | None = None,
+    priority: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """One coarsening level: match, contract, re-aggregate.
 
     ``edges``: (src, dst, weight) directed-or-undirected input (the
     matching symmetrizes internally; contraction canonicalizes).
+    ``priority="weight"`` = HEAVY-EDGE coarsening (the METIS rule:
+    contract the heaviest incident edge, maximizing the weight removed
+    per level — the variant that matters when edge weights carry
+    meaning, e.g. co-occurrence counts).
     Returns (coarse_edges(lo, hi, weight), super_map(id, super)).
     """
     membership, _run = maximal_matching(
-        spark, edges, max_rounds=max_rounds, edge_partitions=edge_partitions
+        spark, edges, max_rounds=max_rounds,
+        edge_partitions=edge_partitions, priority=priority,
     )
     # the matching substrate carries mate as the message payload's
     # string form — re-type it to the id's own type before the NUMERIC

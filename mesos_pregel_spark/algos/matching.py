@@ -56,14 +56,36 @@ from mesos_pregel_spark.plans.program import VertexProgram, pregel
 _UNMATCHED, _MATCHED = 0, 1
 
 
-def _edge_prio() -> F.Column:
-    """Symmetric per-edge md5 priority over the scatter-joined row.
+_WEIGHT_KEY_BASE = 1_000_000_000_000_000  # 10^15: weights < 10^15 supported
+
+
+def _edge_prio(priority: str = "md5") -> F.Column:
+    """Symmetric per-edge priority over the scatter-joined row.
     The canonical key orders the STRING forms of the endpoint ids
     (engine-independent: numeric least/greatest would disagree with
-    the DuckDB twin's varchar comparison on negative hashed ids)."""
+    the DuckDB twin's varchar comparison on negative hashed ids).
+
+    ``priority="md5"``: the fixed 32-hex random order (Hoepman's
+    random-weight local-max).  ``priority="weight"``: HEAVY-EDGE
+    matching (the METIS coarsening rule — contract the heaviest
+    incident edge first): a 16-digit zero-padded DESCENDING weight key
+    (10^15 − w, so heavier = smaller string) prefixed to the same md5,
+    which becomes the deterministic tiebreak among equal weights.
+    Both keys are fixed-width strings, so string MIN == (weight desc,
+    md5 asc) exactly — in Spark and DuckDB alike."""
     s = F.col("src").cast("string")
     d = F.col("dst").cast("string")
-    return F.md5(F.concat(F.least(s, d), F.lit("|"), F.greatest(s, d)))
+    h = F.md5(F.concat(F.least(s, d), F.lit("|"), F.greatest(s, d)))
+    if priority == "md5":
+        return h
+    if priority == "weight":
+        wkey = F.lpad(
+            (F.lit(_WEIGHT_KEY_BASE) - F.col("weight").cast("long"))
+            .cast("string"),
+            16, "0",
+        )
+        return F.concat(wkey, h)
+    raise ValueError(f"unknown matching priority: {priority!r}")
 
 
 def maximal_matching(
@@ -73,10 +95,14 @@ def maximal_matching(
     n_salt: int = 0,
     salt_hot_k: int = 0,
     edge_partitions: int | None = None,
+    priority: str = "md5",
 ) -> tuple[DataFrame, PregelRun]:
     """Compute the deterministic local-max maximal matching.  Returns
     (membership(id, matched, mate), run); ``mate`` is NULL for
-    unmatched vertices."""
+    unmatched vertices.  ``priority="weight"`` switches to heavy-edge
+    matching (see :func:`_edge_prio`); Hoepman's local-max argument
+    needs only a fixed total edge order, so validity / maximality /
+    per-round progress / capped ≡ unrolled all carry over unchanged."""
 
     def init(e: DataFrame, ctx: dict) -> DataFrame:
         return (
@@ -110,13 +136,18 @@ def maximal_matching(
             )
         )
 
-    prio = _edge_prio()
+    prio = _edge_prio(priority)
+    weighted = priority == "weight"
     program = VertexProgram(
         name="matching",
         init=init,
-        prep_edges=lambda e: symmetrize(e.select("src", "dst", "weight"))
-        .select("src", "dst"),
-        edge_cols=("src", "dst"),
+        prep_edges=(
+            (lambda e: symmetrize(e.select("src", "dst", "weight")))
+            if weighted else
+            (lambda e: symmetrize(e.select("src", "dst", "weight"))
+             .select("src", "dst"))
+        ),
+        edge_cols=("src", "dst", "weight") if weighted else ("src", "dst"),
         msg_cols=[
             F.when(
                 (F.col("ph") == 0)

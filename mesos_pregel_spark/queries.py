@@ -4995,11 +4995,22 @@ def q_coarsen_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coarse
 
 
-def _sql_parts_matching_sup(rounds: int) -> str:
+def _sql_parts_matching_sup(rounds: int, priority: str = "md5") -> str:
     """Shared CTE chain: the matching unroll (SQL_MATCHING's
     mutual-pointer rounds) on the parts graph's VARCHAR id forms,
     ending in the ``sup`` super-vertex map (numeric min(id, mate)).
-    Used by the coarsen twin and the partition-gain twin."""
+    Used by the coarsen twins and the partition-gain twin.
+    ``priority="weight"`` = the heavy-edge key (16-digit descending
+    weight prefix + md5 tiebreak — algos/matching.py::_edge_prio)."""
+    if priority == "weight":
+        pkey = ("LPAD(CAST(1000000000000000 - msym.w AS VARCHAR), 16, '0') "
+                "|| MD5(LEAST(msym.s, msym.d) || '|' || "
+                "GREATEST(msym.s, msym.d))")
+        id_from = 50   # 16 weight digits + 32 hex + '|' -> id at 50
+    else:
+        pkey = ("MD5(LEAST(msym.s, msym.d) || '|' || "
+                "GREATEST(msym.s, msym.d))")
+        id_from = 34   # 32 hex + '|' -> id at 34
     parts = [_SQL_PARTS + """
 , undw AS MATERIALIZED (
   SELECT a.p AS lo, b.p AS hi, CAST(COUNT(*) AS BIGINT) AS w
@@ -5007,8 +5018,8 @@ def _sql_parts_matching_sup(rounds: int) -> str:
   GROUP BY 1, 2
 ),
 msym AS MATERIALIZED (
-  SELECT CAST(lo AS VARCHAR) AS s, CAST(hi AS VARCHAR) AS d FROM undw
-  UNION ALL SELECT CAST(hi AS VARCHAR), CAST(lo AS VARCHAR) FROM undw
+  SELECT CAST(lo AS VARCHAR) AS s, CAST(hi AS VARCHAR) AS d, w FROM undw
+  UNION ALL SELECT CAST(hi AS VARCHAR), CAST(lo AS VARCHAR), w FROM undw
 ),
 ms0 AS MATERIALIZED (
   SELECT DISTINCT s AS actor, 0 AS st, CAST(NULL AS VARCHAR) AS mate
@@ -5018,9 +5029,8 @@ ms0 AS MATERIALIZED (
         parts.append(f""",
 mc{k} AS (
   SELECT msym.d AS actor,
-         SUBSTR(MIN(MD5(LEAST(msym.s, msym.d) || '|' ||
-                        GREATEST(msym.s, msym.d)) || '|' || msym.s),
-                34) AS cand
+         SUBSTR(MIN({pkey} || '|' || msym.s),
+                {id_from}) AS cand
   FROM msym
   JOIN ms{k-1} a ON a.actor = msym.s AND a.st = 0
   JOIN ms{k-1} b ON b.actor = msym.d AND b.st = 0
@@ -5048,11 +5058,12 @@ sup AS (
     return "".join(parts)
 
 
-def _sql_coarsen(rounds: int = _COARSEN_ROUNDS) -> str:
+def _sql_coarsen(rounds: int = _COARSEN_ROUNDS,
+                 priority: str = "md5") -> str:
     """Coarsen twin: the shared matching/sup chain + the contraction
     (intra-super edges dropped, weights re-aggregated on the canonical
     coarse key)."""
-    return _sql_parts_matching_sup(rounds) + """
+    return _sql_parts_matching_sup(rounds, priority) + """
 SELECT LEAST(sa.super, sb.super) AS lo,
        GREATEST(sa.super, sb.super) AS hi,
        CAST(SUM(e.w) AS BIGINT) AS weight
@@ -5063,6 +5074,23 @@ GROUP BY 1, 2
 
 
 SQL_COARSEN_GRAPH = _sql_coarsen()
+
+
+def q_coarsen_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY-EDGE coarsening of the parts graph (the METIS rule:
+    contract the heaviest incident edge first, maximizing co-purchase
+    weight absorbed per level) — same contraction as coarsen_graph,
+    matching priority = descending weight with md5 tiebreak."""
+    from mesos_pregel_spark.algos.coarsen import coarsen_graph
+
+    coarse, _sup = coarsen_graph(
+        spark, _parts_edges(spark, sf_dir), max_rounds=_COARSEN_ROUNDS,
+        edge_partitions=8, priority="weight",
+    )
+    return coarse
+
+
+SQL_COARSEN_HEAVY = _sql_coarsen(priority="weight")
 
 
 _GAIN_P = 32
@@ -5434,6 +5462,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "motif_significance": q_motif_significance,
     "coarsen_partition_gain": q_coarsen_partition_gain,
     "brand_conductance": q_brand_conductance,
+    "coarsen_heavy": q_coarsen_heavy,
     "clustering_coeff": q_clustering_coeff,
     "transitivity": q_transitivity,
     "assortativity": q_assortativity,
@@ -5594,6 +5623,7 @@ _QUERY_PRIORITY: list[str] = [
     "motif_significance",
     "coarsen_partition_gain",
     "brand_conductance",
+    "coarsen_heavy",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -5734,6 +5764,7 @@ ORACLE_SQL: dict[str, str] = {
     "motif_significance": SQL_MOTIF_SIGNIFICANCE,
     "coarsen_partition_gain": SQL_COARSEN_PARTITION_GAIN,
     "brand_conductance": SQL_BRAND_CONDUCTANCE,
+    "coarsen_heavy": SQL_COARSEN_HEAVY,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "transitivity": SQL_TRANSITIVITY,
     "assortativity": SQL_ASSORTATIVITY,

@@ -199,3 +199,78 @@ def test_partition_gain_python_replication(spark):
     assert (row["n"], row["cf"], row["cs"]) == (
         len(und), cut_fine, cut_super)
     assert cut_super < cut_fine
+
+
+def test_heavy_edge_priority_prefers_weight(spark):
+    """Heavy-edge matching contracts the heaviest incident edge; the
+    md5 order ignores weight.  On a star where the heavy edge is
+    pinned, the weighted variant MUST pick it, whatever md5 says."""
+    from mesos_pregel_spark.algos.matching import maximal_matching
+
+    for heavy_leaf in (1, 3):
+        pairs = [(2, 1, 9.0 if heavy_leaf == 1 else 1.0),
+                 (2, 3, 9.0 if heavy_leaf == 3 else 1.0)]
+        e = spark.createDataFrame(
+            pairs, "src long, dst long, weight double")
+        m, _ = maximal_matching(spark, e, max_rounds=4, priority="weight")
+        got = {r["id"]: r["mate"] for r in m.collect()}
+        assert got[2] == str(heavy_leaf)
+
+
+def _py_heavy_matching(pairs, rounds):
+    """Python replay of the weight-priority local-max rule."""
+    import hashlib
+
+    und = {}
+    for a, b, w in pairs:
+        if a != b:
+            und[(min(a, b), max(a, b))] = int(w)
+    adj = {}
+    for (a, b), w in und.items():
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+
+    def prio(u, v, w):
+        lo, hi = sorted((str(u), str(v)))
+        return (str(10**15 - w).zfill(16)
+                + hashlib.md5(f"{lo}|{hi}".encode()).hexdigest())
+
+    mate = {}
+    for _ in range(rounds):
+        cand = {}
+        for v in adj:
+            if v in mate:
+                continue
+            best = None
+            for u, w in adj[v].items():
+                if u in mate:
+                    continue
+                key = prio(u, v, w) + "|" + str(u)
+                if best is None or key < best[0]:
+                    best = (key, u)
+            if best:
+                cand[v] = best[1]
+        for v, c in list(cand.items()):
+            if cand.get(c) == v:
+                mate[v] = c
+    return mate
+
+
+def test_heavy_matching_matches_python(spark):
+    from mesos_pregel_spark.algos.matching import maximal_matching
+
+    pairs = [
+        (1, 2, 3), (2, 3, 7), (3, 4, 7), (4, 5, 2),
+        (5, 6, 9), (6, 1, 1), (2, 5, 4), (3, 6, 5),
+    ]
+    e = spark.createDataFrame(
+        [(a, b, float(w)) for a, b, w in pairs],
+        "src long, dst long, weight double",
+    )
+    m, _ = maximal_matching(spark, e, max_rounds=6, priority="weight")
+    got = {r["id"]: (r["matched"], r["mate"]) for r in m.collect()}
+    exp_mate = _py_heavy_matching(pairs, 6)
+    for v, (matched, mate) in got.items():
+        assert matched == (v in exp_mate)
+        assert (mate is None and v not in exp_mate) or \
+            mate == str(exp_mate[v])
