@@ -668,3 +668,73 @@ def dup_source_matrix(
         .groupBy("source_lo", "source_hi")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate CANDIDATE pairs via banded bucketing —
+    the discovery join that turns the per-doc ``simhash`` signature
+    into a dedup path without an all-pairs comparison (Manku-Jain-
+    Sarma, "Detecting Near-Duplicates for Web Crawling", WWW 2007:
+    split the fingerprint into bands; any pair within Hamming
+    distance d < n_bands must agree EXACTLY on at least one band by
+    pigeonhole, so equality buckets per band find every such pair).
+
+    Pinned semantics (exact DuckDB twin in queries_text.py):
+
+    - signature = the pinned 16-bit ``simhash``; band i's key =
+      (sig >> i·(bits/n_bands)) & (2^(bits/n_bands) − 1);
+    - candidates = distinct (doc_a < doc_b) pairs sharing ≥1 band
+      key, kept when popcount(sig_a XOR sig_b) ≤ ``max_hamming``
+      (default 3 < 4 bands ⇒ the guarantee is EXACT: the survivor
+      set equals the true Hamming-≤3 pair set, found without ever
+      comparing all pairs);
+    - output (doc_a, doc_b, hamming).
+
+    Shape (design-for-100x): one projection emits n_bands rows per
+    doc; the self-join is an equi-join on (band_idx, band_key) —
+    bucket sizes follow the signature distribution (a saturated
+    bucket means the corpus shares boilerplate; upstream span/exact
+    dedup owns that case); the Hamming verify is one integer XOR +
+    popcount per candidate, never per pair of the corpus.
+    """
+    assert bits % n_bands == 0
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    sig = simhash(docs, bits=bits)
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright("simhash", i * w).bitwiseAND(F.lit(mask))
+                    .alias("band_key"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -26,6 +26,7 @@ from mesos_pregel_spark.functions.dedup import (
     release_dedup_caches,
     overlap_candidates,
     simhash,
+    simhash_candidates,
     span_dedup_stats,
     winnow_fingerprints,
 )
@@ -1930,6 +1931,38 @@ FROM masks
 SQL_APPROX_VOCAB = _sql_approx_vocab()
 
 
+_SIMC_BITS = 32    # wider than the driver-pinned 16-bit simhash: 8-bit
+_SIMC_BANDS = 4    # band keys keep the bucket join sub-quadratic
+_SIMC_MAXH = 3
+
+
+def _sql_simhash_candidates(bits: int = _SIMC_BITS,
+                            n_bands: int = _SIMC_BANDS,
+                            max_h: int = _SIMC_MAXH) -> str:
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band_idx, "
+        f"(simhash >> {i * w}) & {mask} AS band_key FROM sig"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH sig AS ({_sql_simhash(bits)}),
+bands AS (
+  {band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_h}
+"""
+
+
+SQL_SIMHASH_CANDIDATES = _sql_simhash_candidates()
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": lambda s, d: token_stats(_docs(s, d)),
     "quality_score": lambda s, d: quality_score(_docs(s, d)),
@@ -1942,6 +1975,9 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         near_duplicates(_docs(s, d))),
     "dedup_clusters": _dedup_clusters,
     "simhash": lambda s, d: simhash(_docs(s, d)),
+    "simhash_candidates": lambda s, d: simhash_candidates(
+        _docs(s, d), bits=_SIMC_BITS, n_bands=_SIMC_BANDS,
+        max_hamming=_SIMC_MAXH),
     "corpus_clean": lambda s, d: _eager_release(clean_corpus(
         _docs(s, d), lang=CLEAN_LANG, quality_min=CLEAN_QUALITY_MIN,
         jaccard_min=CLEAN_JACCARD_MIN,
@@ -2021,6 +2057,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "near_duplicates": SQL_NEAR_DUPLICATES,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash": SQL_SIMHASH,
+    "simhash_candidates": SQL_SIMHASH_CANDIDATES,
     "corpus_clean": SQL_CORPUS_CLEAN,
     "cosine_scores": SQL_COSINE_SCORES,
     "cosine_topk": SQL_COSINE_TOPK,

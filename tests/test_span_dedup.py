@@ -89,3 +89,39 @@ def test_span_tokens_validation(spark):
 
     with pytest.raises(ValueError):
         span_dedup_stats(_df(spark, ["a"]), span_tokens=0)
+
+
+# ---------------------------------------------------------------------------
+# simhash_candidates (functions/dedup.py — banded bucketing over simhash)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_candidates_pigeonhole_exact(spark):
+    """With max_hamming < n_bands the banded join is EXACT: the
+    candidate set equals the brute-force Hamming-<=h pair set."""
+    from mesos_pregel_spark.functions.dedup import simhash, simhash_candidates
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "entirely different words compose this one text"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "another fully unrelated document body here now"),
+        (6, "entirely different words compose this other text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r["simhash"]
+           for r in simhash(docs, bits=32).collect()}
+    brute = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a in sig for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_candidates(
+            docs, bits=32, n_bands=4, max_hamming=3).collect()
+    }
+    assert got == brute
+    # identical docs share the signature -> hamming 0 pair present
+    assert (1, 4, 0) in got
