@@ -131,3 +131,53 @@ def cluster_balanced_sample(
         .where(F.col("pick") <= per_cell)
         .select("vec_id", "cell", "pick")
     )
+
+
+def kmeanspp_seeds(
+    spark: SparkSession, embeddings: DataFrame, k: int = 8
+) -> DataFrame:
+    """Deterministic k-means++-style FARTHEST-POINT seeding (Arthur-
+    Vassilvitskii 2007 derandomized the way every sampler here is:
+    the argmax replaces the D²-weighted draw, Gonzalez 1985's 2-approx
+    k-center rule): seed 1 = the lowest vec_id; each next seed is the
+    vector FARTHEST from its nearest already-chosen seed (squared-L2
+    rounded 6dp, vec_id-ascending tie-break).  Spread-out seeds are
+    the standard fix for Lloyd's sensitivity to the ``k lowest ids``
+    init that the pinned ``kmeans`` uses — run this first, feed the
+    returned ids as the centroid init.
+
+    Pinned semantics (exact DuckDB twin in queries_text.py): distances
+    via the shared ROUND(squared-L2, 6) recipe; the per-vector
+    min-over-seeds compares ROUNDED doubles so engine summation-order
+    ulps cannot flip an argmax; ``sep_dist2`` = the distance to the
+    nearest prior seed at pick time (NULL for seed 1 — there is no
+    prior).
+
+    Shape (design-for-100x): k−1 rounds; each is ONE projection over
+    the corpus (≤ k−1 fused literal-vector distance folds inside
+    whole-stage codegen) + a 1-row TakeOrdered — driver traffic
+    O(k·dim) total, corpus never shuffles.  Returns
+    (rank, vec_id, sep_dist2).
+    """
+    emb = embeddings.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    ).persist()
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    seeds = [(int(first["vec_id"]), list(first["e"]), None)]
+    for _ in range(k - 1):
+        mind = F.array_min(
+            F.array(*[_dist2(F.col("e"), vec) for _sid, vec, _d in seeds])
+        )
+        nxt = (
+            emb.select("vec_id", "e", mind.alias("mind"))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append((int(nxt["vec_id"]), list(nxt["e"]), float(nxt["mind"])))
+    emb.unpersist()
+    return spark.createDataFrame(
+        [(r + 1, sid, d) for r, (sid, _v, d) in enumerate(seeds)],
+        "rank int, vec_id long, sep_dist2 double",
+    )

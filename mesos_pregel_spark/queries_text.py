@@ -70,7 +70,11 @@ from mesos_pregel_spark.functions.text import (
     token_stats,
 )
 from mesos_pregel_spark.sources.multimodal import decode_features, synthesize_media
-from mesos_pregel_spark.functions.clustering import cluster_balanced_sample, kmeans
+from mesos_pregel_spark.functions.clustering import (
+    cluster_balanced_sample,
+    kmeans,
+    kmeanspp_seeds,
+)
 from mesos_pregel_spark.functions.composition import (
     doc_kl_outliers,
     heaps_law,
@@ -1963,6 +1967,47 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_h}
 SQL_SIMHASH_CANDIDATES = _sql_simhash_candidates()
 
 
+_KPP_K = 8
+
+
+def _sql_kmeanspp(k: int = _KPP_K) -> str:
+    """Unrolled farthest-point rounds; distances via the shared
+    ROUND(squared-L2, 6) recipe, argmax by (mind DESC, vec_id ASC)."""
+    d2 = ("ROUND(list_sum(list_transform(list_zip(e.v, s.v), "
+          "x -> (x[1] - x[2]) * (x[1] - x[2]))), 6)")
+    parts = ["""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)"""]
+    for j in range(2, k + 1):
+        parts.append(f""",
+md{j} AS (
+  SELECT e.vec_id, MIN({d2}) AS mind
+  FROM e, seeds{j - 1} s GROUP BY e.vec_id
+),
+pick{j} AS (
+  SELECT vec_id, mind FROM md{j}
+  ORDER BY mind DESC, vec_id ASC LIMIT 1
+),
+seeds{j} AS (
+  SELECT * FROM seeds{j - 1}
+  UNION ALL
+  SELECT e.vec_id, e.v FROM e WHERE e.vec_id = (
+    SELECT vec_id FROM pick{j})
+)""")
+    rows = ["SELECT CAST(1 AS INT) AS rank, "
+            "(SELECT vec_id FROM seeds1) AS vec_id, "
+            "CAST(NULL AS DOUBLE) AS sep_dist2"]
+    rows += [
+        f"SELECT CAST({j} AS INT), vec_id, mind FROM pick{j}"
+        for j in range(2, k + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(rows))
+    return "".join(parts)
+
+
+SQL_KMEANSPP_SEEDS = _sql_kmeanspp()
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": lambda s, d: token_stats(_docs(s, d)),
     "quality_score": lambda s, d: quality_score(_docs(s, d)),
@@ -2004,6 +2049,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         per_cell=_CBS_PER_CELL),
     "kmeans": lambda s, d: kmeans(
         s, _emb(s, d), k=_KMEANS_K, iters=_KMEANS_ITERS),
+    "kmeanspp_seeds": lambda s, d: kmeanspp_seeds(s, _emb(s, d), k=_KPP_K),
     # Arrow/mapInPandas multimodal feature plumbing — exact oracle since
     # round 4 (synthetic payload bytes are SQL-recomputable from the md5
     # hex pair; kernel stats are float64-exact)
@@ -2058,6 +2104,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash": SQL_SIMHASH,
     "simhash_candidates": SQL_SIMHASH_CANDIDATES,
+    "kmeanspp_seeds": SQL_KMEANSPP_SEEDS,
     "corpus_clean": SQL_CORPUS_CLEAN,
     "cosine_scores": SQL_COSINE_SCORES,
     "cosine_topk": SQL_COSINE_TOPK,

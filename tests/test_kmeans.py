@@ -136,3 +136,62 @@ def test_cluster_balanced_sample(spark):
         )
         by_rank = [v for _p, v in sorted(picks)]
         assert by_rank == [v for _h, v in members]
+
+
+# ---------------------------------------------------------------------------
+# kmeanspp_seeds (farthest-point seeding)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeanspp_matches_python_and_spreads(spark):
+    """Python replication of the derandomized farthest-point rule,
+    plus the spread property: on three planted clusters, the first 3
+    seeds land in 3 DIFFERENT clusters (the failure of lowest-id init
+    this operator exists to fix)."""
+    from mesos_pregel_spark.functions.clustering import kmeanspp_seeds
+
+    clusters = {
+        0: [0.0, 0.0], 1: [10.0, 0.0], 2: [0.0, 10.0],
+    }
+    rows = []
+    vid = 0
+    for c, base in clusters.items():
+        for i in range(4):
+            rows.append(
+                (vid, [base[0] + 0.1 * i, base[1] + 0.05 * i], c))
+            vid += 1
+    emb = spark.createDataFrame(
+        [(v, [float(x) for x in e], c) for v, e, c in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = [
+        (r["rank"], r["vec_id"], r["sep_dist2"])
+        for r in kmeanspp_seeds(spark, emb, k=4).orderBy("rank").collect()
+    ]
+
+    # python replication (float32 narrowing via the stored embedding)
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    vecs = {v: [f32(x) for x in e] for v, e, _c in rows}
+
+    def d2(a, b):
+        return round(sum((x - y) ** 2 for x, y in zip(a, b)), 6)
+
+    seeds = [min(vecs)]
+    exp = [(1, seeds[0], None)]
+    for rank in range(2, 5):
+        best = None
+        for v, e in vecs.items():
+            mind = min(d2(e, vecs[s]) for s in seeds)
+            key = (-mind, v)
+            if best is None or key < best[0]:
+                best = (key, v, mind)
+        seeds.append(best[1])
+        exp.append((rank, best[1], best[2]))
+    assert got == exp
+    # spread: first three seeds hit three different planted clusters
+    lab = {v: c for v, _e, c in rows}
+    assert len({lab[v] for _r, v, _d in got[:3]}) == 3
