@@ -5626,6 +5626,7 @@ _QUERY_PRIORITY: list[str] = [
     "coarsen_heavy",
     "simhash_candidates",
     "kmeanspp_seeds",
+    "dedup_report",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---

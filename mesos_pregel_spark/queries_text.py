@@ -2008,6 +2008,71 @@ seeds{j} AS (
 SQL_KMEANSPP_SEEDS = _sql_kmeanspp()
 
 
+def _dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dedup summary a pipeline actually publishes: corpus
+    size, exact-duplicate documents and groups, near-dup clusters /
+    members / drops, and the exact character mass sitting in exact
+    duplicates (the bytes the exact stage alone reclaims).  Pure
+    composition of the audited exact_duplicates and _dedup_clusters
+    stages — every count an exact integer, no new machinery."""
+    docs = _docs(spark, sf_dir)
+    ed = exact_duplicates(docs)
+    clu = _dedup_clusters(spark, sf_dir)
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("chars_total"),
+    )
+    ex = (
+        ed.join(docs.select("doc_id", F.length("text").alias("len")),
+                "doc_id")
+        .agg(
+            F.sum(F.when(F.col("is_duplicate"), 1).otherwise(0))
+            .cast("long").alias("n_exact_dups"),
+            F.count_distinct(
+                F.when(F.col("group_size") > 1, F.col("canonical_id"))
+            ).cast("long").alias("n_dup_groups"),
+            F.sum(F.when(F.col("is_duplicate"), F.col("len")).otherwise(0))
+            .cast("long").alias("chars_in_exact_dups"),
+        )
+    )
+    nc = clu.agg(
+        F.count_distinct("cluster").cast("long").alias("n_near_clusters"),
+        F.count(F.lit(1)).cast("long").alias("n_near_members"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        .cast("long").alias("n_near_dropped"),
+    )
+    return base.crossJoin(F.broadcast(ex)).crossJoin(F.broadcast(nc))
+
+
+SQL_DEDUP_REPORT = f"""
+WITH ed AS ({SQL_DEDUP_EXACT}),
+clu AS ({SQL_DEDUP_CLUSTERS}),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_total
+  FROM documents
+),
+ex AS (
+  SELECT CAST(SUM(CASE WHEN ed.is_duplicate THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_dups,
+         CAST(COUNT(DISTINCT CASE WHEN ed.group_size > 1
+                                  THEN ed.canonical_id END) AS BIGINT)
+           AS n_dup_groups,
+         CAST(SUM(CASE WHEN ed.is_duplicate THEN LENGTH(d.text)
+                       ELSE 0 END) AS BIGINT) AS chars_in_exact_dups
+  FROM ed JOIN documents d ON d.doc_id = ed.doc_id
+),
+nc AS (
+  SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_near_clusters,
+         CAST(COUNT(*) AS BIGINT) AS n_near_members,
+         CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_near_dropped
+  FROM clu
+)
+SELECT * FROM base, ex, nc
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": lambda s, d: token_stats(_docs(s, d)),
     "quality_score": lambda s, d: quality_score(_docs(s, d)),
@@ -2019,6 +2084,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_duplicates": lambda s, d: _eager_release(
         near_duplicates(_docs(s, d))),
     "dedup_clusters": _dedup_clusters,
+    "dedup_report": _dedup_report,
     "simhash": lambda s, d: simhash(_docs(s, d)),
     "simhash_candidates": lambda s, d: simhash_candidates(
         _docs(s, d), bits=_SIMC_BITS, n_bands=_SIMC_BANDS,
@@ -2102,6 +2168,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_candidates": SQL_LSH_CANDIDATES,
     "near_duplicates": SQL_NEAR_DUPLICATES,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_report": SQL_DEDUP_REPORT,
     "simhash": SQL_SIMHASH,
     "simhash_candidates": SQL_SIMHASH_CANDIDATES,
     "kmeanspp_seeds": SQL_KMEANSPP_SEEDS,

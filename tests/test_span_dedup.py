@@ -125,3 +125,28 @@ def test_simhash_candidates_pigeonhole_exact(spark):
     assert got == brute
     # identical docs share the signature -> hamming 0 pair present
     assert (1, 4, 0) in got
+
+
+def test_dedup_report_consistency(spark):
+    """The one-row report's counters agree with the stage outputs it
+    summarizes, at the fixture scale."""
+    from mesos_pregel_spark.functions.dedup import exact_duplicates
+    from mesos_pregel_spark.queries_text import (
+        _dedup_clusters,
+        _dedup_report,
+        _docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = _dedup_report(spark, sf).collect()[0]
+    docs = _docs(spark, sf)
+    assert row["n_docs"] == docs.count()
+    ed = exact_duplicates(docs)
+    assert row["n_exact_dups"] == ed.where("is_duplicate").count()
+    clu = _dedup_clusters(spark, sf)
+    assert row["n_near_members"] == clu.count()
+    assert row["n_near_dropped"] == clu.where("NOT keep").count()
+    # the sf0.001 fixture carries near-dups but no byte-exact dups —
+    # the counters must agree either way
+    assert 0 <= row["chars_in_exact_dups"] < row["chars_total"]
+    assert (row["chars_in_exact_dups"] == 0) == (row["n_exact_dups"] == 0)
