@@ -5366,6 +5366,74 @@ def q_motif_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the parts-graph degree distribution — the
+    inequality read-out beside hill_alpha's tail exponent and
+    molloy_reed's kappa (Gini ≈ 0 = egalitarian wiring, → 1 = a few
+    hubs own the edges; the skew number that decides whether salting
+    is worth it before a run).  Computed from the DEGREE HISTOGRAM,
+    never a global sort: Gini = Σ_{a,b} h_a·h_b·|a−b| / (2·n·Σdeg)
+    over distinct degree VALUES — the histogram self-join is bounded
+    by (#distinct degrees)², calendar-small however big the graph;
+    products widened to decimal(38,0)/HUGEINT, ONE rounded division."""
+    edges = _parts_edges(spark, sf_dir)
+    from mesos_pregel_spark.algos.triangles import canonical_undirected
+
+    und = canonical_undirected(edges)
+    deg = (
+        und.select(F.col("lo").alias("id"))
+        .unionAll(und.select(F.col("hi").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    hist = deg.groupBy("deg").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    a, b = hist.alias("a"), hist.alias("b")
+    num = a.crossJoin(b).agg(
+        F.sum(
+            F.col("a.c") * F.col("b.c")
+            * F.abs(F.col("a.deg") - F.col("b.deg")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("num")
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum("deg").cast("long").alias("sum_deg"),
+    )
+    den = (
+        F.lit(2).cast("decimal(38,0)")
+        * F.col("n_vertices").cast("decimal(38,0)")
+        * F.col("sum_deg").cast("decimal(38,0)")
+    )
+    return base.crossJoin(F.broadcast(num)).select(
+        "n_vertices", "sum_deg",
+        F.round(
+            F.col("num").cast("double") / den.cast("double"), 9
+        ).alias("gini"),
+    )
+
+
+SQL_DEGREE_GINI = _SQL_PARTS + """
+, hist AS (
+  SELECT deg, CAST(COUNT(*) AS HUGEINT) AS c FROM pdeg GROUP BY deg
+),
+num AS (
+  SELECT CAST(SUM(a.c * b.c * CAST(ABS(a.deg - b.deg) AS HUGEINT))
+              AS HUGEINT) AS num
+  FROM hist a, hist b
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(SUM(deg) AS BIGINT) AS sum_deg
+  FROM pdeg
+)
+SELECT n_vertices, sum_deg,
+       ROUND(CAST(num AS DOUBLE)
+             / CAST(2 * CAST(n_vertices AS HUGEINT)
+                    * CAST(sum_deg AS HUGEINT) AS DOUBLE), 9) AS gini
+FROM base, num
+"""
+
+
 SQL_MOTIF_SIGNIFICANCE = _SQL_PARTS + """
 , tri AS (
   SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
@@ -5460,6 +5528,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": q_retention_cohorts,
     "funnel_conversion": q_funnel_conversion,
     "motif_significance": q_motif_significance,
+    "degree_gini": q_degree_gini,
     "coarsen_partition_gain": q_coarsen_partition_gain,
     "brand_conductance": q_brand_conductance,
     "coarsen_heavy": q_coarsen_heavy,
@@ -5627,6 +5696,7 @@ _QUERY_PRIORITY: list[str] = [
     "simhash_candidates",
     "kmeanspp_seeds",
     "dedup_report",
+    "degree_gini",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -5765,6 +5835,7 @@ ORACLE_SQL: dict[str, str] = {
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "motif_significance": SQL_MOTIF_SIGNIFICANCE,
+    "degree_gini": SQL_DEGREE_GINI,
     "coarsen_partition_gain": SQL_COARSEN_PARTITION_GAIN,
     "brand_conductance": SQL_BRAND_CONDUCTANCE,
     "coarsen_heavy": SQL_COARSEN_HEAVY,

@@ -243,3 +243,38 @@ def test_attr_assortativity_single_class_is_null(spark):
         spark, _edges(spark, pairs), _labels(spark, lab)
     ).collect()[0]
     assert row["r"] is None
+
+
+def test_degree_gini_formula(spark):
+    """Histogram-form Gini pinned against the classic sorted-form
+    definition on a hand graph, plus the two poles: a regular ring
+    scores exactly 0, a star scores the closed-form value."""
+    import duckdb
+
+    from mesos_pregel_spark.queries import SQL_DEGREE_GINI
+
+    def gini_sorted(degs):
+        n, s = len(degs), sum(degs)
+        d = sorted(degs)
+        return round(
+            sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(d))
+            / (n * s), 9)
+
+    def run(lineitem_rows):
+        con = duckdb.connect()
+        vals = ", ".join(f"({o}, {p})" for o, p in lineitem_rows)
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM (VALUES {vals})"
+                    " t(l_orderkey, l_partkey)")
+        return con.execute(SQL_DEGREE_GINI).fetch_arrow_table().to_pylist()[0]
+
+    # ring of 4 parts (two orders of 2 overlapping pairs -> cycle):
+    # orders {1,2},{2,3},{3,4},{4,1} -> every deg = 2 -> gini 0
+    ring = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 3), (3, 4), (4, 4), (4, 1)]
+    r = run(ring)
+    assert (r["n_vertices"], r["gini"]) == (4, 0.0)
+
+    # star: one order with 5 parts gives K5... instead hub via pairs:
+    # orders {h,x} for x in 1..4 -> degs h:4, leaves:1
+    star = [(i, 9) for i in range(1, 5)] + [(i, i) for i in range(1, 5)]
+    r2 = run(star)
+    assert r2["gini"] == gini_sorted([4, 1, 1, 1, 1])
