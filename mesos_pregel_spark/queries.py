@@ -5697,6 +5697,7 @@ _QUERY_PRIORITY: list[str] = [
     "kmeanspp_seeds",
     "dedup_report",
     "degree_gini",
+    "langid_confusion",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---

@@ -2008,6 +2008,52 @@ seeds{j} AS (
 SQL_KMEANSPP_SEEDS = _sql_kmeanspp()
 
 
+def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-vote language-ID against the
+    documents table's ground-truth ``lang`` column — the evaluation a
+    pipeline runs before trusting a heuristic classifier as a routing
+    or filtering key: (true_lang, pred_lang, n, row_share) where
+    row_share = n / total docs of that true language.  Exact counts,
+    ONE rounded division per cell; one classifier projection + one
+    id-keyed join + one hash aggregate."""
+    docs = _docs(spark, sf_dir)
+    pred = language_id(docs)
+    truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
+    cells = (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", F.col("lang_pred").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = cells.groupBy("true_lang").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    return cells.join(totals, "true_lang").select(
+        "true_lang", "pred_lang", "n",
+        F.round(
+            F.col("n").cast("double") / F.col("row_total").cast("double"), 9
+        ).alias("row_share"),
+    )
+
+
+SQL_LANGID_CONFUSION = f"""
+WITH pred AS ({SQL_LANG_ID}),
+cells AS (
+  SELECT d.lang AS true_lang, p.lang_pred AS pred_lang,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT true_lang, CAST(SUM(n) AS BIGINT) AS row_total
+  FROM cells GROUP BY true_lang
+)
+SELECT c.true_lang, c.pred_lang, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE), 9)
+         AS row_share
+FROM cells c JOIN totals t ON t.true_lang = c.true_lang
+"""
+
+
 def _dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-row dedup summary a pipeline actually publishes: corpus
     size, exact-duplicate documents and groups, near-dup clusters /
@@ -2085,6 +2131,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         near_duplicates(_docs(s, d))),
     "dedup_clusters": _dedup_clusters,
     "dedup_report": _dedup_report,
+    "langid_confusion": _langid_confusion,
     "simhash": lambda s, d: simhash(_docs(s, d)),
     "simhash_candidates": lambda s, d: simhash_candidates(
         _docs(s, d), bits=_SIMC_BITS, n_bands=_SIMC_BANDS,
@@ -2169,6 +2216,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "near_duplicates": SQL_NEAR_DUPLICATES,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_report": SQL_DEDUP_REPORT,
+    "langid_confusion": SQL_LANGID_CONFUSION,
     "simhash": SQL_SIMHASH,
     "simhash_candidates": SQL_SIMHASH_CANDIDATES,
     "kmeanspp_seeds": SQL_KMEANSPP_SEEDS,

