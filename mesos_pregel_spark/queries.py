@@ -5366,6 +5366,100 @@ def q_motif_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_degree_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between 4-step PageRank and out-degree on
+    the transcript actor graph — the sanity question every ranking
+    deployment answers first: does the expensive iterated rank add
+    signal over the one-aggregate degree, or is it degree in disguise
+    (corr ≈ 1)?  PageRank snaps to exact integer nano-units (the
+    spam_mass contract), sums of squares/products widen to
+    decimal(38,0)/HUGEINT (pr_n² alone is ~10¹⁸ per vertex), and the
+    coefficient is one pinned double expression over the exact sums —
+    the degree_assortativity recipe."""
+    from mesos_pregel_spark.algos.pagerank import pagerank
+
+    e = _graph_edges(spark, sf_dir)
+    pr, _run = pagerank(spark, e, tol=0.0, max_supersteps=4,
+                        edge_partitions=8)
+    od = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("od")
+    )
+    both = (
+        pr.select(
+            "id", F.round(F.col("pagerank") * 1e9).cast("long").alias("x")
+        )
+        .join(od, "id", "left_outer")
+        .select("id", "x", F.coalesce(F.col("od"), F.lit(0)).alias("y"))
+    )
+    dec = "decimal(38,0)"
+    s = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).cast(dec)
+        .alias("sxx"),
+        F.sum((F.col("y").cast(dec) * F.col("y").cast(dec))).cast(dec)
+        .alias("syy"),
+        F.sum((F.col("x").cast(dec) * F.col("y").cast(dec))).cast(dec)
+        .alias("sxy"),
+    )
+    n = F.col("n").cast(dec)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # zero variance on either side (e.g. a regular graph where every
+    # actor has the same out-degree) leaves corr undefined — NULL in
+    # both engines, never a 0/0
+    return s.select(
+        F.col("n").alias("n_actors"),
+        F.when(
+            (denx > 0) & (deny > 0), num / F.sqrt(denx * deny)
+        ).alias("corr"),
+    )
+
+
+SQL_RANK_DEGREE_CORR = _SQL_EDGES + """
+, n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+od AS (SELECT src_actor, COUNT(*) AS od FROM edges GROUP BY src_actor),
+pr0 AS MATERIALIZED (
+  SELECT actor, 1.0/(SELECT n FROM n) AS pr FROM verts
+)""" + "".join(f""",
+pr{k} AS MATERIALIZED (
+  SELECT v.actor,
+         0.15/(SELECT n FROM n) + 0.85*COALESCE(c.s, 0.0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.dst_actor AS actor, SUM(p.pr/od.od) AS s
+    FROM edges e
+    JOIN pr{k-1} p ON e.src_actor = p.actor
+    JOIN od ON e.src_actor = od.src_actor
+    GROUP BY e.dst_actor) c
+  ON v.actor = c.actor
+)""" for k in range(1, 5)) + """,
+xy AS (
+  SELECT CAST(ROUND(p.pr * 1e9) AS HUGEINT) AS x,
+         CAST(COALESCE(od.od, 0) AS HUGEINT) AS y
+  FROM pr4 p LEFT JOIN od ON od.src_actor = p.actor
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(y * y) AS HUGEINT) AS syy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy
+  FROM xy
+)
+SELECT n AS n_actors,
+       CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) > 0
+       THEN
+         CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         / SQRT(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
+       END AS corr
+FROM s
+"""
+
+
 def q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of the parts-graph degree distribution — the
     inequality read-out beside hill_alpha's tail exponent and
@@ -5529,6 +5623,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     "motif_significance": q_motif_significance,
     "degree_gini": q_degree_gini,
+    "rank_degree_corr": q_rank_degree_corr,
     "coarsen_partition_gain": q_coarsen_partition_gain,
     "brand_conductance": q_brand_conductance,
     "coarsen_heavy": q_coarsen_heavy,
@@ -5698,6 +5793,8 @@ _QUERY_PRIORITY: list[str] = [
     "dedup_report",
     "degree_gini",
     "langid_confusion",
+    "source_retention",
+    "rank_degree_corr",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -5837,6 +5934,7 @@ ORACLE_SQL: dict[str, str] = {
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "motif_significance": SQL_MOTIF_SIGNIFICANCE,
     "degree_gini": SQL_DEGREE_GINI,
+    "rank_degree_corr": SQL_RANK_DEGREE_CORR,
     "coarsen_partition_gain": SQL_COARSEN_PARTITION_GAIN,
     "brand_conductance": SQL_BRAND_CONDUCTANCE,
     "coarsen_heavy": SQL_COARSEN_HEAVY,

@@ -2008,6 +2008,51 @@ seeds{j} AS (
 SQL_KMEANSPP_SEEDS = _sql_kmeanspp()
 
 
+def _source_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup retention — the data-mix planner's read-out:
+    of each source's documents, how many survive the near-dup stage
+    (cluster members that are not the canonical keep lose their slot)?
+    A source with low retention is shipping copies of other sources'
+    content.  Composition of the CC-cluster stage with the source
+    label; exact counts, ONE rounded division per source."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    clu = _dedup_clusters(spark, sf_dir).select("doc_id", "keep")
+    tagged = docs.join(clu, "doc_id", "left_outer")
+    dropped = F.sum(
+        F.when(F.col("keep").isNotNull() & ~F.col("keep"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            dropped.alias("n_dropped"),
+        )
+        .select(
+            "source", "n_docs", "n_dropped",
+            F.round(
+                (F.col("n_docs") - F.col("n_dropped")).cast("double")
+                / F.col("n_docs").cast("double"), 9
+            ).alias("retention"),
+        )
+    )
+
+
+SQL_SOURCE_RETENTION = f"""
+WITH clu AS ({SQL_DEDUP_CLUSTERS}),
+tagged AS (
+  SELECT d.source, c.keep
+  FROM documents d LEFT JOIN clu c ON c.doc_id = d.doc_id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep IS NOT NULL AND NOT keep
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       ROUND(CAST(COUNT(*) - SUM(CASE WHEN keep IS NOT NULL AND NOT keep
+                                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS retention
+FROM tagged GROUP BY source
+"""
+
+
 def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the stopword-vote language-ID against the
     documents table's ground-truth ``lang`` column — the evaluation a
@@ -2132,6 +2177,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": _dedup_clusters,
     "dedup_report": _dedup_report,
     "langid_confusion": _langid_confusion,
+    "source_retention": _source_retention,
     "simhash": lambda s, d: simhash(_docs(s, d)),
     "simhash_candidates": lambda s, d: simhash_candidates(
         _docs(s, d), bits=_SIMC_BITS, n_bands=_SIMC_BANDS,
@@ -2217,6 +2263,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_report": SQL_DEDUP_REPORT,
     "langid_confusion": SQL_LANGID_CONFUSION,
+    "source_retention": SQL_SOURCE_RETENTION,
     "simhash": SQL_SIMHASH,
     "simhash_candidates": SQL_SIMHASH_CANDIDATES,
     "kmeanspp_seeds": SQL_KMEANSPP_SEEDS,

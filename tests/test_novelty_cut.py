@@ -278,3 +278,44 @@ def test_degree_gini_formula(spark):
     star = [(i, 9) for i in range(1, 5)] + [(i, i) for i in range(1, 5)]
     r2 = run(star)
     assert r2["gini"] == gini_sorted([4, 1, 1, 1, 1])
+
+
+def test_rank_degree_corr_and_source_retention(spark):
+    """rank_degree_corr: NULL on a regular graph (zero degree
+    variance), near +1 on a hub-dominated one.  source_retention:
+    retention = 1 - dropped/docs per source, exactly."""
+    import duckdb
+
+    from mesos_pregel_spark.queries import SQL_RANK_DEGREE_CORR
+    from mesos_pregel_spark.queries_text import (
+        _dedup_clusters,
+        _docs,
+        _source_retention,
+    )
+
+    # regular graph: a 4-cycle of events per user gives every actor
+    # identical out-degree -> corr NULL
+    con = duckdb.connect()
+    con.execute("""
+        CREATE VIEW events AS SELECT * FROM (VALUES
+          (1, TIMESTAMP '2024-01-01 00:00:01', 1, 'a', 0.0, '{}'),
+          (2, TIMESTAMP '2024-01-01 00:00:02', 1, 'b', 0.0, '{}'),
+          (3, TIMESTAMP '2024-01-01 00:00:03', 1, 'a', 0.0, '{}'),
+          (4, TIMESTAMP '2024-01-01 00:00:04', 1, 'b', 0.0, '{}')
+        ) t(event_id, ts, user_id, event_type, value, props)
+    """)
+    row = con.execute(
+        SQL_RANK_DEGREE_CORR).fetch_arrow_table().to_pylist()[0]
+    assert row["corr"] is None  # od(a) == od(b): zero variance
+
+    sf = "/root/testdata/sf0.001"
+    ret = {r["source"]: r for r in _source_retention(spark, sf).collect()}
+    docs = _docs(spark, sf).select("doc_id", "source")
+    clu = _dedup_clusters(spark, sf).where("NOT keep").select("doc_id")
+    dropped = dict(
+        docs.join(clu, "doc_id").groupBy("source").count().collect()
+    )
+    for src, r in ret.items():
+        assert r["n_dropped"] == dropped.get(src, 0)
+        assert r["retention"] == round(
+            (r["n_docs"] - r["n_dropped"]) / r["n_docs"], 9)
