@@ -58,6 +58,7 @@ from mesos_pregel_spark.functions.text import (
     approx_vocab,
     bm25_topk,
     tfidf_topk,
+    tokens_col,
     unigram_logprob,
     bigram_logprob,
     LANG_STOPWORDS,
@@ -2008,6 +2009,66 @@ seeds{j} AS (
 SQL_KMEANSPP_SEEDS = _sql_kmeanspp()
 
 
+def _packing_report(spark: SparkSession, sf_dir: str,
+                    chunk_tokens: int = 512) -> DataFrame:
+    """Packing-efficiency report per stratum — the fill-rate metric an
+    LLM pre-training run tracks next to tokens/sec: concat-and-chunk
+    packing (pack_concat's rule: contiguous per-stratum token stream,
+    integer-div chunk boundaries) wastes only the final ragged chunk,
+    so per stratum n_chunks = ceil(total/C), waste = n_chunks·C −
+    total, fill = total/(n_chunks·C).  Derived from ONE per-stratum
+    token aggregate — the report needs totals, not the span table.
+    Exact integers, one rounded division per stratum."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(tokens_col(F.col("text"))).cast("long")
+    agg = (
+        docs.select(F.col("source").alias("stratum"),
+                    n_tokens.alias("nt"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+        )
+    )
+    # integer `div`, not double `/`: FP division misplaces the chunk
+    # count past 2^53 total tokens (the pack_concat boundary lesson)
+    c = F.lit(chunk_tokens)
+    n_chunks = F.expr(
+        f"(total_tokens + {chunk_tokens} - 1) div {chunk_tokens}"
+    ).cast("long")
+    return agg.select(
+        "stratum", "n_docs", "total_tokens",
+        n_chunks.alias("n_chunks"),
+        (n_chunks * c - F.col("total_tokens")).cast("long")
+        .alias("waste_tokens"),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (n_chunks * c).cast("double"), 9
+        ).alias("fill_ratio"),
+    )
+
+
+SQL_PACKING_REPORT = f"""
+WITH agg AS (
+  SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT)
+           AS total_tokens
+  FROM documents GROUP BY source
+)
+SELECT stratum, n_docs, total_tokens,
+       CAST((total_tokens + {_PACK_CHUNK_TOKENS} - 1)
+            // {_PACK_CHUNK_TOKENS} AS BIGINT) AS n_chunks,
+       CAST(((total_tokens + {_PACK_CHUNK_TOKENS} - 1)
+             // {_PACK_CHUNK_TOKENS}) * {_PACK_CHUNK_TOKENS}
+            - total_tokens AS BIGINT) AS waste_tokens,
+       ROUND(CAST(total_tokens AS DOUBLE)
+             / CAST(((total_tokens + {_PACK_CHUNK_TOKENS} - 1)
+                     // {_PACK_CHUNK_TOKENS}) * {_PACK_CHUNK_TOKENS}
+                    AS DOUBLE), 9) AS fill_ratio
+FROM agg
+"""
+
+
 def _source_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup retention — the data-mix planner's read-out:
     of each source's documents, how many survive the near-dup stage
@@ -2178,6 +2239,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_report": _dedup_report,
     "langid_confusion": _langid_confusion,
     "source_retention": _source_retention,
+    "packing_report": _packing_report,
     "simhash": lambda s, d: simhash(_docs(s, d)),
     "simhash_candidates": lambda s, d: simhash_candidates(
         _docs(s, d), bits=_SIMC_BITS, n_bands=_SIMC_BANDS,
@@ -2264,6 +2326,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "dedup_report": SQL_DEDUP_REPORT,
     "langid_confusion": SQL_LANGID_CONFUSION,
     "source_retention": SQL_SOURCE_RETENTION,
+    "packing_report": SQL_PACKING_REPORT,
     "simhash": SQL_SIMHASH,
     "simhash_candidates": SQL_SIMHASH_CANDIDATES,
     "kmeanspp_seeds": SQL_KMEANSPP_SEEDS,

@@ -388,3 +388,32 @@ def test_funnel_conversion_strict_order(spark):
     assert out["n_s123"] == 1    # u1s1 only
     assert out["conv_12"] == round(2 / 4, 9)
     assert out["conv_23"] == round(1 / 2, 9)
+
+
+def test_packing_report_consistency_with_pack_concat(spark):
+    """The report's chunk counts agree with the span table: per
+    stratum, pack_concat's max last_chunk + 1 == the report's
+    n_chunks, and fill = total/(n_chunks*C)."""
+    from mesos_pregel_spark.functions.packing import pack_concat
+    from mesos_pregel_spark.queries_text import (
+        _PACK_CHUNK_TOKENS,
+        _docs,
+        _packing_report,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rep = {r["stratum"]: r for r in _packing_report(spark, sf).collect()}
+    spans = pack_concat(
+        _docs(spark, sf), chunk_tokens=_PACK_CHUNK_TOKENS
+    ).groupBy("stratum").agg(
+        (F.max("last_chunk") + 1).alias("n_chunks"),
+        F.sum("n_tokens").alias("total"),
+    )
+    for r in spans.collect():
+        rr = rep[r["stratum"]]
+        assert rr["n_chunks"] == r["n_chunks"]
+        assert rr["total_tokens"] == r["total"]
+        assert 0 <= rr["waste_tokens"] < _PACK_CHUNK_TOKENS
+        assert rr["fill_ratio"] == round(
+            rr["total_tokens"] / (rr["n_chunks"] * _PACK_CHUNK_TOKENS), 9)
