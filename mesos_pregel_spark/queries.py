@@ -5796,6 +5796,7 @@ _QUERY_PRIORITY: list[str] = [
     "source_retention",
     "rank_degree_corr",
     "packing_report",
+    "quality_vs_dup",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---

@@ -2069,6 +2069,55 @@ FROM agg
 """
 
 
+def _quality_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the near-dup stage preferentially drop LOW-quality text?
+    The audit a pipeline runs before trusting dedup as an implicit
+    quality filter: mean pinned quality score for kept-vs-dropped
+    cluster members and for documents outside any cluster.  Quality
+    scores (9dp-rounded doubles) snap to exact integer NANO-units
+    BEFORE the group sums (the unigram contract — a double mean over
+    millions of docs would carry partition-order ulps); each mean is
+    ONE division of exact integers, rounded 9dp."""
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs)
+    clu = _dedup_clusters(spark, sf_dir).select("doc_id", "keep")
+    tagged = q.join(clu, "doc_id", "left_outer").select(
+        F.when(F.col("keep").isNull(), "unclustered")
+        .when(F.col("keep"), "kept").otherwise("dropped").alias("bucket"),
+        F.round(F.col("quality") * 1e9).cast("long").alias("q_n"),
+    )
+    return (
+        tagged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("q_n").cast("long").alias("sum_q_n"),
+        )
+        .select(
+            "bucket", "n_docs",
+            F.round(
+                (F.col("sum_q_n").cast("double") / 1e9)
+                / F.col("n_docs").cast("double"), 9
+            ).alias("mean_quality"),
+        )
+    )
+
+
+SQL_QUALITY_VS_DUP = f"""
+WITH q AS ({SQL_QUALITY}),
+clu AS ({SQL_DEDUP_CLUSTERS}),
+tagged AS (
+  SELECT CASE WHEN c.keep IS NULL THEN 'unclustered'
+              WHEN c.keep THEN 'kept' ELSE 'dropped' END AS bucket,
+         CAST(ROUND(q.quality * 1e9) AS BIGINT) AS q_n
+  FROM q LEFT JOIN clu c ON c.doc_id = q.doc_id
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND((CAST(SUM(q_n) AS DOUBLE) / 1e9)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS mean_quality
+FROM tagged GROUP BY bucket
+"""
+
+
 def _source_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup retention — the data-mix planner's read-out:
     of each source's documents, how many survive the near-dup stage
@@ -2240,6 +2289,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_confusion": _langid_confusion,
     "source_retention": _source_retention,
     "packing_report": _packing_report,
+    "quality_vs_dup": _quality_vs_dup,
     "simhash": lambda s, d: simhash(_docs(s, d)),
     "simhash_candidates": lambda s, d: simhash_candidates(
         _docs(s, d), bits=_SIMC_BITS, n_bands=_SIMC_BANDS,
@@ -2327,6 +2377,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "langid_confusion": SQL_LANGID_CONFUSION,
     "source_retention": SQL_SOURCE_RETENTION,
     "packing_report": SQL_PACKING_REPORT,
+    "quality_vs_dup": SQL_QUALITY_VS_DUP,
     "simhash": SQL_SIMHASH,
     "simhash_candidates": SQL_SIMHASH_CANDIDATES,
     "kmeanspp_seeds": SQL_KMEANSPP_SEEDS,

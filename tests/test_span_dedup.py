@@ -150,3 +150,27 @@ def test_dedup_report_consistency(spark):
     # the counters must agree either way
     assert 0 <= row["chars_in_exact_dups"] < row["chars_total"]
     assert (row["chars_in_exact_dups"] == 0) == (row["n_exact_dups"] == 0)
+
+
+def test_quality_vs_dup_buckets_partition_corpus(spark):
+    """The three buckets partition the corpus, and each mean is the
+    exact nano-snapped group mean."""
+    from mesos_pregel_spark.functions.text import quality_score
+    from mesos_pregel_spark.queries_text import (
+        _dedup_clusters,
+        _docs,
+        _quality_vs_dup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["bucket"]: r for r in _quality_vs_dup(spark, sf).collect()}
+    docs = _docs(spark, sf)
+    assert sum(r["n_docs"] for r in out.values()) == docs.count()
+    # python replication of one bucket's mean
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    keep = {r["doc_id"]: r["keep"]
+            for r in _dedup_clusters(spark, sf).collect()}
+    dropped = [round(q[d] * 1e9) for d in q if d in keep and not keep[d]]
+    assert out["dropped"]["n_docs"] == len(dropped)
+    assert out["dropped"]["mean_quality"] == round(
+        (sum(dropped) / 1e9) / len(dropped), 9)
