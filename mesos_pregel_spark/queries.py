@@ -1319,6 +1319,30 @@ FROM mat m JOIN sizes s ON s.cohort_day = m.cohort_day
 """
 
 
+def q_session_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of session SIZES (events per gap
+    session) — the conversation-depth profile beside the documents
+    table's length_histogram: which share of sessions are one-shot
+    pings vs long working episodes.  Bucket = LENGTH(bin(n)) − 1
+    (integer/string ops — the libm-free floor(log2) the length
+    histogram pinned); exact counts."""
+    from mesos_pregel_spark.functions.sessions import session_stats
+
+    s = session_stats(_events(spark, sf_dir), gap_us=_SESSION_GAP_US)
+    return (
+        s.select(
+            (F.length(F.bin(F.col("n_events"))) - 1).cast("long")
+            .alias("bucket"),
+            F.col("n_events").cast("long").alias("ne"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("ne").cast("long").alias("sum_events"),
+        )
+    )
+
+
 _FUNNEL_STAGES = 3
 
 
@@ -1440,6 +1464,15 @@ SELECT user_id, session_idx, COUNT(*) AS n_events,
        COUNT(DISTINCT event_type) AS n_types
 FROM s2 GROUP BY user_id, session_idx
 """
+
+
+SQL_SESSION_HISTOGRAM = f"""
+WITH ss AS ({{sessions}})
+SELECT CAST(LENGTH(bin(n_events)) - 1 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS sum_events
+FROM ss GROUP BY 1
+""".format(sessions=SQL_SESSIONS)
 
 
 def q_session_copairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5624,6 +5657,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "motif_significance": q_motif_significance,
     "degree_gini": q_degree_gini,
     "rank_degree_corr": q_rank_degree_corr,
+    "session_histogram": q_session_histogram,
     "coarsen_partition_gain": q_coarsen_partition_gain,
     "brand_conductance": q_brand_conductance,
     "coarsen_heavy": q_coarsen_heavy,
@@ -5797,6 +5831,7 @@ _QUERY_PRIORITY: list[str] = [
     "rank_degree_corr",
     "packing_report",
     "quality_vs_dup",
+    "session_histogram",
     # --- tier 2b: r3-green ANN rows demoted to fit tier 2 in-window
     #     (ivf_topk demoted last: r3-green, bumped for link_prediction_aa;
     #     corpus_clean/simhash r3-green, bumped for span_dedup/source_kl) ---
@@ -5937,6 +5972,7 @@ ORACLE_SQL: dict[str, str] = {
     "motif_significance": SQL_MOTIF_SIGNIFICANCE,
     "degree_gini": SQL_DEGREE_GINI,
     "rank_degree_corr": SQL_RANK_DEGREE_CORR,
+    "session_histogram": SQL_SESSION_HISTOGRAM,
     "coarsen_partition_gain": SQL_COARSEN_PARTITION_GAIN,
     "brand_conductance": SQL_BRAND_CONDUCTANCE,
     "coarsen_heavy": SQL_COARSEN_HEAVY,

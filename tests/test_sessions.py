@@ -417,3 +417,24 @@ def test_packing_report_consistency_with_pack_concat(spark):
         assert 0 <= rr["waste_tokens"] < _PACK_CHUNK_TOKENS
         assert rr["fill_ratio"] == round(
             rr["total_tokens"] / (rr["n_chunks"] * _PACK_CHUNK_TOKENS), 9)
+
+
+def test_session_histogram_buckets(spark):
+    """Buckets partition all sessions; bucket of n is bit_length-1
+    (the libm-free floor(log2)); totals agree with session_stats."""
+    from mesos_pregel_spark.queries import q_session_histogram
+    from mesos_pregel_spark.functions.sessions import session_stats
+    from mesos_pregel_spark.queries import _events, _SESSION_GAP_US
+
+    sf = "/root/testdata/sf0.001"
+    hist = {r["bucket"]: r for r in q_session_histogram(spark, sf).collect()}
+    stats = session_stats(_events(spark, sf),
+                          gap_us=_SESSION_GAP_US).collect()
+    from collections import defaultdict
+    exp = defaultdict(lambda: [0, 0])
+    for r in stats:
+        b = r["n_events"].bit_length() - 1
+        exp[b][0] += 1
+        exp[b][1] += r["n_events"]
+    assert {b: (r["n_sessions"], r["sum_events"])
+            for b, r in hist.items()} == {b: tuple(v) for b, v in exp.items()}
