@@ -244,3 +244,83 @@ def greedy_modularity(
     deg.unpersist()
     adj.unpersist()
     return labels.withColumnsRenamed({"v": "id"})
+
+
+def clustering_agreement(x: DataFrame, y: DataFrame) -> DataFrame:
+    """Pair-counting agreement between two labellings of the SAME
+    vertex set — Rand index and Adjusted Rand Index (Hubert & Arabie
+    1985) from exact integer sufficient statistics.
+
+    ``x`` and ``y`` are (id, label) DataFrames (label types may
+    differ).  Returns ONE row:
+
+      (n, pairs, both_pairs, x_pairs, y_pairs, rand, ari)
+
+    where pairs = C(n,2), both_pairs = Σ_ij C(n_ij,2) over the
+    contingency table, x_pairs/y_pairs = the per-labelling analogues,
+    rand = (pairs - x_pairs - y_pairs + 2·both_pairs)/pairs and
+    ari = (b - xp·yp/t) / ((xp+yp)/2 - xp·yp/t), NULL when the
+    denominator is 0 (both labellings trivial).
+
+    DETERMINISM: every statistic is an exact integer SUM (n_ij ≤ n,
+    so C(n_ij,2) stays in int64 far past any realistic vertex count);
+    rand is ONE double division and ari's expression tree is mirrored
+    token-for-token in the DuckDB twin (queries.SQL_LPA_CC_AGREEMENT),
+    so the doubles are produced by identical IEEE op sequences.
+
+    Scale shape (design-for-100×): one equi-join on vertex id + three
+    hash aggregates, all map-side combinable — no windows, nothing
+    proportional to cluster size on one task.  At 10^12 vertices the
+    int64 pair counts overflow; at that scale lift the three Σ C(·,2)
+    sums to DecimalType(38,0) (same plan shape) — documented, not
+    silently wrong, since C(n,2) itself leaves int64 first.
+    """
+    j = (
+        x.select("id", F.col("label").alias("lx"))
+        .join(y.select("id", F.col("label").alias("ly")), "id")
+    )
+    cells = j.groupBy("lx", "ly").agg(F.count(F.lit(1)).alias("nij"))
+    # integer `div` everywhere — n·(n-1) is even, so the halves are
+    # exact longs, never doubles
+    pair2 = "%s * (%s - 1) div 2"
+    per_x = (
+        cells.groupBy("lx").agg(F.sum("nij").alias("ai"))
+        .select(F.expr(pair2 % ("ai", "ai")).alias("p"))
+        .agg(F.sum("p").cast("long").alias("x_pairs"))
+    )
+    per_y = (
+        cells.groupBy("ly").agg(F.sum("nij").alias("bj"))
+        .select(F.expr(pair2 % ("bj", "bj")).alias("p"))
+        .agg(F.sum("p").cast("long").alias("y_pairs"))
+    )
+    stats = (
+        cells.select(
+            F.expr(pair2 % ("nij", "nij")).alias("p"), F.col("nij")
+        )
+        .agg(
+            F.sum("p").cast("long").alias("both_pairs"),
+            F.sum("nij").cast("long").alias("n"),
+        )
+        .crossJoin(F.broadcast(per_x))
+        .crossJoin(F.broadcast(per_y))
+    )
+    t = F.expr(pair2 % ("n", "n")).cast("long")
+    b = F.col("both_pairs").cast("double")
+    xp = F.col("x_pairs").cast("double")
+    yp = F.col("y_pairs").cast("double")
+    td = t.cast("double")
+    exp = xp * yp / td
+    denom = (xp + yp) / F.lit(2.0) - exp
+    return stats.select(
+        "n",
+        t.alias("pairs"),
+        "both_pairs",
+        "x_pairs",
+        "y_pairs",
+        F.round(
+            (td - xp - yp + F.lit(2.0) * b) / td, 9
+        ).alias("rand"),
+        F.when(denom != 0.0, F.round((b - exp) / denom, 9))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("ari"),
+    )
