@@ -1,0 +1,125 @@
+"""Time-respecting reachability — earliest-arrival propagation over
+TIMESTAMPED transition edges (Holme & Saramäki, "Temporal networks",
+Physics Reports 2012; the foremost-path semantics of Wu et al. VLDB
+2014).  Static reachability overstates what can actually propagate
+through a transcript log: influence, information, or contamination can
+ride u→v→w only if the v→w transition happens AFTER u→v.  This kernel
+answers "when is the EARLIEST moment each actor can be reached from a
+seed, moving only forward in time".
+
+Pinned semantics (mirrored by the unrolled DuckDB twin,
+queries.SQL_TEMPORAL_REACH):
+
+- Transition instances keep their OWN timestamps (no collapsing to
+  weights — the whole point is the time axis); exact duplicates
+  (src, dst, t) dedup.  Self-transitions dropped (substrate rule).
+- arr(seed) = 0; relaxation: arr(v) ← min(arr(v),
+  min{t : (u,v,t) a transition, t ≥ arr(u)}).  A transition is
+  usable only if it departs at-or-after the earliest arrival at its
+  source.
+- Fixed superstep budget k (bounded-iteration semantics like Katz);
+  monotone (arr never increases, lowering arr(u) only ENABLES more
+  transitions) ⇒ early-halt at the fixpoint ≡ the k-step unroll.
+- DETERMINISM: arrivals are epoch-microsecond integers (NTZ-safe,
+  the sessions discipline) carried in doubles far below 2^53; the
+  only operations are min and ≥ — no FP arithmetic at all.
+
+Execution shape (design-for-100×): one scatter join + one min combine
+with map-side partials per superstep over the src-partitioned
+persisted transition table; the time guard ``t ≥ arr(u)`` is a
+per-row predicate on the already-joined scatter row, costing nothing
+extra.  Message volume is bounded by the CHANGED frontier
+(``active_filter``), so a converged region stops sending.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mesos_pregel_spark.plans.pregel import PregelRun
+from mesos_pregel_spark.plans.program import VertexProgram, pregel
+
+_INF = 1.0e18
+
+
+def temporal_reach(
+    spark: SparkSession,
+    transitions: DataFrame,
+    seed,
+    max_supersteps: int = 6,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    edge_partitions: int | None = None,
+) -> tuple[DataFrame, PregelRun]:
+    """Earliest time-respecting arrival from ``seed`` over
+    ``transitions`` (src, dst, t — epoch-µs).  Returns
+    (reach(id, arrival_us), run) — arrival_us null where no
+    time-respecting path exists within the superstep budget."""
+
+    def prep(e: DataFrame) -> DataFrame:
+        return (
+            e.select("src", "dst", F.col("t").cast("double").alias("t"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def init(e: DataFrame, ctx: dict) -> DataFrame:
+        vertices = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        seeded = F.col("id") == F.lit(seed)
+        return vertices.select(
+            "id",
+            F.when(seeded, F.lit(0.0)).otherwise(F.lit(_INF)).alias("arr"),
+            seeded.alias("changed"),
+        )
+
+    def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:
+        new_arr = F.least(
+            state["arr"], F.coalesce(combined["m_min"], state["arr"])
+        )
+        return (
+            state.join(combined, state["id"] == combined["dst"], "left_outer")
+            .select(
+                state["id"],
+                new_arr.alias("arr"),
+                (new_arr < state["arr"]).alias("changed"),
+            )
+        )
+
+    program = VertexProgram(
+        name="temporal_reach",
+        init=init,
+        prep_edges=prep,
+        edge_cols=("src", "dst", "t"),
+        # usable ⟺ the transition departs at-or-after the source's
+        # earliest arrival; unusable rows message null, which the min
+        # combine ignores
+        msg_cols=[
+            F.when(F.col("t") >= F.col("arr"), F.col("t")).alias("m")
+        ],
+        active_filter=F.col("changed"),
+        combiner={"m_min": ("m", "min")},
+        apply=apply,
+        aggregators=[F.sum(F.col("changed").cast("long")).alias("active")],
+        halt=lambda aggs: aggs["active"] == 0,
+        frontier_agg="active",
+        finalize=lambda s: s.select(
+            "id",
+            F.when(F.col("arr") >= _INF, F.lit(None).cast("long"))
+            .otherwise(F.col("arr").cast("long"))
+            .alias("arrival_us"),
+        ),
+        converged_at_cap=True,
+        params={"seed": str(seed), "k": max_supersteps},
+    )
+    return pregel(
+        spark, transitions, program,
+        max_supersteps=max_supersteps,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        edge_partitions=edge_partitions,
+    )

@@ -5790,6 +5790,81 @@ FROM md GROUP BY lane, hop
 """
 
 
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest time-respecting arrival from the smallest actor over
+    TIMESTAMPED transitions (algos/temporal.py — foremost-path
+    semantics: u→v→w counts only if the v→w transition happens after
+    arrival at v).  6-round budget; monotone ⇒ capped ≡ unrolled.
+    Transition time = the destination event's epoch-µs (NTZ-safe)."""
+    from pyspark.sql import Window
+
+    from mesos_pregel_spark.algos.temporal import temporal_reach
+    from mesos_pregel_spark.functions.sessions import _us_col
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        _events(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+            F.lead(_us_col()).over(w).alias("t"),
+        )
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    seed = tr.agg(F.least(F.min("src"), F.min("dst"))).collect()[0][0]
+    reach, _run = temporal_reach(
+        spark, tr, seed, max_supersteps=6, edge_partitions=8
+    )
+    return reach.select(F.col("id").alias("actor"), "arrival_us")
+
+
+def _sql_temporal_reach(steps: int = 6) -> str:
+    """Unrolled earliest-arrival relaxation.  Self-contained (does not
+    reuse _SQL_EDGES — the temporal substrate keeps per-transition
+    timestamps instead of collapsing to weights)."""
+    parts = ["""
+WITH tr AS MATERIALIZED (
+  SELECT DISTINCT src_actor AS s, dst_actor AS d, CAST(t AS DOUBLE) AS t
+  FROM (
+    SELECT event_type AS src_actor,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor,
+           LEAD(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS t
+    FROM events)
+  WHERE dst_actor IS NOT NULL AND src_actor <> dst_actor),
+tv AS MATERIALIZED (
+  SELECT DISTINCT a AS actor FROM (
+    SELECT s AS a FROM tr UNION ALL SELECT d FROM tr)),
+t0 AS MATERIALIZED (
+  SELECT actor,
+         CASE WHEN actor = (SELECT MIN(actor) FROM tv)
+              THEN 0.0 ELSE 1e18 END AS arr
+  FROM tv)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+t{k} AS MATERIALIZED (
+  SELECT v.actor, LEAST(p.arr, COALESCE(c.m, 1e18)) AS arr
+  FROM tv v
+  JOIN t{k-1} p ON p.actor = v.actor
+  LEFT JOIN (
+    SELECT tr.d AS actor, MIN(tr.t) AS m
+    FROM tr JOIN t{k-1} q ON q.actor = tr.s
+    WHERE tr.t >= q.arr
+    GROUP BY tr.d) c ON c.actor = v.actor
+)""")
+    parts.append(f"""
+SELECT actor,
+       CASE WHEN arr >= 1e18 THEN NULL
+            ELSE CAST(arr AS BIGINT) END AS arrival_us
+FROM t{steps}
+""")
+    return "".join(parts)
+
+
+SQL_TEMPORAL_REACH = _sql_temporal_reach(6)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5906,6 +5981,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lt_spread": q_lt_spread,
     "lpa_cc_agreement": q_lpa_cc_agreement,
     "khop_counts": q_khop_counts,
+    "temporal_reach": q_temporal_reach,
     **TEXT_QUERIES,
 }
 
@@ -5997,6 +6073,7 @@ _QUERY_PRIORITY: list[str] = [
     "lt_spread",
     "lpa_cc_agreement",
     "khop_counts",
+    "temporal_reach",
     "hill_alpha",
     "heaps_law",
     "fuzzy_decontaminate",
@@ -6234,5 +6311,6 @@ ORACLE_SQL: dict[str, str] = {
     "lt_spread": SQL_LT_SPREAD,
     "lpa_cc_agreement": SQL_LPA_CC_AGREEMENT,
     "khop_counts": SQL_KHOP_COUNTS,
+    "temporal_reach": SQL_TEMPORAL_REACH,
     **TEXT_ORACLE_SQL,
 }
