@@ -5865,6 +5865,137 @@ FROM t{steps}
 SQL_TEMPORAL_REACH = _sql_temporal_reach(6)
 
 
+# Δ for temporal wedge counting: 1 hour in microseconds.
+_WEDGE_DELTA_US = 3_600_000_000
+
+
+def q_temporal_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Δ-restricted temporal 2-paths per middle actor (the smallest
+    temporal motif of Paranjape-Benson-Leskovec WSDM 2017): count
+    ordered transition pairs u→v at t₁, v→w at t₂ with
+    0 < t₂−t₁ ≤ Δ (1 h) — "how often does traffic FLOW THROUGH v
+    within the hour", the temporal-throughput counterpart of static
+    wedge counts.  u = w (returning wedges) counts; it is real
+    throughput.
+
+    All-integer µs arithmetic; the self-join key is the middle actor,
+    exactly the triangle kernel's wedge-enumeration shape — but the Δ
+    window bounds a hub's blow-up by (transition rate × Δ)² instead
+    of degree², which is what makes the count computable at all on a
+    100-TB log (the static analogue needs the hub cap).
+
+    Shape (design-for-100×): ONE equi-join of the timestamped
+    transition table with itself (dst = src) + one range predicate +
+    one map-side-combinable count.  AQE's skew-join split handles a
+    dominant middle actor; at extreme rates pre-bucket by (actor,
+    t div Δ) so each side joins only adjacent time buckets."""
+    from pyspark.sql import Window
+
+    from mesos_pregel_spark.functions.sessions import _us_col
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        _events(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+            F.lead(_us_col()).over(w).alias("t"),
+        )
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    a = tr.select(F.col("dst").alias("mid"), F.col("t").alias("t1"))
+    b = tr.select(F.col("src").alias("mid"), F.col("t").alias("t2"))
+    return (
+        a.join(b, "mid")
+        .where(
+            (F.col("t2") > F.col("t1"))
+            & (F.col("t2") - F.col("t1") <= F.lit(_WEDGE_DELTA_US))
+        )
+        .groupBy(F.col("mid").alias("actor"))
+        .agg(F.count(F.lit(1)).alias("n_wedges"))
+    )
+
+
+SQL_TEMPORAL_WEDGES = f"""
+WITH tr AS MATERIALIZED (
+  SELECT DISTINCT src_actor AS s, dst_actor AS d, t
+  FROM (
+    SELECT event_type AS src_actor,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor,
+           LEAD(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS t
+    FROM events)
+  WHERE dst_actor IS NOT NULL AND src_actor <> dst_actor)
+SELECT a.d AS actor, CAST(COUNT(*) AS BIGINT) AS n_wedges
+FROM tr a JOIN tr b ON a.d = b.s
+WHERE b.t > a.t AND b.t - a.t <= {_WEDGE_DELTA_US}
+GROUP BY a.d
+"""
+
+
+def q_simrank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-micro SimRank pairs over the top-32-degree
+    induced subgraph of the parts co-purchase graph
+    (algos/simrank.py — landmark-bounded, the honest 100-TB form;
+    C = 4/5 as multiply-4 / floor-div-5·d·d so NO floating point
+    exists anywhere in the recurrence)."""
+    from mesos_pregel_spark.algos.simrank import simrank_pairs
+
+    und = _parts_edges(spark, sf_dir).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    )
+    return simrank_pairs(
+        spark, und, top_k=32, iters=3, pair_limit=100
+    ).select(
+        F.col("a").alias("part_a"), F.col("b").alias("part_b"), "sim_micro"
+    )
+
+
+def _sql_simrank(top_k: int = 32, iters: int = 3, limit: int = 100) -> str:
+    parts = [f""",
+top AS MATERIALIZED (
+  SELECT id FROM pdeg ORDER BY deg DESC, id LIMIT {top_k}),
+ind AS MATERIALIZED (
+  SELECT lo, hi FROM und
+  WHERE lo IN (SELECT id FROM top) AND hi IN (SELECT id FROM top)),
+adj AS MATERIALIZED (
+  SELECT lo AS v, hi AS b FROM ind UNION ALL SELECT hi, lo FROM ind),
+ideg AS MATERIALIZED (
+  SELECT v AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY v),
+s0 AS MATERIALIZED (
+  SELECT id AS u, id AS v, CAST(1000000 AS BIGINT) AS s FROM top)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+t{k} AS MATERIALIZED (
+  SELECT p.u AS u, a.b AS b, CAST(SUM(p.s) AS BIGINT) AS t
+  FROM s{k-1} p JOIN adj a ON a.v = p.v GROUP BY p.u, a.b),
+o{k} AS MATERIALIZED (
+  SELECT a, b, s FROM (
+    SELECT g.a, g.b, (4 * g.tot) // (5 * da.deg * db.deg) AS s
+    FROM (
+      SELECT a2.b AS a, t.b AS b, CAST(SUM(t.t) AS BIGINT) AS tot
+      FROM t{k} t JOIN adj a2 ON a2.v = t.u
+      GROUP BY a2.b, t.b) g
+    JOIN ideg da ON da.id = g.a
+    JOIN ideg db ON db.id = g.b
+    WHERE g.a <> g.b)
+  WHERE s > 0),
+s{k} AS MATERIALIZED (
+  SELECT u, v, s FROM s0
+  UNION ALL SELECT a AS u, b AS v, s FROM o{k})""")
+    parts.append(f"""
+SELECT u AS part_a, v AS part_b, s AS sim_micro
+FROM s{iters} WHERE u < v
+ORDER BY s DESC, u, v LIMIT {limit}
+""")
+    return _SQL_PARTS + "".join(parts)
+
+
+SQL_SIMRANK_TOPK = _sql_simrank(32, 3, 100)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5982,6 +6113,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lpa_cc_agreement": q_lpa_cc_agreement,
     "khop_counts": q_khop_counts,
     "temporal_reach": q_temporal_reach,
+    "temporal_wedges": q_temporal_wedges,
+    "simrank_topk": q_simrank_topk,
     **TEXT_QUERIES,
 }
 
@@ -6074,6 +6207,8 @@ _QUERY_PRIORITY: list[str] = [
     "lpa_cc_agreement",
     "khop_counts",
     "temporal_reach",
+    "temporal_wedges",
+    "simrank_topk",
     "hill_alpha",
     "heaps_law",
     "fuzzy_decontaminate",
@@ -6312,5 +6447,7 @@ ORACLE_SQL: dict[str, str] = {
     "lpa_cc_agreement": SQL_LPA_CC_AGREEMENT,
     "khop_counts": SQL_KHOP_COUNTS,
     "temporal_reach": SQL_TEMPORAL_REACH,
+    "temporal_wedges": SQL_TEMPORAL_WEDGES,
+    "simrank_topk": SQL_SIMRANK_TOPK,
     **TEXT_ORACLE_SQL,
 }
