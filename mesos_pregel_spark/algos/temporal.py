@@ -51,11 +51,25 @@ def temporal_reach(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
     edge_partitions: int | None = None,
+    prev_arrivals: DataFrame | None = None,
+    delta_transitions: DataFrame | None = None,
 ) -> tuple[DataFrame, PregelRun]:
     """Earliest time-respecting arrival from ``seed`` over
     ``transitions`` (src, dst, t — epoch-µs).  Returns
     (reach(id, arrival_us), run) — arrival_us null where no
-    time-respecting path exists within the superstep budget."""
+    time-respecting path exists within the superstep budget.
+
+    WARM START (additions-only, same seed): ``prev_arrivals``
+    (id, arrival_us) from an earlier run on a SUBSET of
+    ``transitions`` seeds the state — valid because every previous
+    finite arrival is an actual time-respecting path in the superset,
+    and min-relaxation from any realizable upper bound converges to
+    the same least fixpoint; adding transitions can only make
+    arrivals earlier.  ``delta_transitions`` (the transitions new
+    since the previous run) shrinks the initial frontier to the
+    delta's SOURCE vertices — old transitions were already at
+    fixpoint against the previous arrivals, so only new departures
+    can start an improvement."""
 
     def prep(e: DataFrame) -> DataFrame:
         return (
@@ -71,10 +85,31 @@ def temporal_reach(
             .distinct()
         )
         seeded = F.col("id") == F.lit(seed)
-        return vertices.select(
-            "id",
-            F.when(seeded, F.lit(0.0)).otherwise(F.lit(_INF)).alias("arr"),
-            seeded.alias("changed"),
+        cold = F.when(seeded, F.lit(0.0)).otherwise(F.lit(_INF))
+        if prev_arrivals is None:
+            return vertices.select(
+                "id", cold.alias("arr"), seeded.alias("changed")
+            )
+        prev = prev_arrivals.select(
+            "id", F.col("arrival_us").cast("double").alias("warm")
+        )
+        arr = F.least(cold, F.coalesce(F.col("warm"), F.lit(_INF)))
+        if delta_transitions is None:
+            # no delta info: every finitely-reached vertex re-sends once
+            changed = arr < F.lit(_INF)
+        else:
+            dsrc = (
+                delta_transitions.where(F.col("src") != F.col("dst"))
+                .select(F.col("src").alias("id"))
+                .distinct()
+                .withColumn("in_delta", F.lit(True))
+            )
+            vertices = vertices.join(dsrc, "id", "left_outer")
+            changed = F.coalesce("in_delta", F.lit(False)) & (
+                arr < F.lit(_INF)
+            )
+        return vertices.join(prev, "id", "left_outer").select(
+            "id", arr.alias("arr"), changed.alias("changed")
         )
 
     def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:

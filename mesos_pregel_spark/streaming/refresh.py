@@ -681,3 +681,30 @@ def community_apply_delta(
     )
     return {"und": new_und, "deg": new_deg, "labels": new_lab,
             "e_in": new_e_in, "m": m_new}
+
+
+def warm_temporal_reach(
+    spark: SparkSession,
+    transitions: DataFrame,
+    seed,
+    prev_arrivals: DataFrame | None,
+    delta_transitions: DataFrame | None = None,
+    **kwargs,
+) -> tuple[DataFrame, PregelRun]:
+    """Earliest time-respecting arrival over ``transitions``
+    warm-started from ``prev_arrivals`` (id, arrival_us) of an earlier
+    run on a transition SUBSET (additions-only, same seed — see
+    algos/temporal.py).  ``delta_transitions`` shrinks the initial
+    frontier to the new departures' source vertices.  Arrivals are
+    EXACTLY the cold run's fixpoint (min-relaxation from realizable
+    upper bounds; adding transitions only ever makes arrivals
+    earlier), in supersteps that scale with how far the delta's
+    improvements propagate instead of the temporal diameter."""
+    from mesos_pregel_spark.algos.temporal import temporal_reach
+
+    return temporal_reach(
+        spark, transitions, seed,
+        prev_arrivals=prev_arrivals,
+        delta_transitions=delta_transitions,
+        **kwargs,
+    )

@@ -94,3 +94,55 @@ def test_temporal_reach_capped_equals_deep_cap(spark):
     b, _ = temporal_reach(spark, _df(spark, transitions), 0,
                           max_supersteps=25, edge_partitions=3)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_warm_temporal_reach_matches_cold(spark):
+    """Additions-only warm start: run on the first batch, add a delta
+    that opens earlier paths AND reaches new vertices, warm-refresh,
+    compare against a cold run on the union — exact equality, fewer
+    supersteps than the cold run."""
+    from mesos_pregel_spark.streaming.refresh import warm_temporal_reach
+
+    batch1 = [(0, 1, 100), (1, 2, 200), (2, 3, 300), (0, 4, 500)]
+    delta = [(0, 2, 150), (3, 5, 400), (4, 6, 600)]
+    prev, _ = temporal_reach(spark, _df(spark, batch1), 0,
+                             max_supersteps=10, edge_partitions=2)
+    union = _df(spark, batch1 + delta, parts=3)
+    warm, run_warm = warm_temporal_reach(
+        spark, union, 0, prev, delta_transitions=_df(spark, delta),
+        max_supersteps=10, edge_partitions=3,
+    )
+    cold, run_cold = temporal_reach(spark, union, 0,
+                                    max_supersteps=10, edge_partitions=2)
+    assert sorted(map(tuple, warm.collect())) == \
+        sorted(map(tuple, cold.collect()))
+    assert len(run_warm.metrics) <= len(run_cold.metrics)
+
+
+def test_warm_temporal_reach_no_prev_is_cold(spark):
+    from mesos_pregel_spark.streaming.refresh import warm_temporal_reach
+
+    tr = [(0, 1, 10), (1, 2, 20)]
+    a, _ = warm_temporal_reach(spark, _df(spark, tr), 0, None,
+                               max_supersteps=6, edge_partitions=2)
+    b, _ = temporal_reach(spark, _df(spark, tr), 0,
+                          max_supersteps=6, edge_partitions=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_warm_temporal_reach_no_delta_frontier(spark):
+    """Without delta info every finitely-reached vertex re-sends once;
+    the refresh still lands exactly on the cold fixpoint."""
+    from mesos_pregel_spark.streaming.refresh import warm_temporal_reach
+
+    batch1 = [(0, 1, 100), (1, 2, 200)]
+    delta = [(2, 3, 250), (0, 3, 90)]
+    prev, _ = temporal_reach(spark, _df(spark, batch1), 0,
+                             max_supersteps=10, edge_partitions=2)
+    union = _df(spark, batch1 + delta)
+    warm, _ = warm_temporal_reach(spark, union, 0, prev,
+                                  max_supersteps=10, edge_partitions=2)
+    cold, _ = temporal_reach(spark, union, 0,
+                             max_supersteps=10, edge_partitions=2)
+    assert sorted(map(tuple, warm.collect())) == \
+        sorted(map(tuple, cold.collect()))
