@@ -70,11 +70,12 @@ def simrank_pairs(
     ideg = adj.groupBy(F.col("v").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
-    s = top.select(
+    diag = top.select(
         F.col("id").alias("u"),
         F.col("id").alias("v"),
         F.lit(SCALE).cast("long").alias("s"),
     )
+    s = diag
     for _ in range(iters):
         # hop 1: T(u, nb) = Σ_{v ∈ N(nb)} s(u, v)
         hop1 = adj.select(F.col("v").alias("h1v"), F.col("b").alias("nb"))
@@ -98,11 +99,6 @@ def simrank_pairs(
                 F.expr("(4 * tot) div (5 * da * db)").cast("long").alias("s"),
             )
             .where(F.col("s") > 0)
-        )
-        diag = top.select(
-            F.col("id").alias("u"),
-            F.col("id").alias("v"),
-            F.lit(SCALE).cast("long").alias("s"),
         )
         s = diag.unionByName(off)
     return (

@@ -67,9 +67,16 @@ def temporal_reach(
     the same least fixpoint; adding transitions can only make
     arrivals earlier.  ``delta_transitions`` (the transitions new
     since the previous run) shrinks the initial frontier to the
-    delta's SOURCE vertices — old transitions were already at
-    fixpoint against the previous arrivals, so only new departures
-    can start an improvement."""
+    delta's SOURCE vertices.
+
+    PRECONDITION for the delta frontier: the previous run must have
+    CONVERGED (``run.converged``) — the frontier shrink rests on "old
+    transitions were already at fixpoint against the previous
+    arrivals", which a superstep-capped prev violates (its
+    interrupted propagation would never resume; pinned by
+    tests/test_temporal.py).  Pass ``delta_transitions=None`` for a
+    capped prev: the full finite frontier re-sends once, which
+    repairs any upper bound."""
 
     def prep(e: DataFrame) -> DataFrame:
         return (

@@ -5751,7 +5751,10 @@ def q_khop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     global neighbourhood function, computed by the k-lane Bellman-Ford
     kernel (algos/landmarks.py) over UNIT weights so distances are hop
     counts.  One row per (lane, hop): how many vertices sit exactly
-    ``hop`` transitions from sorted-order source ``lane``."""
+    ``hop`` transitions from sorted-order source ``lane``.  Iteration
+    budget pinned 60 = the twin's recursion cap (hop ≤ 60 on BOTH
+    sides — k supersteps relax paths of ≤ k edges; asymmetric caps
+    would diverge on a >60-hop substrate)."""
     from mesos_pregel_spark.algos.landmarks import landmark_distances
 
     e = _graph_edges(spark, sf_dir).withColumn("weight", F.lit(1.0))
@@ -5759,7 +5762,9 @@ def q_khop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["src"]
         for r in e.select("src").distinct().orderBy("src").limit(3).collect()
     ]
-    dists, _run = landmark_distances(spark, e, lms, edge_partitions=8)
+    dists, _run = landmark_distances(
+        spark, e, lms, max_supersteps=60, edge_partitions=8
+    )
     lanes = None
     for i in range(len(lms)):
         part = dists.where(F.col(f"d{i}").isNotNull()).select(
@@ -5790,19 +5795,20 @@ FROM md GROUP BY lane, hop
 """
 
 
-def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Earliest time-respecting arrival from the smallest actor over
-    TIMESTAMPED transitions (algos/temporal.py — foremost-path
-    semantics: u→v→w counts only if the v→w transition happens after
-    arrival at v).  6-round budget; monotone ⇒ capped ≡ unrolled.
-    Transition time = the destination event's epoch-µs (NTZ-safe)."""
+def _temporal_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamped transition substrate shared by the temporal family
+    (temporal_reach / temporal_wedges): per-user consecutive events,
+    t = the DESTINATION event's epoch-µs (NTZ-safe, _us_col), self-
+    transitions dropped.  Per-occurrence timestamps are the point —
+    this substrate is never collapsed to weights.  ONE definition,
+    mirrored by _sql_transitions_cte, so the temporal twins cannot
+    desynchronize."""
     from pyspark.sql import Window
 
-    from mesos_pregel_spark.algos.temporal import temporal_reach
     from mesos_pregel_spark.functions.sessions import _us_col
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tr = (
+    return (
         _events(spark, sf_dir)
         .select(
             F.col("event_type").alias("src"),
@@ -5811,6 +5817,38 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
     )
+
+
+_SQL_TRANSITIONS_INNER = """
+    SELECT event_type AS src_actor,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor,
+           LEAD(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS t
+    FROM events"""
+
+
+def _sql_transitions_cte(cast_double: bool) -> str:
+    """The DuckDB twin of _temporal_transitions as a WITH prefix
+    (deduped on (s, d, t); temporal_reach casts t to DOUBLE to mirror
+    the engine kernel's state type)."""
+    tcol = "CAST(t AS DOUBLE) AS t" if cast_double else "t"
+    return f"""
+WITH tr AS MATERIALIZED (
+  SELECT DISTINCT src_actor AS s, dst_actor AS d, {tcol}
+  FROM ({_SQL_TRANSITIONS_INNER})
+  WHERE dst_actor IS NOT NULL AND src_actor <> dst_actor)"""
+
+
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest time-respecting arrival from the smallest actor over
+    TIMESTAMPED transitions (algos/temporal.py — foremost-path
+    semantics: u→v→w counts only if the v→w transition happens after
+    arrival at v).  6-round budget; monotone ⇒ capped ≡ unrolled.
+    Transition time = the destination event's epoch-µs (NTZ-safe)."""
+    from mesos_pregel_spark.algos.temporal import temporal_reach
+
+    tr = _temporal_transitions(spark, sf_dir)
     seed = tr.agg(F.least(F.min("src"), F.min("dst"))).collect()[0][0]
     reach, _run = temporal_reach(
         spark, tr, seed, max_supersteps=6, edge_partitions=8
@@ -5822,17 +5860,7 @@ def _sql_temporal_reach(steps: int = 6) -> str:
     """Unrolled earliest-arrival relaxation.  Self-contained (does not
     reuse _SQL_EDGES — the temporal substrate keeps per-transition
     timestamps instead of collapsing to weights)."""
-    parts = ["""
-WITH tr AS MATERIALIZED (
-  SELECT DISTINCT src_actor AS s, dst_actor AS d, CAST(t AS DOUBLE) AS t
-  FROM (
-    SELECT event_type AS src_actor,
-           LEAD(event_type) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor,
-           LEAD(epoch_us(ts)) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id) AS t
-    FROM events)
-  WHERE dst_actor IS NOT NULL AND src_actor <> dst_actor),
+    parts = [_sql_transitions_cte(cast_double=True), """,
 tv AS MATERIALIZED (
   SELECT DISTINCT a AS actor FROM (
     SELECT s AS a FROM tr UNION ALL SELECT d FROM tr)),
@@ -5889,21 +5917,7 @@ def q_temporal_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combinable count.  AQE's skew-join split handles a
     dominant middle actor; at extreme rates pre-bucket by (actor,
     t div Δ) so each side joins only adjacent time buckets."""
-    from pyspark.sql import Window
-
-    from mesos_pregel_spark.functions.sessions import _us_col
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tr = (
-        _events(spark, sf_dir)
-        .select(
-            F.col("event_type").alias("src"),
-            F.lead("event_type").over(w).alias("dst"),
-            F.lead(_us_col()).over(w).alias("t"),
-        )
-        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    tr = _temporal_transitions(spark, sf_dir).distinct()
     a = tr.select(F.col("dst").alias("mid"), F.col("t").alias("t1"))
     b = tr.select(F.col("src").alias("mid"), F.col("t").alias("t2"))
     return (
@@ -5917,17 +5931,7 @@ def q_temporal_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TEMPORAL_WEDGES = f"""
-WITH tr AS MATERIALIZED (
-  SELECT DISTINCT src_actor AS s, dst_actor AS d, t
-  FROM (
-    SELECT event_type AS src_actor,
-           LEAD(event_type) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id) AS dst_actor,
-           LEAD(epoch_us(ts)) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id) AS t
-    FROM events)
-  WHERE dst_actor IS NOT NULL AND src_actor <> dst_actor)
+SQL_TEMPORAL_WEDGES = _sql_transitions_cte(cast_double=False) + f"""
 SELECT a.d AS actor, CAST(COUNT(*) AS BIGINT) AS n_wedges
 FROM tr a JOIN tr b ON a.d = b.s
 WHERE b.t > a.t AND b.t - a.t <= {_WEDGE_DELTA_US}

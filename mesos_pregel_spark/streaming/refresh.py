@@ -689,6 +689,7 @@ def warm_temporal_reach(
     seed,
     prev_arrivals: DataFrame | None,
     delta_transitions: DataFrame | None = None,
+    prev_converged: bool = True,
     **kwargs,
 ) -> tuple[DataFrame, PregelRun]:
     """Earliest time-respecting arrival over ``transitions``
@@ -699,12 +700,23 @@ def warm_temporal_reach(
     EXACTLY the cold run's fixpoint (min-relaxation from realizable
     upper bounds; adding transitions only ever makes arrivals
     earlier), in supersteps that scale with how far the delta's
-    improvements propagate instead of the temporal diameter."""
+    improvements propagate instead of the temporal diameter.
+
+    ``prev_converged``: pass whether the previous run reached its
+    fixpoint — ``run.metrics[-1]["active"] == 0`` (temporal_reach is
+    bounded-iteration, so hitting the cap mid-frontier is a normal
+    return, not an error; this flag is how the caller tells the two
+    apart).  The delta-frontier shrink is sound ONLY for a converged
+    prev (a
+    capped run's interrupted propagation must be resumed by a full
+    finite-frontier first round); when False the delta is ignored and
+    every finitely-reached vertex re-sends once — still exact, one
+    extra full round."""
     from mesos_pregel_spark.algos.temporal import temporal_reach
 
     return temporal_reach(
         spark, transitions, seed,
         prev_arrivals=prev_arrivals,
-        delta_transitions=delta_transitions,
+        delta_transitions=delta_transitions if prev_converged else None,
         **kwargs,
     )

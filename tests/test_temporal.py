@@ -146,3 +146,31 @@ def test_warm_temporal_reach_no_delta_frontier(spark):
                              max_supersteps=10, edge_partitions=2)
     assert sorted(map(tuple, warm.collect())) == \
         sorted(map(tuple, cold.collect()))
+
+
+def test_warm_temporal_reach_capped_prev_needs_full_frontier(spark):
+    """Regression (r5 self-review finding): the delta-source frontier
+    is sound ONLY for a converged prev.  With a capped prev the
+    wrapper's prev_converged=False must fall back to the full finite
+    frontier and still land exactly on the cold fixpoint (the naive
+    delta frontier would leave the interrupted old-chain propagation
+    dead and return stale arrivals)."""
+    from mesos_pregel_spark.streaming.refresh import warm_temporal_reach
+
+    chain = [(i, i + 1, (i + 1) * 10) for i in range(8)]  # 0→1→…→8
+    delta = [(0, 9, 5)]
+    # capped BEFORE the fixpoint: vertices 5..8 still unreached
+    prev, run_prev = temporal_reach(spark, _df(spark, chain), 0,
+                                    max_supersteps=4, edge_partitions=2)
+    prev_at_fixpoint = run_prev.metrics[-1]["active"] == 0
+    assert not prev_at_fixpoint  # the frontier was still moving
+    union = _df(spark, chain + delta)
+    warm, _ = warm_temporal_reach(
+        spark, union, 0, prev, delta_transitions=_df(spark, delta),
+        prev_converged=prev_at_fixpoint,
+        max_supersteps=20, edge_partitions=2,
+    )
+    cold, _ = temporal_reach(spark, union, 0,
+                             max_supersteps=20, edge_partitions=2)
+    assert sorted(map(tuple, warm.collect())) == \
+        sorted(map(tuple, cold.collect()))
