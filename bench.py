@@ -1333,6 +1333,52 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         detail["multilevel_coarse_edges"] = n_coarse
         detail["multilevel_compression"] = round(n_super / n_fine, 3)
 
+    if on("temporal_reach"):
+        # Time-respecting earliest arrival over the bench multigraph
+        # with deterministic pseudo-timestamps (xxhash64 over a fixed
+        # 10^9-µs window), then a warm refresh after a 0.1% delta
+        # batch — the cold kernel AND the streaming warm path at
+        # bench scale.
+        from mesos_pregel_spark.algos.temporal import temporal_reach
+        from mesos_pregel_spark.streaming.refresh import warm_temporal_reach
+
+        tre = g.select(
+            "src", "dst",
+            (F.abs(F.xxhash64("src", "dst", F.lit(7)))
+             % F.lit(1_000_000_000)).alias("t"),
+        )
+        seed0 = tre.agg(F.min("src")).collect()[0][0]
+        t = time.monotonic()
+        reach, trun = temporal_reach(
+            spark, tre, seed0, max_supersteps=12, edge_partitions=nparts)
+        n_reached = reach.where(F.col("arrival_us").isNotNull()).count()
+        cold_sec = time.monotonic() - t
+        at_fixpoint = trun.metrics[-1]["active"] == 0
+
+        delta = g.where(
+            F.abs(F.xxhash64("src", "dst", F.lit(13))) % 1000 == 0
+        ).select(
+            "src", "dst",
+            (F.abs(F.xxhash64("src", "dst", F.lit(29)))
+             % F.lit(1_000_000_000)).alias("t"),
+        )
+        t = time.monotonic()
+        warm, _ = warm_temporal_reach(
+            spark, tre.unionByName(delta), seed0, reach,
+            delta_transitions=delta, prev_converged=at_fixpoint,
+            max_supersteps=12, edge_partitions=nparts,
+        )
+        n_warm = warm.where(F.col("arrival_us").isNotNull()).count()
+        warm_sec = time.monotonic() - t
+        queries["temporal_reach"] = round(cold_sec + warm_sec, 3)
+        throughput["temporal_reach_edges_per_sec"] = round(
+            g_edges * len(trun.metrics) / cold_sec)
+        detail["temporal_reach_cold_sec"] = round(cold_sec, 3)
+        detail["temporal_reach_warm_sec"] = round(warm_sec, 3)
+        detail["temporal_reach_reached"] = n_reached
+        detail["temporal_reach_warm_reached"] = n_warm
+        detail["temporal_reach_cold_at_fixpoint"] = at_fixpoint
+
     spark_probe_end = spark_probe(spark)
     spark.stop()
     cpu_mops_end = cpu_probe()
