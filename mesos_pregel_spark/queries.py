@@ -6000,6 +6000,98 @@ ORDER BY s DESC, u, v LIMIT {limit}
 SQL_SIMRANK_TOPK = _sql_simrank(32, 3, 100)
 
 
+def q_next_actor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-actor next-hop predictability: the modal next actor and its
+    transition share — "how deterministic is the workflow after v".
+    Argmax = ROW_NUMBER over (weight DESC, dst ASC): weight is an
+    exact integer-valued double and dst a string, so the pick is
+    deterministic cross-engine; share is ONE division rounded 9dp.
+    Shape: one hash aggregate (out-weights) + one per-src window over
+    out-degree-bounded groups — never corpus-wide."""
+    e = events_edges(spark, sf_dir)
+    from pyspark.sql import Window
+
+    ow = e.groupBy("src_actor").agg(F.sum("weight").alias("ow"))
+    w = Window.partitionBy("src_actor").orderBy(
+        F.desc("weight"), F.asc("dst_actor")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(ow, "src_actor")
+        .select(
+            F.col("src_actor").alias("actor"),
+            F.col("dst_actor").alias("next_actor"),
+            F.col("weight").cast("long").alias("n"),
+            F.round(F.col("weight") / F.col("ow"), 9).alias("share"),
+        )
+    )
+
+
+SQL_NEXT_ACTOR = _SQL_EDGES + """
+, ow AS (SELECT src_actor, SUM(weight) AS ow FROM edges GROUP BY src_actor),
+rk AS (
+  SELECT src_actor, dst_actor, weight,
+         ROW_NUMBER() OVER (
+           PARTITION BY src_actor
+           ORDER BY weight DESC, dst_actor ASC) AS rn
+  FROM edges)
+SELECT r.src_actor AS actor, r.dst_actor AS next_actor,
+       CAST(r.weight AS BIGINT) AS n,
+       ROUND(r.weight / ow.ow, 9) AS share
+FROM rk r JOIN ow ON ow.src_actor = r.src_actor
+WHERE r.rn = 1
+"""
+
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the transition process, out-weight-mixed:
+    H = Σ_edges w·ln(outw/w) / W nats per transition — the one-number
+    "how predictable is the whole workflow" next to next_actor's
+    per-vertex argmax and turn_entropy's per-conversation profile.
+
+    Determinism contract (the source_kl/unigram discipline): each
+    edge's w·ln(outw/w) snaps to an exact BIGINT micro-nat BEFORE the
+    corpus sum (order-independent under any partitioning; ln sees a
+    bit-identical double in both engines); the reported rate is an
+    exact integer FLOOR division in nano-nats — zero FP in any
+    aggregate or output."""
+    e = events_edges(spark, sf_dir)
+    ow = e.groupBy("src_actor").agg(F.sum("weight").alias("ow"))
+    terms = e.join(ow, "src_actor").select(
+        "weight",
+        F.round(
+            F.col("weight") * F.log(F.col("ow") / F.col("weight")) * 1e6
+        ).cast("long").alias("h_micro"),
+    )
+    return terms.agg(
+        F.sum("weight").cast("long").alias("n_transitions"),
+        F.sum("h_micro").cast("long").alias("entropy_micro"),
+    ).select(
+        "n_transitions",
+        "entropy_micro",
+        F.expr("(entropy_micro * 1000) div n_transitions")
+        .alias("rate_nano"),
+    )
+
+
+SQL_TRANSITION_ENTROPY = _SQL_EDGES + """
+, ow AS (SELECT src_actor, SUM(weight) AS ow FROM edges GROUP BY src_actor),
+terms AS (
+  SELECT e.weight,
+         CAST(ROUND(e.weight * ln(ow.ow / e.weight) * 1000000)
+              AS BIGINT) AS h_micro
+  FROM edges e JOIN ow ON ow.src_actor = e.src_actor),
+agg AS (
+  SELECT CAST(SUM(weight) AS BIGINT) AS n_transitions,
+         CAST(SUM(h_micro) AS BIGINT) AS entropy_micro
+  FROM terms)
+SELECT n_transitions, entropy_micro,
+       (entropy_micro * 1000) // n_transitions AS rate_nano
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6119,6 +6211,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_reach": q_temporal_reach,
     "temporal_wedges": q_temporal_wedges,
     "simrank_topk": q_simrank_topk,
+    "next_actor": q_next_actor,
+    "transition_entropy": q_transition_entropy,
     **TEXT_QUERIES,
 }
 
@@ -6213,6 +6307,8 @@ _QUERY_PRIORITY: list[str] = [
     "temporal_reach",
     "temporal_wedges",
     "simrank_topk",
+    "next_actor",
+    "transition_entropy",
     "hill_alpha",
     "heaps_law",
     "fuzzy_decontaminate",
@@ -6453,5 +6549,7 @@ ORACLE_SQL: dict[str, str] = {
     "temporal_reach": SQL_TEMPORAL_REACH,
     "temporal_wedges": SQL_TEMPORAL_WEDGES,
     "simrank_topk": SQL_SIMRANK_TOPK,
+    "next_actor": SQL_NEXT_ACTOR,
+    "transition_entropy": SQL_TRANSITION_ENTROPY,
     **TEXT_ORACLE_SQL,
 }
