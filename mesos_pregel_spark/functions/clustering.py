@@ -53,9 +53,13 @@ def kmeans(
     embeddings: DataFrame,
     k: int = 8,
     iters: int = 3,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Train deterministic k-means and return the final assignment:
-    (vec_id, cell, dist2).  ``cell`` is the seed vector's vec_id."""
+    (vec_id, cell, dist2).  ``cell`` is the seed vector's vec_id.
+    With ``return_centroids`` also returns the trained {cell:
+    [double, ...]} codebook (PQ and ADC consumers need the vectors,
+    not just the assignment)."""
     emb = embeddings.select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
@@ -99,6 +103,8 @@ def kmeans(
 
     out = assign().select("vec_id", "cell", "dist2").localCheckpoint()
     emb.unpersist()
+    if return_centroids:
+        return out, cents
     return out
 
 
@@ -180,4 +186,78 @@ def kmeanspp_seeds(
     return spark.createDataFrame(
         [(r + 1, sid, d) for r, (sid, _v, d) in enumerate(seeds)],
         "rank int, vec_id long, sep_dist2 double",
+    )
+
+
+def pq_adc_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """Product quantization with asymmetric-distance top-k (Jégou-
+    Douze-Schmid TPAMI 2011 — the codebook ANN path beside flat /
+    LSH / IVF): the vector splits into two subspaces, each trained
+    with the deterministic k-means above (k codewords, smallest-
+    vec_id seeding), every vector encodes as two cell ids, and a
+    query ranks the corpus by the ADC estimate
+    Σ_s d²(query_sub_s, codeword[code_s]) — a per-vector LOOKUP of
+    two precomputed distances instead of a D-dim scan.
+
+    Query = the smallest vec_id (the cosine-stack convention).
+    Determinism: codebooks are the audited kmeans recipe (6dp-rounded
+    centroids/distances, (d2, cell) argmin); the per-cell ADC entries
+    are the same ROUND(squared-L2, 6) fold; the final estimate is ONE
+    addition of two 6dp doubles rounded once more.
+
+    Scale shape (design-for-100×): training touches the corpus
+    2·iters times (k literal-centroid folds per pass, the kmeans
+    shape); encode is the same fold once; serving is two broadcast
+    hash-joins against k-row ADC tables and a TakeOrdered —
+    the corpus is never shuffled, and the 10⁹-vector regime stores
+    two SMALLINT codes per vector instead of D floats (the entire
+    point of PQ)."""
+    from mesos_pregel_spark.functions.clustering import kmeans
+
+    emb = embeddings.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    dim = len(first["e"])
+    half = dim // 2
+    qid = first["vec_id"]
+    q0 = list(first["e"][:half])
+    q1 = list(first["e"][half:])
+
+    sub0 = emb.select("vec_id", F.slice("e", 1, half).alias("embedding"))
+    sub1 = emb.select(
+        "vec_id", F.slice("e", half + 1, dim - half).alias("embedding")
+    )
+    a0, c0 = kmeans(spark, sub0, k=k, iters=iters, return_centroids=True)
+    a1, c1 = kmeans(spark, sub1, k=k, iters=iters, return_centroids=True)
+
+    def adc_table(cents: dict, qsub: list) -> DataFrame:
+        rows = [(int(cell), list(map(float, vec)))
+                for cell, vec in sorted(cents.items())]
+        cdf = spark.createDataFrame(rows, "cell long, cv array<double>")
+        return cdf.select("cell", _dist2(F.col("cv"), qsub).alias("d"))
+
+    adc0 = adc_table(c0, q0)
+    adc1 = adc_table(c1, q1)
+    codes = (
+        a0.select("vec_id", F.col("cell").alias("k0"))
+        .join(a1.select("vec_id", F.col("cell").alias("k1")), "vec_id")
+    )
+    return (
+        codes.join(F.broadcast(adc0.withColumnRenamed("cell", "k0")
+                               .withColumnRenamed("d", "d0")), "k0")
+        .join(F.broadcast(adc1.withColumnRenamed("cell", "k1")
+                          .withColumnRenamed("d", "d1")), "k1")
+        .select(
+            "vec_id", F.round(F.col("d0") + F.col("d1"), 6).alias("adc")
+        )
+        .orderBy("adc", "vec_id")
+        .limit(topk)
     )

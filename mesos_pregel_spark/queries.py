@@ -6309,6 +6309,7 @@ _QUERY_PRIORITY: list[str] = [
     "simrank_topk",
     "next_actor",
     "transition_entropy",
+    "pq_adc_topk",
     "hill_alpha",
     "heaps_law",
     "fuzzy_decontaminate",

@@ -72,6 +72,7 @@ from mesos_pregel_spark.functions.text import (
 )
 from mesos_pregel_spark.sources.multimodal import decode_features, synthesize_media
 from mesos_pregel_spark.functions.clustering import (
+    pq_adc_topk,
     cluster_balanced_sample,
     kmeans,
     kmeanspp_seeds,
@@ -2008,6 +2009,75 @@ seeds{j} AS (
 
 SQL_KMEANSPP_SEEDS = _sql_kmeanspp()
 
+def _sql_pq(k: int = 4, iters: int = 2, topk: int = 10) -> str:
+    """Product-quantization ADC twin: two per-subspace kmeans chains
+    (the SQL_KMEANS recipe re-sourced onto sliced vectors), the final
+    code assignment per subspace, a k-row ADC table per subspace
+    against the smallest-vec_id query, and the lookup-sum top-k."""
+    d2 = ("ROUND(list_sum(list_transform(list_zip(e.v, c.c), "
+          "x -> (x[1] - x[2]) * (x[1] - x[2]))), 6)")
+
+    def chain(tag: str, src: str) -> str:
+        s = f""",
+{tag}c0 AS (SELECT vec_id AS cell, v AS c FROM {src} ORDER BY vec_id LIMIT {k})"""
+        for t in range(1, iters + 1):
+            s += f""",
+{tag}a{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM {src} e, {tag}c{t-1} c) WHERE rn = 1
+),
+{tag}u{t} AS (
+  SELECT cell, list(cm ORDER BY dim) AS c FROM (
+    SELECT cell, dim, ROUND(AVG(val), 6) AS cm FROM (
+      SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+      FROM {tag}a{t})
+    GROUP BY cell, dim)
+  GROUP BY cell
+),
+{tag}c{t} AS (
+  SELECT p.cell, COALESCE(n.c, p.c) AS c
+  FROM {tag}c{t-1} p LEFT JOIN {tag}u{t} n ON n.cell = p.cell
+)"""
+        s += f""",
+{tag}code AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM {src} e, {tag}c{iters} c) WHERE rn = 1
+),
+{tag}adc AS (
+  SELECT c.cell,
+         ROUND(list_sum(list_transform(list_zip(c.c, q.v),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS d
+  FROM {tag}c{iters} c,
+       (SELECT v FROM {src}
+        WHERE vec_id = (SELECT MIN(vec_id) FROM e)) q
+)"""
+        return s
+
+    head = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e0 AS (SELECT vec_id, v[1 : len(v) // 2] AS v FROM e),
+e1 AS (SELECT vec_id, v[len(v) // 2 + 1 : len(v)] AS v FROM e)"""
+    tail = f""",
+est AS (
+  SELECT a.vec_id, ROUND(d0.d + d1.d, 6) AS adc
+  FROM p0code a
+  JOIN p1code b ON b.vec_id = a.vec_id
+  JOIN p0adc d0 ON d0.cell = a.cell
+  JOIN p1adc d1 ON d1.cell = b.cell)
+SELECT vec_id, adc FROM est ORDER BY adc ASC, vec_id ASC LIMIT {topk}
+"""
+    return head + chain("p0", "e0") + chain("p1", "e1") + tail
+
+
+SQL_PQ_ADC_TOPK = _sql_pq()
+
+
 
 def _packing_report(spark: SparkSession, sf_dir: str,
                     chunk_tokens: int = 512) -> DataFrame:
@@ -2321,6 +2391,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans": lambda s, d: kmeans(
         s, _emb(s, d), k=_KMEANS_K, iters=_KMEANS_ITERS),
     "kmeanspp_seeds": lambda s, d: kmeanspp_seeds(s, _emb(s, d), k=_KPP_K),
+    "pq_adc_topk": lambda s, d: pq_adc_topk(s, _emb(s, d)),
     # Arrow/mapInPandas multimodal feature plumbing — exact oracle since
     # round 4 (synthetic payload bytes are SQL-recomputable from the md5
     # hex pair; kernel stats are float64-exact)
@@ -2381,6 +2452,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "simhash_candidates": SQL_SIMHASH_CANDIDATES,
     "kmeanspp_seeds": SQL_KMEANSPP_SEEDS,
+    "pq_adc_topk": SQL_PQ_ADC_TOPK,
     "corpus_clean": SQL_CORPUS_CLEAN,
     "cosine_scores": SQL_COSINE_SCORES,
     "cosine_topk": SQL_COSINE_TOPK,
