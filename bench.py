@@ -1347,6 +1347,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             (F.abs(F.xxhash64("src", "dst", F.lit(7)))
              % F.lit(1_000_000_000)).alias("t"),
         )
+        # t is a pure function of (src, dst), so the kernel's prep
+        # collapses the multigraph — throughput must divide the
+        # DISTINCT transition count, not g_edges (the pagerank
+        # distinct-edges convention)
+        n_tr = tre.where(F.col("src") != F.col("dst")).distinct().count()
         seed0 = tre.agg(F.min("src")).collect()[0][0]
         t = time.monotonic()
         reach, trun = temporal_reach(
@@ -1372,7 +1377,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         warm_sec = time.monotonic() - t
         queries["temporal_reach"] = round(cold_sec + warm_sec, 3)
         throughput["temporal_reach_edges_per_sec"] = round(
-            g_edges * len(trun.metrics) / cold_sec)
+            n_tr * len(trun.metrics) / cold_sec)
+        detail["temporal_reach_distinct_transitions"] = n_tr
         detail["temporal_reach_cold_sec"] = round(cold_sec, 3)
         detail["temporal_reach_warm_sec"] = round(warm_sec, 3)
         detail["temporal_reach_reached"] = n_reached

@@ -54,7 +54,7 @@ def kmeans(
     k: int = 8,
     iters: int = 3,
     return_centroids: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, dict]":
     """Train deterministic k-means and return the final assignment:
     (vec_id, cell, dist2).  ``cell`` is the seed vector's vec_id.
     With ``return_centroids`` also returns the trained {cell:
@@ -213,21 +213,20 @@ def pq_adc_topk(
 
     Scale shape (design-for-100×): training touches the corpus
     2·iters times (k literal-centroid folds per pass, the kmeans
-    shape); encode is the same fold once; serving is two broadcast
-    hash-joins against k-row ADC tables and a TakeOrdered —
-    the corpus is never shuffled, and the 10⁹-vector regime stores
-    two SMALLINT codes per vector instead of D floats (the entire
-    point of PQ)."""
-    from mesos_pregel_spark.functions.clustering import kmeans
-
+    shape); ENCODE + ADC is ONE projection over the corpus — both
+    codebooks are driver-side literal dicts, so each vector's two
+    codes AND their ADC lookups evaluate as fused literal expressions
+    in the same whole-stage-codegen pass (no corpus-side join, no
+    shuffle of the vector table at any point) + a TakeOrdered; the
+    10⁹-vector regime stores two SMALLINT codes per vector instead of
+    D floats (the entire point of PQ)."""
     emb = embeddings.select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
-    )
+    ).persist()
     first = emb.orderBy("vec_id").limit(1).collect()[0]
     dim = len(first["e"])
     half = dim // 2
-    qid = first["vec_id"]
     q0 = list(first["e"][:half])
     q1 = list(first["e"][half:])
 
@@ -235,29 +234,54 @@ def pq_adc_topk(
     sub1 = emb.select(
         "vec_id", F.slice("e", half + 1, dim - half).alias("embedding")
     )
-    a0, c0 = kmeans(spark, sub0, k=k, iters=iters, return_centroids=True)
-    a1, c1 = kmeans(spark, sub1, k=k, iters=iters, return_centroids=True)
+    _a0, c0 = kmeans(spark, sub0, k=k, iters=iters, return_centroids=True)
+    _a1, c1 = kmeans(spark, sub1, k=k, iters=iters, return_centroids=True)
 
-    def adc_table(cents: dict, qsub: list) -> DataFrame:
-        rows = [(int(cell), list(map(float, vec)))
-                for cell, vec in sorted(cents.items())]
-        cdf = spark.createDataFrame(rows, "cell long, cv array<double>")
-        return cdf.select("cell", _dist2(F.col("cv"), qsub).alias("d"))
+    def code_expr(cents: dict, e_slice):
+        # the kmeans assign() recipe verbatim: argmin of
+        # (ROUND(d2, 6), cell) via array_sort — same tie-break, same
+        # rounding, so the encoded cell equals the kmeans assignment
+        pairs = F.array(*[
+            F.struct(
+                _dist2(e_slice, vec).alias("d2"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell, vec in sorted(cents.items())
+        ])
+        return F.array_sort(pairs)[0]["cell"]
 
-    adc0 = adc_table(c0, q0)
-    adc1 = adc_table(c1, q1)
-    codes = (
-        a0.select("vec_id", F.col("cell").alias("k0"))
-        .join(a1.select("vec_id", F.col("cell").alias("k1")), "vec_id")
-    )
-    return (
-        codes.join(F.broadcast(adc0.withColumnRenamed("cell", "k0")
-                               .withColumnRenamed("d", "d0")), "k0")
-        .join(F.broadcast(adc1.withColumnRenamed("cell", "k1")
-                          .withColumnRenamed("d", "d1")), "k1")
-        .select(
-            "vec_id", F.round(F.col("d0") + F.col("d1"), 6).alias("adc")
+    def adc_expr(cents: dict, qsub: list, code_col):
+        # k-entry literal lookup: the distance table rides the same
+        # projection as the code (python-side d2 would not mirror the
+        # twin's in-SQL fold, so each entry is the _dist2 fold between
+        # two literal arrays, evaluated by the engine itself)
+        expr = F.lit(None).cast("double")
+        for cell, vec in sorted(cents.items()):
+            lit_cv = F.array(*[F.lit(float(x)) for x in vec])
+            d = F.round(
+                F.aggregate(
+                    F.zip_with(lit_cv, F.array(*[F.lit(float(x)) for x in qsub]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            expr = F.when(code_col == F.lit(cell), d).otherwise(expr)
+        return expr
+
+    k0 = code_expr(c0, F.slice("e", 1, half))
+    k1 = code_expr(c1, F.slice("e", half + 1, dim - half))
+    out = (
+        emb.select(
+            "vec_id",
+            F.round(
+                adc_expr(c0, q0, k0) + adc_expr(c1, q1, k1), 6
+            ).alias("adc"),
         )
         .orderBy("adc", "vec_id")
         .limit(topk)
+        .localCheckpoint()
     )
+    emb.unpersist()
+    return out

@@ -6055,7 +6055,13 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus sum (order-independent under any partitioning; ln sees a
     bit-identical double in both engines); the reported rate is an
     exact integer FLOOR division in nano-nats — zero FP in any
-    aggregate or output."""
+    aggregate or output.  The nano conversion divides BEFORE scaling
+    (quotient·1000 + remainder·1000 div n): a plain
+    entropy_micro·1000 wraps int64 near 3·10¹² transitions — inside
+    the design envelope — where Spark's non-ANSI multiply goes silent
+    and DuckDB raises (the rho-overflow lesson, second sighting);
+    this form is exact and safe until entropy_micro itself leaves
+    int64 (~3·10¹² transitions at 10⁶ scale ·1000-fold later)."""
     e = events_edges(spark, sf_dir)
     ow = e.groupBy("src_actor").agg(F.sum("weight").alias("ow"))
     terms = e.join(ow, "src_actor").select(
@@ -6070,8 +6076,11 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_transitions",
         "entropy_micro",
-        F.expr("(entropy_micro * 1000) div n_transitions")
-        .alias("rate_nano"),
+        F.expr(
+            "(entropy_micro div n_transitions) * 1000"
+            " + ((entropy_micro % n_transitions) * 1000)"
+            " div n_transitions"
+        ).alias("rate_nano"),
     )
 
 
@@ -6087,7 +6096,9 @@ agg AS (
          CAST(SUM(h_micro) AS BIGINT) AS entropy_micro
   FROM terms)
 SELECT n_transitions, entropy_micro,
-       (entropy_micro * 1000) // n_transitions AS rate_nano
+       (entropy_micro // n_transitions) * 1000
+       + ((entropy_micro % n_transitions) * 1000) // n_transitions
+         AS rate_nano
 FROM agg
 """
 
