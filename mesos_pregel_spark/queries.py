@@ -5912,19 +5912,38 @@ def q_temporal_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     of degree², which is what makes the count computable at all on a
     100-TB log (the static analogue needs the hub cap).
 
-    Shape (design-for-100×): ONE equi-join of the timestamped
-    transition table with itself (dst = src) + one range predicate +
-    one map-side-combinable count.  AQE's skew-join split handles a
-    dominant middle actor; at extreme rates pre-bucket by (actor,
-    t div Δ) so each side joins only adjacent time buckets."""
+    Shape (design-for-100×): the self-join key is (middle actor,
+    Δ-sized TIME BUCKET) — any wedge's closing transition lands in
+    the opening transition's bucket or the next one, so the left side
+    probes exactly two buckets (one explode) and a hub's join groups
+    are bounded by its transition rate × Δ per bucket instead of its
+    whole history.  Structural skew-proofing, not an AQE bet; the
+    range predicate then exacts the window.  Results are identical to
+    the naive mid-keyed join (pinned by
+    tests/test_temporal.py::test_wedge_bucketing_equals_naive)."""
     tr = _temporal_transitions(spark, sf_dir).distinct()
-    a = tr.select(F.col("dst").alias("mid"), F.col("t").alias("t1"))
-    b = tr.select(F.col("src").alias("mid"), F.col("t").alias("t2"))
+    return temporal_wedge_counts(tr, _WEDGE_DELTA_US)
+
+
+def temporal_wedge_counts(tr: DataFrame, delta_us: int) -> DataFrame:
+    """Δ-restricted temporal 2-path counts per middle actor over
+    deduped transitions (src, dst, t) — the bucketed join described in
+    q_temporal_wedges."""
+    bkt = (F.col("t1") / F.lit(delta_us)).cast("long")
+    a = (
+        tr.select(F.col("dst").alias("mid"), F.col("t").alias("t1"))
+        .withColumn("bk", F.explode(F.array(bkt, bkt + F.lit(1))))
+    )
+    b = tr.select(
+        F.col("src").alias("mid"),
+        F.col("t").alias("t2"),
+        (F.col("t") / F.lit(delta_us)).cast("long").alias("bk"),
+    )
     return (
-        a.join(b, "mid")
+        a.join(b, ["mid", "bk"])
         .where(
             (F.col("t2") > F.col("t1"))
-            & (F.col("t2") - F.col("t1") <= F.lit(_WEDGE_DELTA_US))
+            & (F.col("t2") - F.col("t1") <= F.lit(delta_us))
         )
         .groupBy(F.col("mid").alias("actor"))
         .agg(F.count(F.lit(1)).alias("n_wedges"))

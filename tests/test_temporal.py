@@ -174,3 +174,48 @@ def test_warm_temporal_reach_capped_prev_needs_full_frontier(spark):
                              max_supersteps=20, edge_partitions=2)
     assert sorted(map(tuple, warm.collect())) == \
         sorted(map(tuple, cold.collect()))
+
+
+def test_wedge_bucketing_equals_naive(spark):
+    """The Δ-bucketed wedge join (queries.temporal_wedge_counts) must
+    equal the naive mid-keyed join + range predicate on any input —
+    the bucket trick is a plan optimization, not a semantics change.
+    Boundary cases planted: t2 - t1 == Δ exactly (counts), t2 == t1
+    (excluded), t2 - t1 == Δ + 1 (excluded), and a cross-bucket pair."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mesos_pregel_spark.queries import temporal_wedge_counts
+
+    delta = 100
+    rng = random.Random(41)
+    rows = [
+        (rng.randrange(5), rng.randrange(5), rng.randrange(0, 1000))
+        for _ in range(200)
+    ]
+    rows += [
+        (0, 1, 50), (1, 2, 150),   # exactly Δ apart -> counts
+        (0, 1, 60), (1, 2, 60),    # equal times -> excluded
+        (0, 1, 70), (1, 2, 171),   # Δ+1 apart -> excluded
+        (3, 4, 99), (4, 0, 101),   # adjacent buckets, inside Δ
+    ]
+    rows = [(s, d, t) for s, d, t in rows if s != d]
+    tr = spark.createDataFrame(
+        rows, "src long, dst long, t long"
+    ).distinct()
+
+    got = {r["actor"]: r["n_wedges"]
+           for r in temporal_wedge_counts(tr, delta).collect()}
+
+    a = tr.select(F.col("dst").alias("mid"), F.col("t").alias("t1"))
+    b = tr.select(F.col("src").alias("mid"), F.col("t").alias("t2"))
+    naive = (
+        a.join(b, "mid")
+        .where((F.col("t2") > F.col("t1"))
+               & (F.col("t2") - F.col("t1") <= delta))
+        .groupBy(F.col("mid").alias("actor"))
+        .agg(F.count(F.lit(1)).alias("n_wedges"))
+    )
+    want = {r["actor"]: r["n_wedges"] for r in naive.collect()}
+    assert got == want and got
