@@ -133,3 +133,117 @@ def lt_spread(
         checkpoint_every=checkpoint_every,
         edge_partitions=edge_partitions,
     )
+
+
+def lt_sweep(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: Sequence,
+    thetas: Sequence[float] = (0.3, 0.5, 0.7),
+    max_supersteps: int = 8,
+    edge_partitions: int | None = None,
+) -> tuple[DataFrame, PregelRun]:
+    """Threshold-sweep cascade: ALL of ``thetas`` ride ONE Pregel run
+    as lanes (the msbfs/landmarks multi-lane pattern applied to
+    influence) — a sensitivity analysis ("how does reach degrade as
+    the adoption bar rises") for one edge pass per superstep instead
+    of len(thetas) runs.
+
+    Per lane the semantics are EXACTLY lt_spread's: each lane's
+    send-once rule is gated by its OWN just-activated flag (a lane
+    that activated earlier must not re-send into another lane's
+    round), so per-lane message volume stays O(E); a vertex scatters
+    while ANY lane just activated.  Monotone per lane ⇒ capped ≡
+    unrolled; activation rounds are non-decreasing in θ (pinned by
+    pytest).  Returns (sweep(id, r0..r{k-1}), run) — lane i = sorted
+    thetas[i], -1 where that cascade never arrives."""
+    sds = sorted(set(seeds))
+    if not sds:
+        raise ValueError("need at least one seed")
+    ths = sorted(thetas)
+    n = len(ths)
+
+    def prep(e: DataFrame) -> DataFrame:
+        return e.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
+
+    def init(e: DataFrame, ctx: dict) -> DataFrame:
+        vertices = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        inw = e.groupBy(F.col("dst").alias("id")).agg(F.sum("w").alias("inw"))
+        seeded = F.col("id").isin(sds)
+        cols = [
+            vertices["id"],
+            F.coalesce("inw", F.lit(0.0)).alias("inw"),
+            F.lit(0).cast("long").alias("t"),
+        ]
+        for i in range(n):
+            cols += [
+                F.lit(0.0).alias(f"rcv{i}"),
+                F.when(seeded, F.lit(0).cast("long"))
+                .otherwise(F.lit(None).cast("long")).alias(f"r{i}"),
+                seeded.alias(f"ch{i}"),
+            ]
+        return vertices.join(inw, "id", "left_outer").select(*cols)
+
+    any_changed = None
+    for i in range(n):
+        c = F.col(f"ch{i}")
+        any_changed = c if any_changed is None else (any_changed | c)
+
+    def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:
+        cols = [
+            state["id"], state["inw"], (state["t"] + 1).alias("t"),
+        ]
+        for i, th in enumerate(ths):
+            inbox = F.coalesce(combined[f"w{i}_sum"], F.lit(0.0))
+            rcv = state[f"rcv{i}"] + inbox
+            newly = (
+                state[f"r{i}"].isNull()
+                & (state["inw"] > 0.0)
+                & (rcv >= F.lit(th) * state["inw"])
+            )
+            cols += [
+                rcv.alias(f"rcv{i}"),
+                F.when(state[f"r{i}"].isNotNull(), state[f"r{i}"])
+                .when(newly, state["t"] + 1)
+                .otherwise(F.lit(None).cast("long")).alias(f"r{i}"),
+                newly.alias(f"ch{i}"),
+            ]
+        return state.join(
+            combined, state["id"] == combined["dst"], "left_outer"
+        ).select(*cols)
+
+    program = VertexProgram(
+        name="lt_sweep",
+        init=init,
+        prep_edges=prep,
+        edge_cols=("src", "dst", "w"),
+        # lane i sends its edge weight only when lane i JUST activated
+        msg_cols=[
+            F.when(F.col(f"ch{i}"), F.col("w")).alias(f"m{i}")
+            for i in range(n)
+        ],
+        active_filter=any_changed,
+        combiner={f"w{i}_sum": (f"m{i}", "sum") for i in range(n)},
+        apply=apply,
+        aggregators=[
+            F.sum(any_changed.cast("long")).alias("active"),
+        ],
+        halt=lambda aggs: aggs["active"] == 0,
+        frontier_agg="active",
+        finalize=lambda s: s.select(
+            "id",
+            *[F.coalesce(f"r{i}", F.lit(-1)).alias(f"r{i}") for i in range(n)],
+        ),
+        converged_at_cap=True,
+        params={"thetas": [str(t) for t in ths],
+                "seeds": [str(s) for s in sds]},
+    )
+    return pregel(
+        spark, edges, program,
+        max_supersteps=max_supersteps,
+        edge_partitions=edge_partitions,
+    )

@@ -5687,6 +5687,84 @@ FROM verts v LEFT JOIN act ON act.actor = v.actor
 SQL_LT_SPREAD = _sql_lt_spread(8)
 
 
+def q_lt_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep cascade: θ ∈ {0.3, 0.5, 0.7} as LANES of one
+    Pregel run (algos/spread.py::lt_sweep — one edge pass per
+    superstep answers all three sensitivity levels; per-lane
+    send-once gating keeps message volume O(E) per lane)."""
+    from mesos_pregel_spark.algos.spread import lt_sweep
+
+    e = _graph_edges(spark, sf_dir)
+    seeds = [
+        r["src"]
+        for r in e.select("src").distinct().orderBy("src").limit(2).collect()
+    ]
+    sweep, _run = lt_sweep(
+        spark, e, seeds, thetas=(0.3, 0.5, 0.7), max_supersteps=8,
+        edge_partitions=8,
+    )
+    return sweep.select(
+        F.col("id").alias("actor"),
+        F.col("r0").alias("r_03"),
+        F.col("r1").alias("r_05"),
+        F.col("r2").alias("r_07"),
+    )
+
+
+def _sql_lt_sweep(steps: int = 8,
+                  thetas: tuple = ("0.3", "0.5", "0.7")) -> str:
+    """Per-lane unrolled active-set recurrences (the SQL_LT_SPREAD
+    chain × len(thetas), sharing the substrate/seed CTEs), joined to
+    one row per actor — lane semantics identical to the single-θ
+    twin, so lt_sweep ≡ three lt_spread runs by construction."""
+    parts = ["""
+, ew AS MATERIALIZED (
+  SELECT src_actor AS s, dst_actor AS d, weight AS w FROM edges),
+inw AS MATERIALIZED (SELECT d, SUM(w) AS inw FROM ew GROUP BY d),
+sd AS MATERIALIZED (
+  SELECT s AS actor FROM (
+    SELECT DISTINCT src_actor AS s FROM edges ORDER BY s LIMIT 2))"""]
+    for i, th in enumerate(thetas):
+        parts.append(f""",
+l{i}a0 AS (SELECT actor FROM sd)""")
+        for k in range(1, steps + 1):
+            parts.append(f""",
+l{i}a{k} AS MATERIALIZED (
+  SELECT actor FROM l{i}a{k-1}
+  UNION
+  SELECT r.d AS actor FROM (
+    SELECT e.d, SUM(e.w) AS rcv
+    FROM ew e JOIN l{i}a{k-1} a ON e.s = a.actor GROUP BY e.d) r
+  JOIN inw ON inw.d = r.d
+  WHERE r.rcv >= {th} * inw.inw
+)""")
+        unions = "\n  UNION ALL ".join(
+            f"SELECT actor, {k} AS r FROM l{i}a{k}"
+            for k in range(0, steps + 1)
+        )
+        parts.append(f""",
+l{i}act AS (
+  SELECT actor, CAST(MIN(r) AS BIGINT) AS round
+  FROM ({unions}) GROUP BY actor)""")
+    sel = ", ".join(
+        f"COALESCE(l{i}act.round, -1) AS r_0{th[-1]}"
+        for i, th in enumerate(thetas)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN l{i}act ON l{i}act.actor = v.actor"
+        for i in range(len(thetas))
+    )
+    parts.append(f"""
+SELECT v.actor, {sel}
+FROM verts v
+{joins}
+""")
+    return _SQL_EDGES + "".join(parts)
+
+
+SQL_LT_SWEEP = _sql_lt_sweep(8)
+
+
 def q_lpa_cc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-counting agreement (Rand / Adjusted Rand) between the
     20-step LPA communities and the exact CC components on the same
@@ -6236,6 +6314,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boruvka_msf": q_boruvka_msf,
     "markov_step8": q_markov_step8,
     "lt_spread": q_lt_spread,
+    "lt_sweep": q_lt_sweep,
     "lpa_cc_agreement": q_lpa_cc_agreement,
     "khop_counts": q_khop_counts,
     "temporal_reach": q_temporal_reach,
@@ -6340,6 +6419,7 @@ _QUERY_PRIORITY: list[str] = [
     "next_actor",
     "transition_entropy",
     "pq_adc_topk",
+    "lt_sweep",
     "hill_alpha",
     "heaps_law",
     "fuzzy_decontaminate",
@@ -6575,6 +6655,7 @@ ORACLE_SQL: dict[str, str] = {
     "boruvka_msf": SQL_BORUVKA_MSF,
     "markov_step8": SQL_MARKOV_STEP8,
     "lt_spread": SQL_LT_SPREAD,
+    "lt_sweep": SQL_LT_SWEEP,
     "lpa_cc_agreement": SQL_LPA_CC_AGREEMENT,
     "khop_counts": SQL_KHOP_COUNTS,
     "temporal_reach": SQL_TEMPORAL_REACH,

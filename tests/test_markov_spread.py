@@ -230,3 +230,43 @@ def test_agreement_trivial_labelings_ari_null(spark):
     # x_pairs = y_pairs = both_pairs = 0 -> denominator 0 -> NULL ari,
     # rand still defined (1.0: every pair agrees on "different")
     assert row["ari"] is None and row["rand"] == 1.0
+
+
+def test_lt_sweep_lanes_equal_separate_runs(spark):
+    """Every lane of the multi-theta sweep must equal the single-theta
+    lt_spread run EXACTLY (same rounds, not just same final sets) —
+    the per-lane send-once gating cannot leak across lanes."""
+    from mesos_pregel_spark.algos.spread import lt_sweep
+
+    rng = random.Random(29)
+    edges = [
+        (s, d, float(rng.randrange(1, 4)))
+        for s, d in {(rng.randrange(9), rng.randrange(9)) for _ in range(35)}
+        if s != d
+    ]
+    seeds = sorted({s for s, _d, _w in edges})[:2]
+    thetas = (0.3, 0.5, 0.7)
+    sweep, _ = lt_sweep(spark, _df(spark, edges), seeds, thetas=thetas,
+                        max_supersteps=8, edge_partitions=4)
+    got = {r["id"]: (r["r0"], r["r1"], r["r2"]) for r in sweep.collect()}
+    for i, th in enumerate(thetas):
+        single, _ = lt_spread(spark, _df(spark, edges), seeds, theta=th,
+                              max_supersteps=8, edge_partitions=3)
+        want = {r["id"]: r["round"] for r in single.collect()}
+        assert {v: rounds[i] for v, rounds in got.items()} == want, th
+
+
+def test_lt_sweep_rounds_monotone_in_theta(spark):
+    """A higher adoption bar can only delay (or prevent) activation:
+    per vertex, r(θ) is non-decreasing in θ (with -1 = never as +∞)."""
+    from mesos_pregel_spark.algos.spread import lt_sweep
+
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 3, 1.0),
+             (1, 3, 1.0), (3, 4, 2.0), (0, 4, 1.0)]
+    sweep, _ = lt_sweep(spark, _df(spark, edges), [0],
+                        thetas=(0.2, 0.5, 0.9), max_supersteps=8,
+                        edge_partitions=2)
+    inf = 10 ** 9
+    for r in sweep.collect():
+        a, b, c = [(x if x >= 0 else inf) for x in (r["r0"], r["r1"], r["r2"])]
+        assert a <= b <= c
