@@ -160,7 +160,9 @@ def lt_sweep(
     sds = sorted(set(seeds))
     if not sds:
         raise ValueError("need at least one seed")
-    ths = sorted(thetas)
+    ths = sorted(set(thetas))
+    if not ths:
+        raise ValueError("need at least one theta")
     n = len(ths)
 
     def prep(e: DataFrame) -> DataFrame:

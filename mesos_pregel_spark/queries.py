@@ -5649,39 +5649,54 @@ def q_lt_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread.select(F.col("id").alias("actor"), "round")
 
 
-def _sql_lt_spread(steps: int = 8, theta: str = "0.5") -> str:
-    """Unrolled monotone active-set recurrence: a_k = a_{k-1} ∪
-    {v : Σ_{u∈a_{k-1}} w(u,v) ≥ θ·inw(v)}.  Exact whether the engine
-    early-halts at the fixpoint or runs to the cap (monotone)."""
-    parts = ["""
+# Shared LT-cascade substrate CTEs (weights, in-weights, the 2
+# smallest-source seed set) — ONE definition under both the single-θ
+# twin and the sweep twin.
+_SQL_LT_SUBSTRATE = """
 , ew AS MATERIALIZED (
   SELECT src_actor AS s, dst_actor AS d, weight AS w FROM edges),
 inw AS MATERIALIZED (SELECT d, SUM(w) AS inw FROM ew GROUP BY d),
-a0 AS MATERIALIZED (
+sd AS MATERIALIZED (
   SELECT s AS actor FROM (
-    SELECT DISTINCT src_actor AS s FROM edges ORDER BY s LIMIT 2))"""]
+    SELECT DISTINCT src_actor AS s FROM edges ORDER BY s LIMIT 2))"""
+
+
+def _lt_chain(tag: str, theta: str, steps: int) -> str:
+    """ONE lane of the unrolled monotone active-set recurrence
+    a_k = a_{k-1} ∪ {v : Σ_{u∈a_{k-1}} w(u,v) ≥ θ·inw(v)}, CTEs
+    prefixed ``tag``; final per-lane rounds live in ``{tag}act``.
+    The single generator keeps SQL_LT_SPREAD and SQL_LT_SWEEP
+    recurrence-identical by construction."""
+    parts = [f""",
+{tag}a0 AS (SELECT actor FROM sd)"""]
     for k in range(1, steps + 1):
         parts.append(f""",
-a{k} AS MATERIALIZED (
-  SELECT actor FROM a{k-1}
+{tag}a{k} AS MATERIALIZED (
+  SELECT actor FROM {tag}a{k-1}
   UNION
   SELECT r.d AS actor FROM (
     SELECT e.d, SUM(e.w) AS rcv
-    FROM ew e JOIN a{k-1} a ON e.s = a.actor GROUP BY e.d) r
+    FROM ew e JOIN {tag}a{k-1} a ON e.s = a.actor GROUP BY e.d) r
   JOIN inw ON inw.d = r.d
   WHERE r.rcv >= {theta} * inw.inw
 )""")
     unions = "\n  UNION ALL ".join(
-        f"SELECT actor, {k} AS r FROM a{k}" for k in range(0, steps + 1)
+        f"SELECT actor, {k} AS r FROM {tag}a{k}" for k in range(0, steps + 1)
     )
     parts.append(f""",
-rk AS ({unions}),
-act AS (SELECT actor, CAST(MIN(r) AS BIGINT) AS round
-        FROM rk GROUP BY actor)
+{tag}act AS (
+  SELECT actor, CAST(MIN(r) AS BIGINT) AS round
+  FROM ({unions}) GROUP BY actor)""")
+    return "".join(parts)
+
+
+def _sql_lt_spread(steps: int = 8, theta: str = "0.5") -> str:
+    """The one-lane case of _lt_chain.  Exact whether the engine
+    early-halts at the fixpoint or runs to the cap (monotone)."""
+    return _SQL_EDGES + _SQL_LT_SUBSTRATE + _lt_chain("", theta, steps) + """
 SELECT v.actor, COALESCE(act.round, -1) AS round
 FROM verts v LEFT JOIN act ON act.actor = v.actor
-""")
-    return _SQL_EDGES + "".join(parts)
+"""
 
 
 SQL_LT_SPREAD = _sql_lt_spread(8)
@@ -5713,53 +5728,35 @@ def q_lt_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_lt_sweep(steps: int = 8,
                   thetas: tuple = ("0.3", "0.5", "0.7")) -> str:
-    """Per-lane unrolled active-set recurrences (the SQL_LT_SPREAD
-    chain × len(thetas), sharing the substrate/seed CTEs), joined to
-    one row per actor — lane semantics identical to the single-θ
-    twin, so lt_sweep ≡ three lt_spread runs by construction."""
-    parts = ["""
-, ew AS MATERIALIZED (
-  SELECT src_actor AS s, dst_actor AS d, weight AS w FROM edges),
-inw AS MATERIALIZED (SELECT d, SUM(w) AS inw FROM ew GROUP BY d),
-sd AS MATERIALIZED (
-  SELECT s AS actor FROM (
-    SELECT DISTINCT src_actor AS s FROM edges ORDER BY s LIMIT 2))"""]
-    for i, th in enumerate(thetas):
-        parts.append(f""",
-l{i}a0 AS (SELECT actor FROM sd)""")
-        for k in range(1, steps + 1):
-            parts.append(f""",
-l{i}a{k} AS MATERIALIZED (
-  SELECT actor FROM l{i}a{k-1}
-  UNION
-  SELECT r.d AS actor FROM (
-    SELECT e.d, SUM(e.w) AS rcv
-    FROM ew e JOIN l{i}a{k-1} a ON e.s = a.actor GROUP BY e.d) r
-  JOIN inw ON inw.d = r.d
-  WHERE r.rcv >= {th} * inw.inw
-)""")
-        unions = "\n  UNION ALL ".join(
-            f"SELECT actor, {k} AS r FROM l{i}a{k}"
-            for k in range(0, steps + 1)
-        )
-        parts.append(f""",
-l{i}act AS (
-  SELECT actor, CAST(MIN(r) AS BIGINT) AS round
-  FROM ({unions}) GROUP BY actor)""")
+    """Per-lane _lt_chain instances sharing the substrate/seed CTEs,
+    joined to one row per actor — lane semantics identical to the
+    single-θ twin BY CONSTRUCTION (same generator).  Thetas are
+    sorted and deduped to mirror the engine (algos/spread.py sorts),
+    and output aliases derive from the FULL theta string (``0.35`` →
+    ``r_035``) so no parameterization can collide or mislabel."""
+    ths = sorted(set(thetas), key=float)
+    if not ths:
+        raise ValueError("need at least one theta")
+    parts = [_SQL_EDGES, _SQL_LT_SUBSTRATE]
+    for i, th in enumerate(ths):
+        parts.append(_lt_chain(f"l{i}", th, steps))
+    aliases = [f"r_{th.replace('.', '')}" for th in ths]
+    if len(set(aliases)) != len(aliases):
+        raise ValueError(f"theta aliases collide: {aliases}")
     sel = ", ".join(
-        f"COALESCE(l{i}act.round, -1) AS r_0{th[-1]}"
-        for i, th in enumerate(thetas)
+        f"COALESCE(l{i}act.round, -1) AS {al}"
+        for i, al in enumerate(aliases)
     )
     joins = "\n".join(
         f"LEFT JOIN l{i}act ON l{i}act.actor = v.actor"
-        for i in range(len(thetas))
+        for i in range(len(ths))
     )
     parts.append(f"""
 SELECT v.actor, {sel}
 FROM verts v
 {joins}
 """)
-    return _SQL_EDGES + "".join(parts)
+    return "".join(parts)
 
 
 SQL_LT_SWEEP = _sql_lt_sweep(8)
@@ -6007,7 +6004,9 @@ def temporal_wedge_counts(tr: DataFrame, delta_us: int) -> DataFrame:
     """Δ-restricted temporal 2-path counts per middle actor over
     deduped transitions (src, dst, t) — the bucketed join described in
     q_temporal_wedges."""
-    bkt = (F.col("t1") / F.lit(delta_us)).cast("long")
+    # integer `div` — the temporal family's all-integer µs invariant
+    # (double division is exact only below 2^53 µs)
+    bkt = F.expr(f"t1 div {int(delta_us)}")
     a = (
         tr.select(F.col("dst").alias("mid"), F.col("t").alias("t1"))
         .withColumn("bk", F.explode(F.array(bkt, bkt + F.lit(1))))
@@ -6015,7 +6014,7 @@ def temporal_wedge_counts(tr: DataFrame, delta_us: int) -> DataFrame:
     b = tr.select(
         F.col("src").alias("mid"),
         F.col("t").alias("t2"),
-        (F.col("t") / F.lit(delta_us)).cast("long").alias("bk"),
+        F.expr(f"t div {int(delta_us)}").alias("bk"),
     )
     return (
         a.join(b, ["mid", "bk"])
