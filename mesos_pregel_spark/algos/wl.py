@@ -27,12 +27,40 @@ vertex state), and the string digest immediately collapses it back to
 combine with a heavier combiner.  At extreme hub degrees the standard
 mitigation is hashing CHUNKS of the sorted multiset first (an
 associative pre-fold); documented, not needed at the driver scales.
+
+Iteration discipline: the symmetrized edge table is persisted once
+(it feeds every round), and the carried color frame is
+truncate_plan-materialized per round — without this, round k's lazy
+plan re-executes rounds 1..k-1 (the color frame appears twice in each
+round's plan: once as the join left side, once inside the neighbor
+aggregate, so both recomputation and the carried-stats BigInt double
+per round).  Superseded checkpoints are reaped eagerly.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from mesos_pregel_spark.plans.truncate import truncate_plan
+
+
+def _release(df: DataFrame | None) -> None:
+    """Drop a truncate_plan frame: DataFrame.unpersist alone is a no-op
+    for localCheckpoint RDD persistence (plans/pregel.py::reap)."""
+    if df is None:
+        return
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    jrdd = getattr(df, "_ck_jrdd", None)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
 
 
 def wl_colors(
@@ -46,39 +74,49 @@ def wl_colors(
     und = edges.select("src", "dst").distinct()
     sym = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    colors = sym.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    ).select("id", F.col("deg").cast("string").alias("color"))
-
-    for _ in range(rounds):
-        nbr = (
-            sym.join(
-                colors.select(
-                    F.col("id").alias("src"), F.col("color").alias("c_src")
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(
-                F.concat_ws(
-                    ",", F.sort_array(F.collect_list("c_src"))
-                ).alias("nbrs")
-            )
-        )
-        colors = (
-            colors.join(nbr, "id")
-            .select(
-                "id",
-                F.md5(
-                    F.concat(F.col("color"), F.lit("|"), F.col("nbrs"))
-                ).alias("color"),
-            )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        colors = truncate_plan(
+            sym.groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .select("id", F.col("deg").cast("string").alias("color"))
         )
 
-    sizes = colors.groupBy("color").agg(
-        F.count(F.lit(1)).cast("long").alias("class_size")
-    )
-    return colors.join(sizes, "color").select(
-        "id", F.col("color").alias("wl_color"), "class_size"
-    )
+        for _ in range(rounds):
+            nbr = (
+                sym.join(
+                    colors.select(
+                        F.col("id").alias("src"),
+                        F.col("color").alias("c_src"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(
+                    F.concat_ws(
+                        ",", F.sort_array(F.collect_list("c_src"))
+                    ).alias("nbrs")
+                )
+            )
+            nxt = truncate_plan(
+                colors.join(nbr, "id").select(
+                    "id",
+                    F.md5(
+                        F.concat(F.col("color"), F.lit("|"), F.col("nbrs"))
+                    ).alias("color"),
+                )
+            )
+            _release(colors)
+            colors = nxt
+
+        sizes = colors.groupBy("color").agg(
+            F.count(F.lit(1)).cast("long").alias("class_size")
+        )
+        return colors.join(sizes, "color").select(
+            "id", F.col("color").alias("wl_color"), "class_size"
+        )
+    finally:
+        # Every round materialized through truncate_plan, so the
+        # returned plan references only the final checkpoint RDD —
+        # the symmetrized cache is no longer needed.
+        sym.unpersist()
