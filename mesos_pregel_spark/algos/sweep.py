@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mesos_pregel_spark.plans.truncate import truncate_plan
+
 # rank sentinel for vertices outside the swept prefix set: strictly
 # larger than any real rank, so LEAST/GREATEST arithmetic is exact
 _INF_RANK = 1 << 40
@@ -53,15 +55,19 @@ def sweep_cut(
     (i, part, deg, vol, cut, conductance), one row per prefix."""
     from mesos_pregel_spark.algos.ppr import personalized_pagerank
 
-    und = edges.select("src", "dst").distinct()
+    und = truncate_plan(edges.select("src", "dst").distinct())
     sym = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
-    m = und.count()
-    seed = und.agg(F.least(F.min("src"), F.min("dst"))).collect()[0][0]
+    # one scan for both scalars (edge count + minimum vertex id)
+    hdr = und.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.least(F.min("src"), F.min("dst")).alias("seed"),
+    ).collect()[0]
+    m, seed = hdr["m"], hdr["seed"]
 
     ranks, _run = personalized_pagerank(
         spark, sym, [seed], tol=0.0, max_supersteps=max_supersteps,
@@ -79,7 +85,9 @@ def sweep_cut(
         F.desc(F.col("smicro").cast("double") / F.col("deg").cast("double")),
         F.asc("id"),
     )
-    top = (
+    # ≤max_k rows, referenced three times below (rl, rh, curve) —
+    # materialize once so the degree shuffle + window don't re-run
+    top = truncate_plan(
         support.withColumn("rk", F.row_number().over(rk_w).cast("long"))
         .where(F.col("rk") <= max_k)
         .select("id", "deg", "rk")
@@ -100,19 +108,34 @@ def sweep_cut(
             F.greatest("ra", "rb").alias("rmax"),
         )
     )
-    cmin = er.where(F.col("rmin") <= max_k).groupBy(
-        F.col("rmin").alias("rk")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c_min"))
-    cmax = er.where(F.col("rmax") <= max_k).groupBy(
-        F.col("rmax").alias("rk")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c_max"))
+    # both cumulative histograms from ONE scan of the edge set: each
+    # edge contributes (rmin, is_min=1) and (rmax, is_min=0) events
+    hist = (
+        er.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("rmin").alias("rk"), F.lit(1).alias("is_min")
+                    ),
+                    F.struct(
+                        F.col("rmax").alias("rk"), F.lit(0).alias("is_min")
+                    ),
+                )
+            ).alias("ev")
+        )
+        .where(F.col("ev.rk") <= max_k)
+        .groupBy(F.col("ev.rk").alias("rk"))
+        .agg(
+            F.sum("ev.is_min").cast("long").alias("c_min"),
+            F.sum(1 - F.col("ev.is_min")).cast("long").alias("c_max"),
+        )
+    )
 
     cum_w = Window.orderBy("i").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     curve = (
-        top.join(cmin, "rk", "left_outer")
-        .join(cmax, "rk", "left_outer")
+        top.join(hist, "rk", "left_outer")
         .select(
             F.col("rk").alias("i"), F.col("id").alias("part"), "deg",
             F.coalesce("c_min", F.lit(0)).alias("c_min"),
