@@ -64,24 +64,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mesos_pregel_spark.plans.pregel import PregelRun
-from mesos_pregel_spark.plans.truncate import truncate_plan
-
-
-def _release(df: DataFrame | None) -> None:
-    """Drop a truncate_plan frame: DataFrame.unpersist alone is a no-op
-    for localCheckpoint RDD persistence (plans/pregel.py::reap)."""
-    if df is None:
-        return
-    try:
-        df.unpersist()
-    except Exception:
-        pass
-    jrdd = getattr(df, "_ck_jrdd", None)
-    if jrdd is not None:
-        try:
-            jrdd.unpersist(False)
-        except Exception:
-            pass
+from mesos_pregel_spark.plans.truncate import (
+    release_plan as _release,
+    truncate_plan,
+)
 
 
 def _canonical(edges: DataFrame) -> DataFrame:

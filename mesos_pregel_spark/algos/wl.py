@@ -43,24 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from mesos_pregel_spark.plans.truncate import truncate_plan
-
-
-def _release(df: DataFrame | None) -> None:
-    """Drop a truncate_plan frame: DataFrame.unpersist alone is a no-op
-    for localCheckpoint RDD persistence (plans/pregel.py::reap)."""
-    if df is None:
-        return
-    try:
-        df.unpersist()
-    except Exception:
-        pass
-    jrdd = getattr(df, "_ck_jrdd", None)
-    if jrdd is not None:
-        try:
-            jrdd.unpersist(False)
-        except Exception:
-            pass
+from mesos_pregel_spark.plans.truncate import release_plan, truncate_plan
 
 
 def wl_colors(
@@ -106,7 +89,7 @@ def wl_colors(
                     ).alias("color"),
                 )
             )
-            _release(colors)
+            release_plan(colors)
             colors = nxt
 
         sizes = colors.groupBy("color").agg(

@@ -538,6 +538,11 @@ def textrank(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
+    # the symmetrizing union references `und` twice — checkpoint so the
+    # corpus tokenize/explode/aggregate scan runs once, not twice
+    from mesos_pregel_spark.plans.truncate import release_plan, truncate_plan
+
+    und = truncate_plan(und)
     edges = und.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "weight"
     ).unionByName(
@@ -545,11 +550,17 @@ def textrank(
     )
     from mesos_pregel_spark.algos.pagerank import pagerank
 
-    ranks, _run = pagerank(
-        docs.sparkSession, edges, tol=0.0,
-        max_supersteps=max_supersteps, edge_partitions=edge_partitions,
-        weighted=True,
-    )
+    try:
+        ranks, _run = pagerank(
+            docs.sparkSession, edges, tol=0.0,
+            max_supersteps=max_supersteps, edge_partitions=edge_partitions,
+            weighted=True,
+        )
+    finally:
+        # the rank loop persisted its own prepped edge table and its
+        # returned state is checkpoint-truncated, so nothing references
+        # the co-occurrence checkpoint after the run (success or raise)
+        release_plan(und)
     return ranks.select(
         F.col("id").alias("token"), F.round("pagerank", 9).alias("textrank")
     )

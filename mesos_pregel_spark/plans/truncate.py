@@ -67,3 +67,22 @@ def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:
         return out
     except Exception:  # pragma: no cover - non-classic sessions
         return ck
+
+
+def release_plan(df: DataFrame | None) -> None:
+    """Drop a truncate_plan frame once nothing references it:
+    ``DataFrame.unpersist`` alone is a no-op for localCheckpoint RDD
+    persistence (plans/pregel.py::reap), so also unpersist the
+    checkpoint RDD handle captured by truncate_plan."""
+    if df is None:
+        return
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    jrdd = getattr(df, "_ck_jrdd", None)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
