@@ -28,7 +28,7 @@ pick."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mesos_pregel_spark.plans.pregel import PregelRun
@@ -152,11 +152,15 @@ def bowtie(
     counts = cls.groupBy("cls").agg(
         F.count(F.lit(1)).cast("long").alias("n_vertices")
     )
-    total = counts.agg(F.sum("n_vertices").cast("long").alias("n"))
-    return counts.crossJoin(F.broadcast(total)).select(
+    # total via a whole-frame window over the ≤4-row class counts: a
+    # separate aggregate would re-run the full label/reach join job
+    w = Window.partitionBy()
+    return counts.select(
         "cls",
         "n_vertices",
         F.round(
-            F.col("n_vertices").cast("double") / F.col("n").cast("double"), 9
+            F.col("n_vertices").cast("double")
+            / F.sum("n_vertices").over(w).cast("double"),
+            9,
         ).alias("share"),
     )
