@@ -572,6 +572,31 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         detail["scc_count"] = n_sccs
         detail["scc_phases"] = len(run_scc.metrics)
 
+    if on("condense"):
+        # Capped longest-path levels on the low→high orientation of
+        # the zipf graph (acyclic by construction, so the SCC pass —
+        # timed by its own row — is skipped): times the NEW level
+        # kernel alone, one max-combine scatter per superstep over the
+        # full edge set.
+        from mesos_pregel_spark.algos.condense import dag_levels as run_dag
+
+        gd = g.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).where(F.col("src") < F.col("dst"))
+        t = time.monotonic()
+        lv, run_cl = run_dag(
+            spark, gd, max_supersteps=8, edge_partitions=nparts
+        )
+        prof = lv.groupBy("level").count().collect()
+        cl_sec = time.monotonic() - t
+        n_csteps = len(run_cl.metrics) if run_cl is not None else 0
+        queries["condense"] = round(cl_sec, 3)
+        throughput["condense_edges_per_sec"] = round(
+            g_edges * max(n_csteps, 1) / cl_sec)
+        detail["condense_levels"] = len(prof)
+        detail["condense_supersteps"] = n_csteps
+
     if on("msbfs"):
         from mesos_pregel_spark.algos.msbfs import multi_source_bfs
 

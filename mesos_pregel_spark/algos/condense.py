@@ -89,6 +89,44 @@ def condensation_levels(
     comps, cedges = condensation(
         spark, edges, edge_partitions=edge_partitions
     )
+    return _levels_over(
+        spark, comps, cedges,
+        max_supersteps=max_supersteps, edge_partitions=edge_partitions,
+    )
+
+
+def dag_levels(
+    spark: SparkSession,
+    dag_edges: DataFrame,
+    max_supersteps: int = 60,
+    edge_partitions: int | None = None,
+) -> tuple[DataFrame, PregelRun | None]:
+    """Longest-path levels over an edge table the CALLER guarantees is
+    acyclic (e.g. edges oriented low→high key): skips the SCC
+    contraction — every vertex is its own level-0-seeded component —
+    and runs only the capped max-propagation loop.  Same
+    (comp, n_vertices, level) output as condensation_levels, with
+    n_vertices = 1 throughout."""
+    cedges = dag_edges.select("src", "dst").distinct()
+    comps = (
+        cedges.select(F.col("src").alias("comp"))
+        .unionByName(cedges.select(F.col("dst").alias("comp")))
+        .distinct()
+        .select("comp", F.lit(1).cast("long").alias("n_vertices"))
+    )
+    return _levels_over(
+        spark, comps, cedges,
+        max_supersteps=max_supersteps, edge_partitions=edge_partitions,
+    )
+
+
+def _levels_over(
+    spark: SparkSession,
+    comps: DataFrame,
+    cedges: DataFrame,
+    max_supersteps: int,
+    edge_partitions: int | None,
+) -> tuple[DataFrame, PregelRun | None]:
     # the level loop seeds from the FULL component set (closure), so
     # isolated components appear at level 0 even though they have no
     # condensation edge; an edgeless condensation skips the loop

@@ -988,10 +988,10 @@ def q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly min(level, k) per vertex (pinned by
     tests/test_condense.py::test_superstep_cap_truncates_levels_exactly),
     which the twin mirrors by bounding the level recursion."""
-    from mesos_pregel_spark.algos.condense import condensation_levels
+    from mesos_pregel_spark.algos.condense import dag_levels
 
     e = _parts_edges(spark, sf_dir).select("src", "dst")
-    out, _run = condensation_levels(
+    out, _run = dag_levels(
         spark, e, max_supersteps=DAG_LEVELS_CAP, edge_partitions=8
     )
     return out.select(
