@@ -720,3 +720,32 @@ def warm_temporal_reach(
         delta_transitions=delta_transitions if prev_converged else None,
         **kwargs,
     )
+
+
+def warm_dag_levels(
+    spark: SparkSession,
+    dag_edges: DataFrame,
+    prev_levels: DataFrame | None,
+    delta_edges: DataFrame | None = None,
+    prev_converged: bool = True,
+    **kwargs,
+):
+    """Longest-path levels over an acyclic edge table warm-started
+    from ``prev_levels`` (comp, level) of an earlier CONVERGED run on
+    an edge SUBSET (additions-only — see algos/condense.py::dag_levels).
+    Levels are monotone under additions, so the warm fixpoint is
+    EXACTLY the cold run's; ``delta_edges`` shrinks the initial
+    frontier to the new edges' source vertices.  ``prev_converged``
+    carries the same contract as warm_temporal_reach: a capped
+    previous run (``run.metrics[-1]["fresh_count"] > 0`` at the cap)
+    holds min(level, k), whose interrupted propagation a delta
+    frontier would not resume — pass False and the delta is ignored
+    (every vertex re-sends once, still exact)."""
+    from mesos_pregel_spark.algos.condense import dag_levels
+
+    return dag_levels(
+        spark, dag_edges,
+        prev_levels=prev_levels,
+        delta_edges=delta_edges if prev_converged else None,
+        **kwargs,
+    )
