@@ -137,6 +137,67 @@ def dag_levels(
     )
 
 
+def transitive_redundancy(
+    spark: SparkSession,
+    dag_edges: DataFrame,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Two-hop transitive-redundancy profile of a DAG (the scalable
+    core of Aho-Garey-Ullman transitive reduction): an edge (u, v) is
+    REDUNDANT when some wedge u→w→v also connects its endpoints —
+    the dependency-pruning report run before materializing a
+    dependency graph.  Exact for redundancy via length-2 witnesses;
+    longer-witness-only redundancy (rare in dense co-occurrence DAGs)
+    is deliberately out of contract, keeping the twin join-shaped.
+
+    Returns (src, outdeg, n_redundant) per source vertex — outdeg as
+    in the DAG, n_redundant = how many of its out-edges a wedge
+    witnesses.  Shape: one self-join on the middle vertex (wedge
+    enumeration, Σ indeg·outdeg pairs — the documented quadratic hub
+    trap; ``max_degree`` drops high-total-degree MIDDLE vertices from
+    witnessing, the link_prediction knob) + one left-semi join + one
+    hash aggregate."""
+    e = dag_edges.select("src", "dst").distinct()
+    if max_degree is not None:
+        deg = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") <= max_degree)
+            .select("id")
+        )
+        w1 = e.join(deg.select(F.col("id").alias("dst")), "dst", "left_semi")
+        w2 = e.join(deg.select(F.col("id").alias("src")), "src", "left_semi")
+    else:
+        w1 = e
+        w2 = e
+    wedges = (
+        w1.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .join(
+            w2.select(F.col("src").alias("w"), F.col("dst").alias("v")), "w"
+        )
+        .select("u", "v")
+        .distinct()
+    )
+    red = e.join(
+        wedges,
+        (e["src"] == wedges["u"]) & (e["dst"] == wedges["v"]),
+        "left_semi",
+    )
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    nred = red.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_redundant")
+    )
+    return outdeg.join(nred, "src", "left_outer").select(
+        "src",
+        "outdeg",
+        F.coalesce("n_redundant", F.lit(0)).cast("long").alias("n_redundant"),
+    )
+
+
 def _levels_over(
     spark: SparkSession,
     comps: DataFrame,

@@ -1024,6 +1024,44 @@ FROM lv GROUP BY comp
 """
 
 
+def q_tred_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop transitive-redundancy profile of the parts DAG
+    (algos/condense.py::transitive_redundancy): per source part, its
+    out-degree and how many of its out-edges a wedge witnesses.
+    Uncapped (max_degree=None) — ~4.6M wedges at sf0.01, well inside
+    both engines; the hub cap is the documented scale knob."""
+    from mesos_pregel_spark.algos.condense import transitive_redundancy
+
+    e = _parts_edges(spark, sf_dir).select("src", "dst")
+    out = transitive_redundancy(spark, e)
+    return out.select(
+        F.col("src").cast("long").alias("part"), "outdeg", "n_redundant"
+    )
+
+
+SQL_TRED_PROFILE = """
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+dedges AS MATERIALIZED (
+  SELECT a.p AS src, b.p AS dst
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+wedges AS (
+  SELECT DISTINCT w1.src AS u, w2.dst AS v
+  FROM dedges w1 JOIN dedges w2 ON w1.dst = w2.src
+)
+SELECT CAST(e.src AS BIGINT) AS part,
+       CAST(COUNT(*) AS BIGINT) AS outdeg,
+       CAST(SUM(CASE WHEN w.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redundant
+FROM dedges e
+LEFT JOIN wedges w ON w.u = e.src AND w.v = e.dst
+GROUP BY e.src
+"""
+
+
 def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-lane Bellman-Ford: weighted distances from the 3 smallest
     actors in one run (lane i = sorted landmark i)."""
@@ -6325,6 +6363,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scc": q_scc,
     "condensation_levels": q_condensation_levels,
     "dag_levels": q_dag_levels,
+    "tred_profile": q_tred_profile,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "ktruss": q_ktruss,
@@ -6639,6 +6678,7 @@ _QUERY_PRIORITY: list[str] = [
     # keep their slots; covered by the in-repo full-registry sweep
     "condensation_levels",
     "dag_levels",
+    "tred_profile",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6673,6 +6713,7 @@ ORACLE_SQL: dict[str, str] = {
     "scc": SQL_SCC,
     "condensation_levels": SQL_CONDENSATION_LEVELS,
     "dag_levels": SQL_DAG_LEVELS,
+    "tred_profile": SQL_TRED_PROFILE,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "ktruss": SQL_KTRUSS,

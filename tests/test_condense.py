@@ -129,6 +129,44 @@ def test_warm_dag_levels_without_delta_is_exact(spark):
     assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
 
 
+def test_transitive_redundancy_diamond(spark):
+    from mesos_pregel_spark.algos.condense import transitive_redundancy
+
+    # a->b->c plus the shortcut a->c: only a->c is wedge-witnessed
+    out = transitive_redundancy(
+        spark, _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    )
+    got = {r["src"]: (r["outdeg"], r["n_redundant"]) for r in out.collect()}
+    assert got == {"a": (2, 1), "b": (1, 0)}
+
+
+def test_transitive_redundancy_chain_has_none(spark):
+    from mesos_pregel_spark.algos.condense import transitive_redundancy
+
+    out = transitive_redundancy(
+        spark, _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    )
+    got = {r["src"]: (r["outdeg"], r["n_redundant"]) for r in out.collect()}
+    assert got == {"a": (1, 0), "b": (1, 0), "c": (1, 0)}
+
+
+def test_transitive_redundancy_hub_cap_drops_middle(spark):
+    from mesos_pregel_spark.algos.condense import transitive_redundancy
+
+    # b is the only wedge middle (total degree 4 > cap 3): with the
+    # cap, nothing witnesses a->c / a->d
+    pairs = [("a", "b"), ("b", "c"), ("b", "d"), ("x", "b"),
+             ("a", "c"), ("a", "d")]
+    uncapped = transitive_redundancy(spark, _edges(spark, pairs))
+    got_u = {r["src"]: r["n_redundant"] for r in uncapped.collect()}
+    assert got_u["a"] == 2
+    capped = transitive_redundancy(
+        spark, _edges(spark, pairs), max_degree=3
+    )
+    got_c = {r["src"]: r["n_redundant"] for r in capped.collect()}
+    assert got_c["a"] == 0
+
+
 def test_mixed_scc_and_dag_levels(spark):
     # source s feeds the cycle {p,q}, which feeds sink t:
     # s (0) -> {p,q} (1) -> t (2)
