@@ -118,3 +118,58 @@ def butterfly_counts(
     rp.unpersist()
     be.unpersist()
     return out, int(tl)
+
+
+def bipartite_clustering(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Robins-Alexander bipartite clustering coefficient — the
+    C4-density analogue of transitivity: cc4 = 4·butterflies /
+    caterpillars, where caterpillars (3-paths) = Σ over edges (l, r)
+    of (deg l − 1)·(deg r − 1), both exact longs, ONE rounded
+    division (NULL when the graph has no 3-path).  Butterfly total
+    reuses butterfly_counts (left-pair derivation counts each C4
+    once); the caterpillar sum is one degree join + one aggregate
+    over the edge set.  Returns one row
+    (butterflies, caterpillars, cc4)."""
+    lcol, rcol = edges.columns[0], edges.columns[1]
+    be = (
+        edges.select(F.col(lcol).alias("l"), F.col(rcol).alias("r"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    be.count()
+    try:
+        degl = be.groupBy("l").agg(F.count(F.lit(1)).alias("dl"))
+        degr = be.groupBy("r").agg(F.count(F.lit(1)).alias("dr"))
+        cat = (
+            be.join(degl, "l")
+            .join(degr, "r")
+            .agg(
+                F.sum(
+                    (F.col("dl") - 1).cast("long")
+                    * (F.col("dr") - 1).cast("long")
+                ).cast("long").alias("c")
+            )
+            .collect()[0]["c"]
+        ) or 0
+        _pv, bf = butterfly_counts(spark, be, max_degree=max_degree)
+    finally:
+        be.unpersist()
+    row = spark.createDataFrame(
+        [(int(bf), int(cat))], "butterflies long, caterpillars long"
+    )
+    return row.select(
+        "butterflies",
+        "caterpillars",
+        F.when(
+            F.col("caterpillars") > 0,
+            F.round(
+                F.lit(4.0) * F.col("butterflies").cast("double")
+                / F.col("caterpillars").cast("double"),
+                9,
+            ),
+        ).alias("cc4"),
+    )

@@ -3735,6 +3735,49 @@ def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_vertex.select(F.col("id").alias("actor"), "butterflies")
 
 
+def q_bipartite_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robins-Alexander bipartite clustering coefficient on the
+    customer→supplier bipartite graph (algos/bipartite.py): one row
+    (butterflies, caterpillars, cc4 = 4B/C rounded 9dp, NULL when no
+    3-path exists)."""
+    from mesos_pregel_spark.algos.bipartite import bipartite_clustering
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    be = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("l"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("r"),
+        )
+        .distinct()
+    )
+    return bipartite_clustering(spark, be)
+
+
+SQL_BIPARTITE_CC = """
+WITH be AS MATERIALIZED (
+  SELECT DISTINCT 'c:' || o_custkey AS l, 's:' || l_suppkey AS r
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+blp AS (
+  SELECT a.l AS x1, b.l AS x2, CAST(COUNT(*) AS BIGINT) AS k
+  FROM be a JOIN be b ON a.r = b.r AND a.l < b.l GROUP BY 1, 2),
+bft AS (
+  SELECT CAST(COALESCE(SUM(k * (k - 1) // 2), 0) AS BIGINT) AS b
+  FROM blp WHERE k >= 2),
+degl AS (SELECT l, COUNT(*) AS dl FROM be GROUP BY l),
+degr AS (SELECT r, COUNT(*) AS dr FROM be GROUP BY r),
+cat AS (
+  SELECT CAST(COALESCE(SUM((dl - 1) * (dr - 1)), 0) AS BIGINT) AS c
+  FROM be JOIN degl USING (l) JOIN degr USING (r))
+SELECT bft.b AS butterflies,
+       cat.c AS caterpillars,
+       CASE WHEN cat.c > 0
+            THEN ROUND(4.0 * bft.b / cat.c, 9) END AS cc4
+FROM bft, cat
+"""
+
+
 SQL_BUTTERFLIES = """
 WITH be AS MATERIALIZED (
   SELECT DISTINCT 'c:' || o_custkey AS l, 's:' || l_suppkey AS r
@@ -6364,6 +6407,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "condensation_levels": q_condensation_levels,
     "dag_levels": q_dag_levels,
     "tred_profile": q_tred_profile,
+    "bipartite_cc": q_bipartite_cc,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "ktruss": q_ktruss,
@@ -6679,6 +6723,7 @@ _QUERY_PRIORITY: list[str] = [
     "condensation_levels",
     "dag_levels",
     "tred_profile",
+    "bipartite_cc",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6714,6 +6759,7 @@ ORACLE_SQL: dict[str, str] = {
     "condensation_levels": SQL_CONDENSATION_LEVELS,
     "dag_levels": SQL_DAG_LEVELS,
     "tred_profile": SQL_TRED_PROFILE,
+    "bipartite_cc": SQL_BIPARTITE_CC,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "ktruss": SQL_KTRUSS,

@@ -142,3 +142,48 @@ def test_overlapping_vertex_namespaces_one_row_per_id(spark):
     got = {r["id"]: r["butterflies"] for r in rows}
     # each vertex sits in one butterfly per orientation = 2 total
     assert got == {1: 2, 2: 2, 3: 2, 4: 2} and total == 2
+
+
+def test_bipartite_clustering_complete_k22(spark):
+    from mesos_pregel_spark.algos.bipartite import bipartite_clustering
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")], "l string, r string"
+    )
+    row = bipartite_clustering(spark, df).collect()[0]
+    # complete K_{2,2}: 1 butterfly, 4 caterpillars, cc4 = 1.0
+    assert (row["butterflies"], row["caterpillars"], row["cc4"]) == (1, 4, 1.0)
+
+
+def test_bipartite_clustering_star_is_null(spark):
+    from mesos_pregel_spark.algos.bipartite import bipartite_clustering
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", "z")], "l string, r string"
+    )
+    row = bipartite_clustering(spark, df).collect()[0]
+    # no 3-path at all: coefficient undefined, pinned to NULL
+    assert (row["butterflies"], row["caterpillars"], row["cc4"]) == (0, 0, None)
+
+
+def test_bipartite_clustering_open_path(spark):
+    from mesos_pregel_spark.algos.bipartite import bipartite_clustering
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("b", "y")], "l string, r string"
+    )
+    row = bipartite_clustering(spark, df).collect()[0]
+    # one caterpillar, no butterfly closing it
+    assert (row["butterflies"], row["caterpillars"], row["cc4"]) == (0, 1, 0.0)
+
+
+def test_bipartite_clustering_pendant(spark):
+    from mesos_pregel_spark.algos.bipartite import bipartite_clustering
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("a", "z")],
+        "l string, r string",
+    )
+    row = bipartite_clustering(spark, df).collect()[0]
+    assert (row["butterflies"], row["caterpillars"]) == (1, 6)
+    assert row["cc4"] == round(4.0 / 6.0, 9)
