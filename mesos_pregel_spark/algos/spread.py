@@ -249,3 +249,135 @@ def lt_sweep(
         max_supersteps=max_supersteps,
         edge_partitions=edge_partitions,
     )
+
+
+def label_spreading(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: Sequence,
+    alpha: float = 0.85,
+    steps: int = 4,
+    edge_partitions: int | None = None,
+) -> tuple[DataFrame, PregelRun]:
+    """Soft multi-class label spreading (Zhou et al., "Learning with
+    Local and Global Consistency", NeurIPS 2004) — the semi-supervised
+    counterpart of A3's hard-label LPA: seed vertices carry one class
+    each, and class mass diffuses over the SYMMETRICALLY NORMALIZED
+    adjacency, F_{t+1} = alpha·S·F_t + (1−alpha)·Y with
+    S = D^{-1/2} A D^{-1/2}, run for a FIXED number of supersteps
+    (bounded-iteration semantics like katz/eigenvector).  The classic
+    use over a link graph: propagate a handful of audited quality /
+    topicality labels to every vertex with confidence scores, where
+    LPA would give an unweighted hard partition.
+
+    Pinned all-integer arithmetic (mirrored by the unrolled DuckDB
+    twin, queries.SQL_LABEL_SPREADING): state is MICRO-units
+    (f_seed,0 = 1_000_000; the (1−alpha)·Y restart is the exact
+    constant round((1−alpha)·1e6)).  Each edge term snaps
+    ROUND(f_micro / sqrt(deg_u·deg_v)) to BIGINT BEFORE the combine —
+    the one libm sqrt sees an exact integer product and the one
+    division sees bit-identical operands in both engines (the
+    source_kl micro-snap discipline) — so the per-superstep sum is an
+    order-independent sum of exact longs, and the per-step rescale
+    ROUND(alpha·sum) is one double op on an exact long.  No float
+    ever crosses a shuffle; the output is exact BIGINT lanes plus the
+    argmax class (ties → lowest lane).
+
+    ``seeds``: ordered ids, lane i = class i.  Returns
+    (labels(id, f0..f{k-1}, cls), run)."""
+    sds = list(seeds)
+    if not sds or len(set(sds)) != len(sds):
+        raise ValueError("seeds must be non-empty and distinct")
+    k = len(sds)
+    restart = int(round((1.0 - alpha) * 1_000_000))
+
+    def prep(e: DataFrame) -> DataFrame:
+        und = e.select("src", "dst").distinct()
+        sym = und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        deg = sym.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        return (
+            sym.join(deg.select(F.col("id").alias("src"),
+                                F.col("deg").alias("d_src")), "src")
+            .join(deg.select(F.col("id").alias("dst"),
+                             F.col("deg").alias("d_dst")), "dst")
+            .select(
+                "src", "dst",
+                F.sqrt((F.col("d_src") * F.col("d_dst")).cast("double"))
+                .alias("sqdd"),
+            )
+        )
+
+    def init(e: DataFrame, ctx: dict) -> DataFrame:
+        vertices = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        cols = [
+            F.when(F.col("id") == F.lit(sds[i]), F.lit(1_000_000))
+            .otherwise(F.lit(0)).cast("long").alias(f"f{i}")
+            for i in range(k)
+        ]
+        ybase = [
+            F.when(F.col("id") == F.lit(sds[i]), F.lit(restart))
+            .otherwise(F.lit(0)).cast("long").alias(f"y{i}")
+            for i in range(k)
+        ]
+        return vertices.select("id", *cols, *ybase)
+
+    def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:
+        new_f = [
+            (
+                F.round(
+                    F.lit(alpha)
+                    * F.coalesce(combined[f"s{i}"], F.lit(0))
+                    .cast("double")
+                ).cast("long")
+                + state[f"y{i}"]
+            ).alias(f"f{i}")
+            for i in range(k)
+        ]
+        return state.join(
+            combined, state["id"] == combined["dst"], "left_outer"
+        ).select(
+            state["id"], *new_f, *[state[f"y{i}"] for i in range(k)]
+        )
+
+    def finalize(s: DataFrame) -> DataFrame:
+        best = (
+            F.greatest(*[F.col(f"f{i}") for i in range(k)])
+            if k > 1 else F.col("f0")
+        )
+        cls = F.lit(None).cast("long")
+        for i in reversed(range(k)):
+            cls = F.when(F.col(f"f{i}") == best, F.lit(i).cast("long")) \
+                .otherwise(cls)
+        return s.select("id", *[f"f{i}" for i in range(k)], cls.alias("cls"))
+
+    program = VertexProgram(
+        name="label_spreading",
+        init=init,
+        prep_edges=prep,
+        edge_cols=("src", "dst", "sqdd"),
+        msg_cols=[
+            F.round(F.col(f"f{i}").cast("double") / F.col("sqdd"))
+            .cast("long").alias(f"m{i}")
+            for i in range(k)
+        ],
+        combiner={f"s{i}": (f"m{i}", "sum") for i in range(k)},
+        apply=apply,
+        aggregators=[F.count(F.lit(1)).alias("n")],
+        halt=lambda aggs: False,
+        finalize=finalize,
+        converged_at_cap=True,
+        params={"alpha": alpha, "k": k},
+    )
+    return pregel(
+        spark, edges, program,
+        max_supersteps=steps,
+        edge_partitions=edge_partitions,
+    )

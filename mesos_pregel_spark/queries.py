@@ -1024,6 +1024,102 @@ FROM lv GROUP BY comp
 """
 
 
+def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zhou-2004 label spreading on the undirected parts graph, 3
+    classes seeded at the 3 smallest part ids (the landmarks
+    convention), 4 supersteps, all-integer micro-unit lanes
+    (algos/spread.py::label_spreading)."""
+    from mesos_pregel_spark.algos.spread import label_spreading
+
+    e = _parts_edges(spark, sf_dir)
+    seeds = [
+        r["id"]
+        for r in e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct().orderBy("id").limit(3).collect()
+    ]
+    labels, _run = label_spreading(
+        spark, e, seeds, alpha=0.85, steps=4, edge_partitions=8
+    )
+    return labels.select(
+        F.col("id").cast("long").alias("part"), "f0", "f1", "f2", "cls"
+    )
+
+
+def _sql_label_spreading(k: int = 3, steps: int = 4,
+                         alpha: float = 0.85) -> str:
+    """Unrolled per-step twin (the landmarks pattern): every edge term
+    snaps ROUND(f / sqrt(deg·deg)) to BIGINT before the sum, the
+    rescale is CAST(ROUND(alpha·s) AS BIGINT) — operand order pinned
+    identically to the Spark kernel."""
+    restart = int(round((1.0 - alpha) * 1_000_000))
+    fcols = ", ".join(f"f{i}" for i in range(k))
+    parts = [f"""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+und AS MATERIALIZED (
+  SELECT a.p AS lo, b.p AS hi
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+),
+sym AS MATERIALIZED (
+  SELECT lo AS s, hi AS d FROM und UNION SELECT hi, lo FROM und
+),
+deg AS MATERIALIZED (SELECT s AS id, COUNT(*) AS deg FROM sym GROUP BY s),
+esq AS MATERIALIZED (
+  SELECT sym.s, sym.d, SQRT(CAST(ds.deg * dd.deg AS DOUBLE)) AS sqdd
+  FROM sym JOIN deg ds ON ds.id = sym.s JOIN deg dd ON dd.id = sym.d
+),
+lms AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS i
+        FROM (SELECT id FROM deg ORDER BY id LIMIT {k})),
+g0 AS MATERIALIZED (
+  SELECT deg.id,"""]
+    seed_f = ",".join(
+        f"""
+    CASE WHEN deg.id = (SELECT id FROM lms WHERE i = {i})
+         THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS f{i}"""
+        for i in range(k)
+    )
+    seed_y = ",".join(
+        f"""
+    CASE WHEN deg.id = (SELECT id FROM lms WHERE i = {i})
+         THEN CAST({restart} AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y{i}"""
+        for i in range(k)
+    )
+    parts.append(seed_f + "," + seed_y + "\n  FROM deg\n)")
+    for t in range(1, steps + 1):
+        sums = ",".join(
+            f"""
+      SUM(CAST(ROUND(f.f{i} / e.sqdd) AS BIGINT)) AS s{i}"""
+            for i in range(k)
+        )
+        news = ",".join(
+            f"""
+    CAST(ROUND({alpha} * COALESCE(c.s{i}, 0)) AS BIGINT) + g.y{i} AS f{i}"""
+            for i in range(k)
+        )
+        ys = ",".join(f"g.y{i}" for i in range(k))
+        parts.append(f""",
+g{t} AS MATERIALIZED (
+  SELECT g.id,{news},
+    {ys}
+  FROM g{t-1} g LEFT JOIN (
+    SELECT e.d AS id,{sums}
+    FROM esq e JOIN g{t-1} f ON f.id = e.s GROUP BY e.d) c ON c.id = g.id
+)""")
+    best = "GREATEST(" + ", ".join(f"f{i}" for i in range(k)) + ")"
+    cls = "CASE " + " ".join(
+        f"WHEN f{i} = {best} THEN CAST({i} AS BIGINT)" for i in range(k)
+    ) + " END"
+    parts.append(f"""
+SELECT CAST(id AS BIGINT) AS part, {fcols}, {cls} AS cls FROM g{steps}
+""")
+    return "".join(parts)
+
+
+SQL_LABEL_SPREADING = _sql_label_spreading()
+
+
 def q_tred_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-hop transitive-redundancy profile of the parts DAG
     (algos/condense.py::transitive_redundancy): per source part, its
@@ -6408,6 +6504,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dag_levels": q_dag_levels,
     "tred_profile": q_tred_profile,
     "bipartite_cc": q_bipartite_cc,
+    "label_spreading": q_label_spreading,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "ktruss": q_ktruss,
@@ -6724,6 +6821,7 @@ _QUERY_PRIORITY: list[str] = [
     "dag_levels",
     "tred_profile",
     "bipartite_cc",
+    "label_spreading",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6760,6 +6858,7 @@ ORACLE_SQL: dict[str, str] = {
     "dag_levels": SQL_DAG_LEVELS,
     "tred_profile": SQL_TRED_PROFILE,
     "bipartite_cc": SQL_BIPARTITE_CC,
+    "label_spreading": SQL_LABEL_SPREADING,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "ktruss": SQL_KTRUSS,
