@@ -120,6 +120,72 @@ def k_core(
     )
 
 
+def s_core(
+    spark: SparkSession,
+    edges: DataFrame,
+    s: float = 2.0,
+    max_supersteps: int = 50,
+    edge_partitions: int | None = None,
+) -> tuple[DataFrame, PregelRun]:
+    """Strength-core peel (Eidsaa-Almaas PRE 2013 "s-core" — the
+    weighted generalization of the k-core): repeatedly remove every
+    vertex whose summed incident edge WEIGHT among surviving vertices
+    falls below ``s``.  On a transcript-derived graph this separates
+    actors by interaction VOLUME where k_core separates by partner
+    COUNT — a hub with many one-shot links can sit in a high k-core
+    but a low s-core, and vice versa.
+
+    Determinism: edge weights here are exact integer counts carried
+    in doubles (lossless ≤ 2^53 — the lt_spread discipline), so the
+    per-round strength sums are order-independent and the ≥ s
+    comparison cannot drift cross-engine.  Same monotone-peel
+    economics as k_core: dead vertices never send, fixpoint when a
+    round removes nobody, capped ≡ unrolled."""
+
+    def init(e: DataFrame, ctx: dict) -> DataFrame:
+        return (
+            e.select(F.col("src").alias("id")).distinct()
+            .select("id", F.lit(True).alias("alive"))
+        )
+
+    def apply(state: DataFrame, combined: DataFrame, ctx: dict) -> DataFrame:
+        stg = F.coalesce(combined["strength"], F.lit(0.0))
+        return (
+            state.join(combined, state["id"] == combined["dst"], "left_outer")
+            .select(
+                state["id"],
+                (state["alive"] & (stg >= s)).alias("alive"),
+                (state["alive"] & (stg < s)).alias("removed"),
+            )
+        )
+
+    program = VertexProgram(
+        name="score",
+        init=init,
+        prep_edges=lambda e: symmetrize(e.select("src", "dst", "weight")),
+        edge_cols=("src", "dst", "weight"),
+        msg_cols=[F.col("weight").alias("m")],
+        active_filter=F.col("alive"),
+        combiner={"strength": ("m", "sum")},
+        apply=apply,
+        aggregators=[
+            F.sum(F.col("removed").cast("long")).alias("removed"),
+            F.sum(F.col("alive").cast("long")).alias("core_size"),
+        ],
+        halt=lambda aggs: aggs["removed"] == 0,
+        converged_at_cap=True,
+        finalize=lambda st: st.select("id", "alive").withColumnRenamed(
+            "alive", "in_core"
+        ),
+        params={"s": s},
+    )
+    return pregel(
+        spark, edges, program,
+        max_supersteps=max_supersteps,
+        edge_partitions=edge_partitions,
+    )
+
+
 def core_number(
     spark: SparkSession,
     edges: DataFrame,

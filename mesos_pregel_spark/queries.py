@@ -1024,6 +1024,64 @@ FROM lv GROUP BY comp
 """
 
 
+_SCORE_S = 85.0
+_SCORE_STEPS = 6
+
+
+def q_s_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strength-core peel (Eidsaa-Almaas s-core) on the WEIGHTED
+    parts graph at s=85, a near-critical threshold where the cascade
+    genuinely runs multiple rounds — pinned to 6 BOUNDED peel rounds
+    (monotone peel: capped ≡ unrolled, the kcore/onion discipline;
+    the fixpoint at this threshold is hundreds of rounds away, which
+    neither engine should pay)."""
+    from mesos_pregel_spark.algos.kcore import s_core
+
+    out, _run = s_core(
+        spark, _parts_edges(spark, sf_dir), s=_SCORE_S,
+        max_supersteps=_SCORE_STEPS, edge_partitions=8,
+    )
+    return out.select(
+        F.col("id").cast("long").alias("part"),
+        F.col("in_core").cast("long").alias("in_core"),
+    )
+
+
+def _sql_s_core(s: float = _SCORE_S, steps: int = _SCORE_STEPS) -> str:
+    parts = ["""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+und AS MATERIALIZED (
+  SELECT a.p AS lo, b.p AS hi, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+),
+wsym AS MATERIALIZED (
+  SELECT s, d, SUM(w) AS w FROM (
+    SELECT lo AS s, hi AS d, w FROM und
+    UNION ALL SELECT hi, lo, w FROM und) u
+  GROUP BY s, d
+),
+a0 AS MATERIALIZED (SELECT DISTINCT s AS actor, TRUE AS alive FROM wsym)"""]
+    for i in range(1, steps + 1):
+        parts.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT p.actor, (p.alive AND COALESCE(dg.w, 0) >= {s}) AS alive
+  FROM a{i-1} p LEFT JOIN (
+    SELECT wsym.d AS actor, SUM(wsym.w) AS w
+    FROM wsym JOIN a{i-1} q ON q.actor = wsym.s AND q.alive
+    GROUP BY wsym.d) dg ON dg.actor = p.actor
+)""")
+    parts.append(f"""
+SELECT CAST(actor AS BIGINT) AS part, CAST(alive AS BIGINT) AS in_core
+FROM a{steps}
+""")
+    return "".join(parts)
+
+
+SQL_S_CORE = _sql_s_core()
+
+
 def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zhou-2004 label spreading on the undirected parts graph, 3
     classes seeded at the 3 smallest part ids (the landmarks
@@ -6505,6 +6563,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tred_profile": q_tred_profile,
     "bipartite_cc": q_bipartite_cc,
     "label_spreading": q_label_spreading,
+    "s_core": q_s_core,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "ktruss": q_ktruss,
@@ -6822,6 +6881,7 @@ _QUERY_PRIORITY: list[str] = [
     "tred_profile",
     "bipartite_cc",
     "label_spreading",
+    "s_core",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6859,6 +6919,7 @@ ORACLE_SQL: dict[str, str] = {
     "tred_profile": SQL_TRED_PROFILE,
     "bipartite_cc": SQL_BIPARTITE_CC,
     "label_spreading": SQL_LABEL_SPREADING,
+    "s_core": SQL_S_CORE,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "ktruss": SQL_KTRUSS,

@@ -202,3 +202,52 @@ def test_onion_layers_consistent_with_kcore(spark):
     # the tail peels outside-in: 5 first, then 4
     assert got_layer[5] == 1 and got_layer[4] == 2
     assert got_layer[1] == got_layer[2] == got_layer[3] == 0
+
+
+def test_s_core_weighted_cascade(spark):
+    from mesos_pregel_spark.algos.kcore import s_core
+
+    # strengths: a=4, b=5, c=3.  s=4 kills c, then a and b starve.
+    df = spark.createDataFrame(
+        [("a", "b", 3.0), ("b", "c", 2.0), ("a", "c", 1.0)],
+        "src string, dst string, weight double",
+    )
+    out, _run = s_core(spark, df, s=4.0)
+    got = {r["id"]: r["in_core"] for r in out.collect()}
+    assert got == {"a": False, "b": False, "c": False}
+
+    out3, _run = s_core(spark, df, s=3.0)
+    got3 = {r["id"]: r["in_core"] for r in out3.collect()}
+    assert got3 == {"a": True, "b": True, "c": True}
+
+
+def test_s_core_capped_round_is_exact(spark):
+    from mesos_pregel_spark.algos.kcore import s_core
+
+    df = spark.createDataFrame(
+        [("a", "b", 3.0), ("b", "c", 2.0), ("a", "c", 1.0)],
+        "src string, dst string, weight double",
+    )
+    # one peel round at s=4: only c has fallen so far
+    out, run = s_core(spark, df, s=4.0, max_supersteps=1)
+    got = {r["id"]: r["in_core"] for r in out.collect()}
+    assert got == {"a": True, "b": True, "c": False}
+    assert len(run.metrics) == 1  # exactly the one bounded round ran
+
+
+def test_s_core_differs_from_k_core(spark):
+    from mesos_pregel_spark.algos.kcore import k_core, s_core
+
+    # hub h has FOUR weight-1 partners (degree 4, strength 4);
+    # pair x-y has ONE heavy link (degree 1+tail, strength 5 each)
+    df = spark.createDataFrame(
+        [("h", "p1", 1.0), ("h", "p2", 1.0), ("h", "p3", 1.0),
+         ("h", "p4", 1.0), ("x", "y", 5.0)],
+        "src string, dst string, weight double",
+    )
+    kc, _ = k_core(spark, df, k=2)
+    in_k = {r["id"] for r in kc.collect() if r["in_core"]}
+    sc, _ = s_core(spark, df, s=5.0)
+    in_s = {r["id"] for r in sc.collect() if r["in_core"]}
+    assert "x" in in_s and "y" in in_s and "h" not in in_s
+    assert "x" not in in_k and "h" not in in_k  # degree view disagrees
