@@ -2165,6 +2165,98 @@ def q_reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness (EPL 2008) of each actor's GLOBAL
+    activity stream: B = (σ−μ)/(σ+μ) over inter-event gaps, ordered
+    by (ts, event_id) within the actor — B→−1 periodic (bot-like
+    cadence), B≈0 Poisson, B→+1 bursty (human-like).  The one-number
+    companion of `bursts`' day-windowed profile.
+
+    Pinned: gaps are exact epoch-µs longs; the per-actor sufficient
+    statistics (n, Σg, Σg²) are exact decimal(38,0)/HUGEINT sums
+    (order-independent — Σg² overflows int64 by design scale, the
+    heaps_law discipline); mean and σ are a PINNED double-op sequence
+    over those exact integers (identical IEEE conversions in both
+    engines), variance clamped at 0 before the one sqrt (float
+    cancellation on an all-equal gap stream must not produce NaN),
+    ONE rounded division; n < 2 ⇒ NULL."""
+    from pyspark.sql import Window
+
+    from mesos_pregel_spark.functions.sessions import _us_col
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = _us_col()
+    seq = _events(spark, sf_dir).select(
+        F.col("event_type").alias("actor"), us.alias("us"),
+        F.lag(us).over(w).alias("prv"),
+    )
+    gaps = seq.where(F.col("prv").isNotNull()).select(
+        "actor", (F.col("us") - F.col("prv")).alias("g")
+    )
+    g19 = F.col("g").cast("decimal(19,0)")
+    st = gaps.groupBy("actor").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("sg"),
+        F.sum((g19 * g19).cast("decimal(38,0)")).alias("sg2"),
+    )
+    n_d = F.col("n").cast("double")
+    sg_d = F.col("sg").cast("double")
+    sg2_d = F.col("sg2").cast("double")
+    d = st.select(
+        "actor", "n",
+        (sg_d / n_d).alias("mean"),
+        F.sqrt(
+            F.greatest(
+                (n_d * sg2_d - sg_d * sg_d) / (n_d * n_d), F.lit(0.0)
+            )
+        ).alias("sd"),
+    )
+    return d.select(
+        "actor",
+        F.col("n").alias("n_gaps"),
+        F.when(
+            (F.col("n") >= 2) & (F.col("sd") + F.col("mean") > 0),
+            F.round(
+                (F.col("sd") - F.col("mean"))
+                / (F.col("sd") + F.col("mean")),
+                9,
+            ),
+        ).alias("burstiness"),
+    )
+
+
+SQL_BURSTINESS = """
+WITH seq AS (
+  SELECT event_type AS actor, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS prv
+  FROM events
+),
+gaps AS (
+  SELECT actor, us - prv AS g FROM seq WHERE prv IS NOT NULL
+),
+st AS (
+  SELECT actor, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(g AS HUGEINT)) AS sg,
+         SUM(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sg2
+  FROM gaps GROUP BY actor
+),
+d AS (
+  SELECT actor, n,
+         CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         SQRT(GREATEST(
+           (CAST(n AS DOUBLE) * CAST(sg2 AS DOUBLE)
+            - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0)) AS sd
+  FROM st
+)
+SELECT actor, n AS n_gaps,
+       CASE WHEN n >= 2 AND sd + mean > 0
+            THEN ROUND((sd - mean) / (sd + mean), 9) END AS burstiness
+FROM d
+"""
+
+
 SQL_REPLY_LATENCY = """
 WITH seq AS (
   SELECT event_type AS src_actor, epoch_us(ts) AS us,
@@ -6564,6 +6656,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bipartite_cc": q_bipartite_cc,
     "label_spreading": q_label_spreading,
     "s_core": q_s_core,
+    "burstiness": q_burstiness,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "ktruss": q_ktruss,
@@ -6882,6 +6975,7 @@ _QUERY_PRIORITY: list[str] = [
     "bipartite_cc",
     "label_spreading",
     "s_core",
+    "burstiness",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6920,6 +7014,7 @@ ORACLE_SQL: dict[str, str] = {
     "bipartite_cc": SQL_BIPARTITE_CC,
     "label_spreading": SQL_LABEL_SPREADING,
     "s_core": SQL_S_CORE,
+    "burstiness": SQL_BURSTINESS,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "ktruss": SQL_KTRUSS,

@@ -438,3 +438,49 @@ def test_session_histogram_buckets(spark):
         exp[b][1] += r["n_events"]
     assert {b: (r["n_sessions"], r["sum_events"])
             for b, r in hist.items()} == {b: tuple(v) for b, v in exp.items()}
+
+
+def test_burstiness_closed_forms():
+    """Goh-Barabási B over the twin (DuckDB side — the Spark side is
+    pinned by driver parity at two scales): a metronome stream is
+    exactly B = -1 (sigma 0), a two-burst stream is strongly positive,
+    and a single gap is NULL (n < 2)."""
+    import duckdb
+
+    from mesos_pregel_spark.queries import SQL_BURSTINESS
+
+    con = duckdb.connect()
+    rows = []
+    # metronome: every 10s
+    rows += [("periodic", i, f"2026-01-01 00:00:{i:02d}0") for i in range(6)]
+    # bursty: 5 events in 2s, then one 1h later, then 5 more
+    ts = [0, 1, 2, 3, 4, 3600, 3601, 3602, 3603, 3604]
+    rows += [("bursty", 100 + i, None) for i in range(len(ts))]
+    con.execute("""
+        CREATE TABLE events (
+          user_id INT, event_type TEXT, event_id INT, ts TIMESTAMP)
+    """)
+    for a, i, t in rows:
+        if a == "periodic":
+            con.execute(
+                "INSERT INTO events VALUES (1, 'periodic', ?, "
+                "TIMESTAMP '2026-01-01 00:00:00' + to_seconds(? * 10))",
+                [i, i],
+            )
+    for j, t in enumerate(ts):
+        con.execute(
+            "INSERT INTO events VALUES (1, 'bursty', ?, "
+            "TIMESTAMP '2026-01-01 00:00:00' + to_seconds(?))",
+            [100 + j, t],
+        )
+    con.execute(
+        "INSERT INTO events VALUES (1, 'single', 900, TIMESTAMP "
+        "'2026-01-01 00:00:00'), (1, 'single', 901, TIMESTAMP "
+        "'2026-01-01 00:05:00')"
+    )
+    got = {r[0]: (r[1], r[2])
+           for r in con.execute(SQL_BURSTINESS).fetchall()}
+    assert got["periodic"] == (5, -1.0)
+    # 8 one-second gaps + one hour gap: mu~400s, sigma~1131s -> B~0.48
+    assert got["bursty"][1] > 0.4
+    assert got["single"] == (1, None)
