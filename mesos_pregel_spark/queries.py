@@ -2257,6 +2257,84 @@ FROM d
 """
 
 
+def q_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inter-event gap order statistics (p50/p90/p99) per actor —
+    the latency-SLO companion of `burstiness`' moment summary: the
+    median says what a typical cadence is, p99 what the tail stall is.
+
+    Pinned cross-engine semantics (zero FP anywhere): gaps are exact
+    epoch-µs longs over the same (ts, event_id)-ordered per-actor
+    stream as burstiness; the p-th percentile is the ascending k-th
+    order statistic at 0-indexed position ``(n-1)*p div 100`` (integer
+    arithmetic, no interpolation — the "lower" rule), so every output
+    is one of the input integers.  Ties in g make ROW_NUMBER
+    nondeterministic between equal values but the SELECTED VALUE at a
+    rank is the order statistic regardless of tie order.
+
+    Scale shape: one per-actor sort window over gaps (actor cardinality
+    bounds partition count; a hot actor's gap list is one partition —
+    bounded by that actor's event count, the reply_latency regime) +
+    one hash aggregate.  No joins, no iteration."""
+    from pyspark.sql import Window
+
+    from mesos_pregel_spark.functions.sessions import _us_col
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = _us_col()
+    seq = _events(spark, sf_dir).select(
+        F.col("event_type").alias("actor"), us.alias("us"),
+        F.lag(us).over(w).alias("prv"),
+    )
+    gaps = seq.where(F.col("prv").isNotNull()).select(
+        "actor", (F.col("us") - F.col("prv")).alias("g")
+    )
+    wr = Window.partitionBy("actor").orderBy("g")
+    wn = Window.partitionBy("actor")
+    r = gaps.select(
+        "actor", "g",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def _pick(p: int) -> Column:
+        idx = F.expr(f"((n - 1) * {p}) div 100") + F.lit(1)
+        return F.max(F.when(F.col("rn") == idx, F.col("g")))
+
+    return r.groupBy("actor").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        _pick(50).alias("p50_us"),
+        _pick(90).alias("p90_us"),
+        _pick(99).alias("p99_us"),
+    )
+
+
+SQL_GAP_PERCENTILES = """
+WITH seq AS (
+  SELECT event_type AS actor, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS prv
+  FROM events
+),
+gaps AS (
+  SELECT actor, us - prv AS g FROM seq WHERE prv IS NOT NULL
+),
+r AS (
+  SELECT actor, g,
+         ROW_NUMBER() OVER (PARTITION BY actor ORDER BY g) AS rn,
+         COUNT(*) OVER (PARTITION BY actor) AS n
+  FROM gaps
+)
+SELECT actor, CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MAX(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN g END)
+            AS BIGINT) AS p50_us,
+       CAST(MAX(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN g END)
+            AS BIGINT) AS p90_us,
+       CAST(MAX(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN g END)
+            AS BIGINT) AS p99_us
+FROM r GROUP BY actor
+"""
+
+
 SQL_REPLY_LATENCY = """
 WITH seq AS (
   SELECT event_type AS src_actor, epoch_us(ts) AS us,
@@ -6657,6 +6735,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_spreading": q_label_spreading,
     "s_core": q_s_core,
     "burstiness": q_burstiness,
+    "gap_percentiles": q_gap_percentiles,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "ktruss": q_ktruss,
@@ -6976,6 +7055,7 @@ _QUERY_PRIORITY: list[str] = [
     "label_spreading",
     "s_core",
     "burstiness",
+    "gap_percentiles",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7015,6 +7095,7 @@ ORACLE_SQL: dict[str, str] = {
     "label_spreading": SQL_LABEL_SPREADING,
     "s_core": SQL_S_CORE,
     "burstiness": SQL_BURSTINESS,
+    "gap_percentiles": SQL_GAP_PERCENTILES,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "ktruss": SQL_KTRUSS,

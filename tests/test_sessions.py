@@ -484,3 +484,41 @@ def test_burstiness_closed_forms():
     # 8 one-second gaps + one hour gap: mu~400s, sigma~1131s -> B~0.48
     assert got["bursty"][1] > 0.4
     assert got["single"] == (1, None)
+
+
+def test_gap_percentiles_order_statistics():
+    """The twin's percentile rule (DuckDB side — the Spark side is
+    pinned by driver parity at two scales) against an explicit python
+    sort with the same lower-index rule, plus the n=1 degenerate."""
+    import duckdb
+
+    from mesos_pregel_spark.queries import SQL_GAP_PERCENTILES
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE events (
+          user_id INT, event_type TEXT, event_id INT, ts TIMESTAMP)
+    """)
+    # gaps (seconds): 1, 2, 4, 8, 100 -> sorted same; n=5
+    offs = [0, 1, 3, 7, 15, 115]
+    for i, t in enumerate(offs):
+        con.execute(
+            "INSERT INTO events VALUES (1, 'a', ?, "
+            "TIMESTAMP '2026-01-01 00:00:00' + to_seconds(?))",
+            [i, t],
+        )
+    # single-gap actor: every percentile is that one gap
+    con.execute(
+        "INSERT INTO events VALUES (1, 'b', 900, TIMESTAMP "
+        "'2026-01-01 00:00:00'), (1, 'b', 901, TIMESTAMP "
+        "'2026-01-01 00:00:07')"
+    )
+    got = {r[0]: r[1:] for r in con.execute(SQL_GAP_PERCENTILES).fetchall()}
+    gaps = sorted((offs[i + 1] - offs[i]) * 1_000_000
+                  for i in range(len(offs) - 1))
+    n = len(gaps)
+    exp = tuple(gaps[(n - 1) * p // 100] for p in (50, 90, 99))
+    # lower-index rule: p90/p99 land on index (4*90)//100 = 3 -> 8s
+    assert got["a"] == (n,) + exp
+    assert got["a"][1:] == (4_000_000, 8_000_000, 8_000_000)
+    assert got["b"] == (1, 7_000_000, 7_000_000, 7_000_000)
