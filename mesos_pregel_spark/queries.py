@@ -3181,6 +3181,149 @@ pdeg AS MATERIALIZED (
 """
 
 
+# core_periphery H-index cap on the parts projection: denser graph,
+# same monotone capped == unrolled argument as _CORE_NUMBER_STEPS.
+_CORE_PERIPHERY_STEPS = 30
+
+
+def q_core_periphery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borgatti-Everett discrete core-periphery fit (Social Networks
+    1999) on the part co-order graph: core = the innermost k-shell
+    (coreness == kmax from the H-index fixpoint), then the three block
+    densities of the ideal-image test — core-core should be dense,
+    periphery-periphery sparse, core-periphery in between.
+
+    Pinned: coreness is the exact capped H-index schedule shared with
+    core_number; block edge counts are exact longs over the distinct
+    (lo < hi) undirected edges; each density is ONE 9dp-rounded
+    division of exact integers (possible-pair denominators via integer
+    `div`, NULL when a block has no pairs).
+
+    Scale shape: the coreness run is the engine's scatter/combine
+    kernel; the block classification is one broadcast join of the
+    2-column coreness map onto the edge table (vertex map << edges —
+    the 100-TB regime too, vertices are parts not lineitems) + one
+    aggregate; kmax and the final row are 1-row crossJoin broadcasts."""
+    from mesos_pregel_spark.algos.kcore import core_number
+
+    und = _parts_edges(spark, sf_dir)
+    cores, _run = core_number(
+        spark, und, max_supersteps=_CORE_PERIPHERY_STEPS, edge_partitions=8
+    )
+    kmax = cores.agg(F.max("core").alias("kmax"))
+    lab = cores.join(F.broadcast(kmax)).select(
+        "id", (F.col("core") == F.col("kmax")).alias("is_core")
+    )
+    sizes = lab.agg(
+        F.sum(F.when(F.col("is_core"), 1).otherwise(0))
+        .cast("long").alias("n_core"),
+        F.sum(F.when(F.col("is_core"), 0).otherwise(1))
+        .cast("long").alias("n_periph"),
+    )
+    ls = lab.withColumnsRenamed({"id": "src", "is_core": "c_src"})
+    ld = lab.withColumnsRenamed({"id": "dst", "is_core": "c_dst"})
+    blocks = (
+        und.join(F.broadcast(ls), "src").join(F.broadcast(ld), "dst")
+        .agg(
+            F.sum(F.when(F.col("c_src") & F.col("c_dst"), 1).otherwise(0))
+            .cast("long").alias("e_cc"),
+            F.sum(F.when(F.col("c_src") != F.col("c_dst"), 1).otherwise(0))
+            .cast("long").alias("e_cp"),
+            F.sum(F.when(~F.col("c_src") & ~F.col("c_dst"), 1).otherwise(0))
+            .cast("long").alias("e_pp"),
+        )
+    )
+
+    def _den(e: str, pairs: str) -> Column:
+        p = F.expr(pairs)
+        return F.when(
+            p > 0, F.round(F.col(e).cast("double") / p.cast("double"), 9)
+        )
+
+    return (
+        kmax.join(sizes).join(blocks)
+        .select(
+            "kmax", "n_core", "n_periph", "e_cc", "e_cp", "e_pp",
+            _den("e_cc", "n_core * (n_core - 1) div 2").alias("density_cc"),
+            _den("e_cp", "n_core * n_periph").alias("density_cp"),
+            _den("e_pp", "n_periph * (n_periph - 1) div 2")
+            .alias("density_pp"),
+        )
+    )
+
+
+def _sql_core_periphery(steps: int = _CORE_PERIPHERY_STEPS) -> str:
+    """The core_number H-index unroll transplanted onto the parts
+    projection, then the three-block density roll-up."""
+    parts = [_SQL_PARTS + """
+, syme AS MATERIALIZED (
+  SELECT lo AS s, hi AS d FROM und UNION SELECT hi, lo FROM und
+),
+c0 AS MATERIALIZED (
+  SELECT s AS actor, CAST(COUNT(*) AS BIGINT) AS c FROM syme GROUP BY s
+)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+c{k} AS MATERIALIZED (
+  SELECT p.actor, LEAST(p.c, h.h) AS c
+  FROM c{k-1} p JOIN (
+    SELECT actor, MAX(LEAST(m, cum)) AS h FROM (
+      SELECT sub.actor, sub.m,
+             CAST(SUM(sub.cnt) OVER (
+               PARTITION BY sub.actor ORDER BY sub.m DESC) AS BIGINT) AS cum
+      FROM (
+        SELECT syme.d AS actor, q.c AS m, COUNT(*) AS cnt
+        FROM syme JOIN c{k-1} q ON q.actor = syme.s
+        GROUP BY syme.d, q.c) sub
+    ) ranked GROUP BY actor) h ON h.actor = p.actor
+)""")
+    parts.append(f""",
+cn AS MATERIALIZED (SELECT actor, c AS core FROM c{steps}),
+km AS (SELECT MAX(core) AS kmax FROM cn),
+lab AS (
+  SELECT actor, core = (SELECT kmax FROM km) AS is_core FROM cn
+),
+sizes AS (
+  SELECT CAST(SUM(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_core,
+         CAST(SUM(CASE WHEN is_core THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_periph
+  FROM lab
+),
+blocks AS (
+  SELECT
+    CAST(SUM(CASE WHEN a.is_core AND b.is_core THEN 1 ELSE 0 END)
+         AS BIGINT) AS e_cc,
+    CAST(SUM(CASE WHEN a.is_core <> b.is_core THEN 1 ELSE 0 END)
+         AS BIGINT) AS e_cp,
+    CAST(SUM(CASE WHEN NOT a.is_core AND NOT b.is_core THEN 1 ELSE 0 END)
+         AS BIGINT) AS e_pp
+  FROM und
+  JOIN lab a ON a.actor = und.lo
+  JOIN lab b ON b.actor = und.hi
+)
+SELECT km.kmax, sizes.n_core, sizes.n_periph,
+       blocks.e_cc, blocks.e_cp, blocks.e_pp,
+       CASE WHEN n_core * (n_core - 1) // 2 > 0
+            THEN ROUND(CAST(e_cc AS DOUBLE)
+                       / CAST(n_core * (n_core - 1) // 2 AS DOUBLE), 9)
+       END AS density_cc,
+       CASE WHEN n_core * n_periph > 0
+            THEN ROUND(CAST(e_cp AS DOUBLE)
+                       / CAST(n_core * n_periph AS DOUBLE), 9)
+       END AS density_cp,
+       CASE WHEN n_periph * (n_periph - 1) // 2 > 0
+            THEN ROUND(CAST(e_pp AS DOUBLE)
+                       / CAST(n_periph * (n_periph - 1) // 2 AS DOUBLE), 9)
+       END AS density_pp
+FROM km CROSS JOIN sizes CROSS JOIN blocks
+""")
+    return "".join(parts)
+
+
+SQL_CORE_PERIPHERY = _sql_core_periphery()
+
+
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient — lcc is ONE double
     division of exact integer aggregates, so no rounding epsilon is
@@ -6736,6 +6879,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_core": q_s_core,
     "burstiness": q_burstiness,
     "gap_percentiles": q_gap_percentiles,
+    "core_periphery": q_core_periphery,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "ktruss": q_ktruss,
@@ -7056,6 +7200,7 @@ _QUERY_PRIORITY: list[str] = [
     "s_core",
     "burstiness",
     "gap_percentiles",
+    "core_periphery",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7096,6 +7241,7 @@ ORACLE_SQL: dict[str, str] = {
     "s_core": SQL_S_CORE,
     "burstiness": SQL_BURSTINESS,
     "gap_percentiles": SQL_GAP_PERCENTILES,
+    "core_periphery": SQL_CORE_PERIPHERY,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "ktruss": SQL_KTRUSS,

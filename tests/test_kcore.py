@@ -251,3 +251,28 @@ def test_s_core_differs_from_k_core(spark):
     in_s = {r["id"] for r in sc.collect() if r["in_core"]}
     assert "x" in in_s and "y" in in_s and "h" not in in_s
     assert "x" not in in_k and "h" not in in_k  # degree view disagrees
+
+
+def test_core_periphery_closed_form():
+    """Borgatti-Everett block densities on a planted K4 core with 5
+    pendant periphery parts (twin side — the Spark side is pinned by
+    driver parity at two scales): kmax=3, core-core density exactly
+    1.0, core-periphery 5/20, periphery-periphery 0.0."""
+    import duckdb
+
+    from mesos_pregel_spark.queries import SQL_CORE_PERIPHERY
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_orderkey INT, l_partkey INT)")
+    # one basket with parts 1..4 -> co-order K4 (coreness 3)
+    for p in (1, 2, 3, 4):
+        con.execute("INSERT INTO lineitem VALUES (100, ?)", [p])
+    # five 2-part baskets hanging part 1 with a pendant (coreness 1)
+    for i, p in enumerate((10, 11, 12, 13, 14)):
+        con.execute("INSERT INTO lineitem VALUES (?, 1)", [200 + i])
+        con.execute("INSERT INTO lineitem VALUES (?, ?)", [200 + i, p])
+    row = con.execute(SQL_CORE_PERIPHERY).fetchone()
+    kmax, n_core, n_periph, e_cc, e_cp, e_pp, d_cc, d_cp, d_pp = row
+    assert (kmax, n_core, n_periph) == (3, 4, 5)
+    assert (e_cc, e_cp, e_pp) == (6, 5, 0)
+    assert (d_cc, d_cp, d_pp) == (1.0, 0.25, 0.0)
