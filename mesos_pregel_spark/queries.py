@@ -3324,6 +3324,58 @@ FROM km CROSS JOIN sizes CROSS JOIN blocks
 SQL_CORE_PERIPHERY = _sql_core_periphery()
 
 
+# hitting_time fixed iteration budget: both engines run exactly k
+# Bellman steps (value iteration from below), so capped == unrolled by
+# construction — the markov_step8 contract.
+_HITTING_STEPS = 8
+
+
+def q_hitting_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected hitting time to the min-id landmark under the uniform
+    random walk on the part co-order graph — 8 Bellman value-iteration
+    steps in exact integer micro-steps (algos/hitting.py contract:
+    zero FP, order-independent integer sums, one integer floor
+    division per vertex per step)."""
+    from mesos_pregel_spark.algos.hitting import hitting_time
+
+    prof, _run = hitting_time(
+        spark, _parts_edges(spark, sf_dir),
+        max_supersteps=_HITTING_STEPS, edge_partitions=8,
+    )
+    return prof.select(F.col("id").alias("part"), F.col("h").alias("h_micro"))
+
+
+def _sql_hitting_time(steps: int = _HITTING_STEPS) -> str:
+    """Unrolled integer Bellman recurrence on the parts projection:
+    h0 = 0; h_k(v) = 10^6 + (sum of neighbor h_{k-1}) // deg(v),
+    landmark (MIN id) pinned to 0 every step."""
+    parts = [_SQL_PARTS + """
+, syme AS MATERIALIZED (
+  SELECT lo AS s, hi AS d FROM und UNION SELECT hi, lo FROM und
+),
+lm AS (SELECT MIN(id) AS m FROM pdeg),
+h0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS h FROM pdeg)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+h{k} AS MATERIALIZED (
+  SELECT p.id,
+         CASE WHEN p.id = (SELECT m FROM lm) THEN CAST(0 AS BIGINT)
+              ELSE CAST(1000000 + COALESCE(s.hs, 0) // p.deg AS BIGINT)
+         END AS h
+  FROM pdeg p LEFT JOIN (
+    SELECT syme.d AS id, SUM(q.h) AS hs
+    FROM syme JOIN h{k-1} q ON q.id = syme.s
+    GROUP BY syme.d) s ON s.id = p.id
+)""")
+    parts.append(f"""
+SELECT id AS part, h AS h_micro FROM h{steps}
+""")
+    return "".join(parts)
+
+
+SQL_HITTING_TIME = _sql_hitting_time()
+
+
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient — lcc is ONE double
     division of exact integer aggregates, so no rounding epsilon is
@@ -6880,6 +6932,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burstiness": q_burstiness,
     "gap_percentiles": q_gap_percentiles,
     "core_periphery": q_core_periphery,
+    "hitting_time": q_hitting_time,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "ktruss": q_ktruss,
@@ -7201,6 +7254,7 @@ _QUERY_PRIORITY: list[str] = [
     "burstiness",
     "gap_percentiles",
     "core_periphery",
+    "hitting_time",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7242,6 +7296,7 @@ ORACLE_SQL: dict[str, str] = {
     "burstiness": SQL_BURSTINESS,
     "gap_percentiles": SQL_GAP_PERCENTILES,
     "core_periphery": SQL_CORE_PERIPHERY,
+    "hitting_time": SQL_HITTING_TIME,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "ktruss": SQL_KTRUSS,
