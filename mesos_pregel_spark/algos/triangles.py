@@ -40,6 +40,59 @@ def canonical_undirected(edges: DataFrame) -> DataFrame:
     )
 
 
+def triangle_tuples(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Enumerate the distinct triangles themselves — (a, b, c) with
+    a < b < c — via the same degree-oriented wedge kernel as
+    triangle_count (each triangle emitted exactly once from its
+    lowest-rank corner; wedge work bounded by oriented out-degrees,
+    the hub-safe shape).
+
+    Returns a PERSISTED DataFrame (a, b, c); the caller owns the
+    unpersist.  Sorting the tuple to id order (vs orientation order)
+    costs one sort_array over a 3-element literal array — no shuffle."""
+    und = canonical_undirected(edges)
+    deg = (
+        und.select(F.col("lo").alias("id"))
+        .unionByName(und.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        und.join(deg.withColumnsRenamed({"id": "lo", "deg": "deg_lo"}), "lo")
+        .join(deg.withColumnsRenamed({"id": "hi", "deg": "deg_hi"}), "hi")
+    )
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = e.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(lo_first, F.col("deg_hi")).otherwise(F.col("deg_lo")).alias("deg_v"),
+    )
+    from pyspark.storagelevel import StorageLevel
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = oriented.alias("a"), oriented.alias("b")
+    wedges = a.join(b, F.col("a.u") == F.col("b.u")).where(
+        (F.col("a.deg_v") < F.col("b.deg_v"))
+        | ((F.col("a.deg_v") == F.col("b.deg_v")) & (F.col("a.v") < F.col("b.v")))
+    ).select(
+        F.col("a.u").alias("u"), F.col("a.v").alias("v"), F.col("b.v").alias("w")
+    )
+    wg, c = wedges.alias("wg"), oriented.alias("c")
+    tri = wg.join(
+        c, (F.col("wg.v") == F.col("c.u")) & (F.col("wg.w") == F.col("c.v"))
+    ).select(
+        F.sort_array(F.array("wg.u", "wg.v", "wg.w")).alias("abc")
+    ).select(
+        F.col("abc")[0].alias("a"),
+        F.col("abc")[1].alias("b"),
+        F.col("abc")[2].alias("c"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tri.count()  # materialize so the oriented cache can be released
+    oriented.unpersist()
+    return tri
+
+
 def triangle_count(
     spark: SparkSession, edges: DataFrame, kernel: str = "join"
 ) -> tuple[DataFrame, int]:

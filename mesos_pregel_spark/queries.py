@@ -3376,6 +3376,85 @@ SELECT id AS part, h AS h_micro FROM h{steps}
 SQL_HITTING_TIME = _sql_hitting_time()
 
 
+def q_clique_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 clique-percolation communities (Palla et al. Nature 2005)
+    on the part co-order graph — overlapping communities; a vertex
+    sits in every community one of its triangles percolates into
+    (algos/cpm.py contract: star-linked edge keys, engine pointer-
+    jumping CC, community label = MIN edge-key string)."""
+    from mesos_pregel_spark.algos.cpm import clique_communities
+
+    memb, _run = clique_communities(
+        spark, _parts_edges(spark, sf_dir), edge_partitions=8
+    )
+    return memb.select(F.col("id").alias("part"), "community")
+
+
+# CPM oracle doubling budget: min-label + pointer-jump halves the
+# longest label-propagation chain every round, so 20 rounds cover any
+# component diameter up to 2^20 — far past driver scale (engine side
+# runs the same algebra to fixpoint).
+_CPM_ROUNDS = 20
+
+
+def _sql_clique_communities(rounds: int = _CPM_ROUNDS) -> str:
+    """Lex-join triangle enumeration, per-triangle star links on the
+    LEAST edge key, then an unrolled hash-min + pointer-jump closure
+    (the cc_jump algebra) and the corner-explode membership."""
+    parts = [_SQL_PARTS + """
+, tri AS MATERIALIZED (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+  JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+keyed AS MATERIALIZED (
+  SELECT a, b, c,
+         a || '|' || b AS ea, a || '|' || c AS eb, b || '|' || c AS ec,
+         LEAST(a || '|' || b, a || '|' || c, b || '|' || c) AS emin
+  FROM tri
+),
+links AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT ea AS src, emin AS dst FROM keyed
+    UNION ALL SELECT eb, emin FROM keyed
+    UNION ALL SELECT ec, emin FROM keyed
+  ) u WHERE src <> dst
+),
+syml AS MATERIALIZED (
+  SELECT src AS s, dst AS d FROM links UNION SELECT dst, src FROM links
+),
+l0 AS MATERIALIZED (
+  SELECT v, v AS lbl FROM (
+    SELECT src AS v FROM links UNION SELECT dst FROM links) vs
+)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+l{k} AS MATERIALIZED (
+  SELECT v, MIN(lbl) AS lbl FROM (
+    SELECT v, lbl FROM l{k-1}
+    UNION ALL
+    SELECT s.d AS v, q.lbl FROM syml s JOIN l{k-1} q ON q.v = s.s
+    UNION ALL
+    SELECT p.v, q.lbl FROM l{k-1} p JOIN l{k-1} q ON q.v = p.lbl
+  ) u GROUP BY v
+)""")
+    parts.append(f"""
+SELECT DISTINCT part, community FROM (
+  SELECT k.a AS part, l.lbl AS community
+  FROM keyed k JOIN l{rounds} l ON l.v = k.emin
+  UNION ALL
+  SELECT k.b, l.lbl FROM keyed k JOIN l{rounds} l ON l.v = k.emin
+  UNION ALL
+  SELECT k.c, l.lbl FROM keyed k JOIN l{rounds} l ON l.v = k.emin
+) m
+""")
+    return "".join(parts)
+
+
+SQL_CLIQUE_COMMUNITIES = _sql_clique_communities()
+
+
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient — lcc is ONE double
     division of exact integer aggregates, so no rounding epsilon is
@@ -6933,6 +7012,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_percentiles": q_gap_percentiles,
     "core_periphery": q_core_periphery,
     "hitting_time": q_hitting_time,
+    "clique_communities": q_clique_communities,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "ktruss": q_ktruss,
@@ -7255,6 +7335,7 @@ _QUERY_PRIORITY: list[str] = [
     "gap_percentiles",
     "core_periphery",
     "hitting_time",
+    "clique_communities",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7297,6 +7378,7 @@ ORACLE_SQL: dict[str, str] = {
     "gap_percentiles": SQL_GAP_PERCENTILES,
     "core_periphery": SQL_CORE_PERIPHERY,
     "hitting_time": SQL_HITTING_TIME,
+    "clique_communities": SQL_CLIQUE_COMMUNITIES,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "ktruss": SQL_KTRUSS,
