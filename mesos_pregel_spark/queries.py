@@ -3455,6 +3455,131 @@ SELECT DISTINCT part, community FROM (
 SQL_CLIQUE_COMMUNITIES = _sql_clique_communities()
 
 
+# dispersion common-neighbor cap: the s-smallest K apexes per edge,
+# pinned by (s ASC) — the link_prediction hub-cap discipline; pair
+# work is bounded by C(K,2) per edge regardless of embeddedness.
+_DISPERSION_CAP = 12
+
+
+def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backstrom-Kleinberg dispersion (WWW 2014 — the "romantic
+    partner" tie detector): for an edge (u,v), how SPREAD OUT are
+    their common neighbors — the count of common-neighbor pairs with
+    NO edge between them.  High dispersion = u and v bridge otherwise
+    unconnected spheres (family, work, ...) — the signature of a
+    partner/backbone tie, where embeddedness alone just measures one
+    dense cluster.
+
+    Pinned cross-engine semantics: common neighbors come from the
+    triangle list (each apex once per edge); the per-edge set is
+    CAPPED at the _DISPERSION_CAP smallest apex ids (deterministic
+    total order, the hub-cap discipline of link_prediction);
+    dispersion = exact long count of capped apex pairs (s < t) absent
+    from the edge table; output = top 100 edges by the all-integer
+    order (disp DESC, lo ASC, hi ASC) — deterministic LIMIT.
+
+    Scale shape: apex capping is one row_number window over the
+    triangle-derived (edge, apex) rows; pair enumeration is a capped
+    self-join (<= C(K,2) rows per edge); adjacency is one left join
+    against the distinct edge table on the (s,t) key; one hash
+    aggregate + TakeOrdered.  No per-row Python."""
+    from mesos_pregel_spark.algos.triangles import triangle_tuples
+    from pyspark.sql import Window
+
+    und = _parts_edges(spark, sf_dir).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    )
+    tri = triangle_tuples(spark, _parts_edges(spark, sf_dir))
+    cn = (
+        tri.select(F.col("a").alias("lo"), F.col("b").alias("hi"),
+                   F.col("c").alias("s"))
+        .unionByName(tri.select(F.col("a").alias("lo"),
+                                F.col("c").alias("hi"),
+                                F.col("b").alias("s")))
+        .unionByName(tri.select(F.col("b").alias("lo"),
+                                F.col("c").alias("hi"),
+                                F.col("a").alias("s")))
+    )
+    w = Window.partitionBy("lo", "hi").orderBy("s")
+    capped = (
+        cn.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _DISPERSION_CAP)
+        .select("lo", "hi", "s")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b, (F.col("a.lo") == F.col("b.lo")) & (F.col("a.hi") == F.col("b.hi"))
+        & (F.col("a.s") < F.col("b.s"))
+    ).select(
+        F.col("a.lo").alias("lo"), F.col("a.hi").alias("hi"),
+        F.col("a.s").alias("s"), F.col("b.s").alias("t"),
+    )
+    adj = und.select(F.col("lo").alias("s"), F.col("hi").alias("t"),
+                     F.lit(1).alias("linked"))
+    scored = (
+        pairs.join(adj, ["s", "t"], "left_outer")
+        .groupBy("lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("linked").isNull(), 1).otherwise(0))
+            .cast("long").alias("disp"),
+        )
+    )
+    emb = capped.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("emb")
+    )
+    out = (
+        emb.join(scored, ["lo", "hi"], "left_outer")
+        .select("lo", "hi", "emb",
+                F.coalesce("disp", F.lit(0)).cast("long").alias("disp"))
+    )
+    res = out.orderBy(F.desc("disp"), "lo", "hi").limit(100)
+    tri.unpersist()
+    return res
+
+
+SQL_DISPERSION = _SQL_PARTS + f"""
+, tri AS MATERIALIZED (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+  JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+cn AS MATERIALIZED (
+  SELECT a AS lo, b AS hi, c AS s FROM tri
+  UNION ALL SELECT a, c, b FROM tri
+  UNION ALL SELECT b, c, a FROM tri
+),
+capped AS MATERIALIZED (
+  SELECT lo, hi, s FROM (
+    SELECT lo, hi, s,
+           ROW_NUMBER() OVER (PARTITION BY lo, hi ORDER BY s) AS rn
+    FROM cn) r
+  WHERE rn <= {_DISPERSION_CAP}
+),
+pairs AS (
+  SELECT a.lo, a.hi, a.s AS s, b.s AS t
+  FROM capped a JOIN capped b
+    ON a.lo = b.lo AND a.hi = b.hi AND a.s < b.s
+),
+scored AS (
+  SELECT p.lo, p.hi,
+         CAST(SUM(CASE WHEN e.lo IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS disp
+  FROM pairs p LEFT JOIN und e ON e.lo = p.s AND e.hi = p.t
+  GROUP BY p.lo, p.hi
+),
+emb AS (
+  SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS emb
+  FROM capped GROUP BY lo, hi
+)
+SELECT emb.lo, emb.hi, emb.emb,
+       CAST(COALESCE(scored.disp, 0) AS BIGINT) AS disp
+FROM emb LEFT JOIN scored ON scored.lo = emb.lo AND scored.hi = emb.hi
+ORDER BY disp DESC, emb.lo, emb.hi
+LIMIT 100
+"""
+
+
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient — lcc is ONE double
     division of exact integer aggregates, so no rounding epsilon is
@@ -7013,6 +7138,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "core_periphery": q_core_periphery,
     "hitting_time": q_hitting_time,
     "clique_communities": q_clique_communities,
+    "dispersion": q_dispersion,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "ktruss": q_ktruss,
@@ -7336,6 +7462,7 @@ _QUERY_PRIORITY: list[str] = [
     "core_periphery",
     "hitting_time",
     "clique_communities",
+    "dispersion",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7379,6 +7506,7 @@ ORACLE_SQL: dict[str, str] = {
     "core_periphery": SQL_CORE_PERIPHERY,
     "hitting_time": SQL_HITTING_TIME,
     "clique_communities": SQL_CLIQUE_COMMUNITIES,
+    "dispersion": SQL_DISPERSION,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "ktruss": SQL_KTRUSS,

@@ -502,3 +502,36 @@ def test_hill_alpha_degenerate_and_empty_tail(spark):
     df = spark.createDataFrame([(1, 2)], "id long, degree long")
     with _pytest.raises(ValueError):
         hill_alpha(df, dmin=0)
+
+
+def test_dispersion_closed_forms():
+    """BK dispersion on the twin (Spark side pinned by driver parity
+    at two scales): two common neighbors that are themselves linked
+    give dispersion 0; two unlinked common neighbors give 1; the
+    capped embeddedness column counts the apexes."""
+    import duckdb
+
+    from mesos_pregel_spark.queries import SQL_DISPERSION
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_orderkey INT, l_partkey INT)")
+
+    def basket(oid, parts):
+        for p in parts:
+            con.execute("INSERT INTO lineitem VALUES (?, ?)", [oid, p])
+
+    # edge (1,2) with common neighbors 3 and 4, and 3-4 LINKED
+    # (one basket {1,2,3,4} creates all 6 pairs incl. 3-4)
+    basket(100, [1, 2, 3, 4])
+    # edge (11,12) with common neighbors 13,14 NOT linked:
+    # baskets {11,12}, {11,12? no -- build via three baskets:
+    # {11,12,13} and {11,12,14}: edges 11-12 (twice), 11-13, 12-13,
+    # 11-14, 12-14; 13-14 absent
+    basket(200, [11, 12, 13])
+    basket(201, [11, 12, 14])
+    rows = {(r[0], r[1]): (r[2], r[3])
+            for r in con.execute(SQL_DISPERSION).fetchall()}
+    assert rows[(1, 2)] == (2, 0)      # 3-4 linked -> dispersion 0
+    assert rows[(11, 12)] == (2, 1)    # 13-14 unlinked -> dispersion 1
+    # single-apex edges have no pairs at all
+    assert rows[(11, 13)] == (1, 0)
