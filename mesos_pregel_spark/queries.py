@@ -7463,6 +7463,7 @@ _QUERY_PRIORITY: list[str] = [
     "hitting_time",
     "clique_communities",
     "dispersion",
+    "cluster_split",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -93,6 +93,7 @@ from mesos_pregel_spark.functions.packing import chunk_windows, pack_concat
 from mesos_pregel_spark.functions.sampling import (
     sample_to_token_budget,
     stratified_sample,
+    uniform_col,
 )
 
 
@@ -2233,6 +2234,90 @@ FROM tagged GROUP BY source
 """
 
 
+# Group-aware split fractions: 90/5/5 by the pinned 48-bit md5 uniform
+# on the GROUP id, so every member of a near-dup cluster lands in the
+# SAME split by construction (leakage-safe), while singleton docs
+# split on their own id.
+_SPLIT_SEED = "split42"
+_SPLIT_TRAIN = 0.90
+_SPLIT_VAL = 0.95
+
+
+def _cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment — the split a careful
+    pipeline runs INSTEAD of hashing raw doc_ids: near-duplicate
+    documents must land in the SAME split or eval leaks train content
+    through paraphrases (the contamination mode exact-match decon
+    can't see).  Group id = the doc's dedup CLUSTER representative
+    (engine CC over verified near-dup pairs) when it has one, else its
+    own doc_id; the split decision hashes the GROUP id with the
+    pinned 48-bit md5 uniform, so cluster members agree by
+    construction rather than by audit.
+
+    Output is the per-(split, source) budget report: exact doc /
+    group / token counts.  Scale shape: the cluster map is the
+    already-audited dedup composition; the split label is one JVM
+    md5 projection (no shuffle); the report is one hash aggregate
+    with map-side partials — the doc table is scanned once."""
+    docs = _docs(spark, sf_dir)
+    clu = _dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    toks = token_stats(docs).select("doc_id", "n_tokens")
+    base = (
+        docs.select("doc_id", "source")
+        .join(clu, "doc_id", "left_outer")
+        .select(
+            "doc_id", "source",
+            F.coalesce("cluster", F.col("doc_id")).alias("gid"),
+        )
+    )
+    u = uniform_col(_SPLIT_SEED, F.col("gid"))
+    lab = base.select(
+        "doc_id", "source", "gid",
+        F.when(u < F.lit(_SPLIT_TRAIN), F.lit("train"))
+        .when(u < F.lit(_SPLIT_VAL), F.lit("val"))
+        .otherwise(F.lit("test")).alias("split"),
+    )
+    return (
+        lab.join(toks, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("gid").cast("long").alias("n_groups"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_SQL_SPLIT_U = (
+    "('0x' || substr(MD5('" + _SPLIT_SEED + ":' || CAST(g.gid AS VARCHAR)),"
+    " 1, 12))::BIGINT / 281474976710656.0"
+)
+
+SQL_CLUSTER_SPLIT = (
+    f"WITH clu AS ({SQL_DEDUP_CLUSTERS}),\n"
+    + _SQL_STATS.replace("WITH ", "", 1).rstrip()
+    + f""",
+grp AS (
+  SELECT d.doc_id, d.source, COALESCE(c.cluster, d.doc_id) AS gid
+  FROM documents d LEFT JOIN clu c ON c.doc_id = d.doc_id
+),
+lab AS (
+  SELECT g.doc_id, g.source, g.gid,
+         CASE WHEN {_SQL_SPLIT_U} < {_SPLIT_TRAIN!r} THEN 'train'
+              WHEN {_SQL_SPLIT_U} < {_SPLIT_VAL!r} THEN 'val'
+              ELSE 'test' END AS split
+  FROM grp g
+)
+SELECT l.split, l.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT l.gid) AS BIGINT) AS n_groups,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
+FROM lab l JOIN token_stats t ON t.doc_id = l.doc_id
+GROUP BY l.split, l.source
+"""
+)
+
+
 def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the stopword-vote language-ID against the
     documents table's ground-truth ``lang`` column — the evaluation a
@@ -2433,6 +2518,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_decontaminate": _fuzzy_decontaminate,
     "dup_source_matrix": lambda s, d: _eager_release(
         dup_source_matrix(_docs(s, d), threshold=DUP_MATRIX_THR)),
+    "cluster_split": _cluster_split,
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -2494,4 +2580,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "heaps_law": SQL_HEAPS_LAW,
     "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
     "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
+    "cluster_split": SQL_CLUSTER_SPLIT,
 }

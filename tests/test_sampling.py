@@ -117,3 +117,41 @@ def test_budget_caps_expected_tokens(spark):
     )
     for r in kept:
         assert r["t"] < 4 * budget  # loose deterministic sanity bound
+
+
+def test_cluster_split_is_leakage_safe():
+    """Two identical docs whose RAW ids hash to different splits
+    (doc 1 -> u=0.534 train, doc 10 -> u=0.975 test) must land in the
+    SAME split under the group-aware rule, because the split hashes
+    the dedup-cluster representative, not the doc id (twin side — the
+    Spark side is pinned by driver parity at two scales)."""
+    import hashlib
+
+    import duckdb
+
+    from mesos_pregel_spark.queries_text import SQL_CLUSTER_SPLIT
+
+    def u(gid):
+        h = hashlib.md5(f"split42:{gid}".encode()).hexdigest()[:12]
+        return int(h, 16) / 281474976710656.0
+
+    # fixture precondition: a naive doc_id split WOULD separate them
+    assert u(1) < 0.90 <= 0.95 <= u(10)
+
+    dup_text = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text TEXT, "
+        "lang TEXT, source TEXT, n_chars BIGINT)"
+    )
+    for did, text, src in [(1, dup_text, "s1"), (10, dup_text, "s1"),
+                           (3, other, "s2")]:
+        con.execute("INSERT INTO documents VALUES (?, ?, 'en', ?, ?)",
+                    [did, text, src, len(text)])
+    rows = con.execute(SQL_CLUSTER_SPLIT).fetchall()
+    s1 = [r for r in rows if r[1] == "s1"]
+    # ONE row: both dups in the cluster-representative's split (train)
+    assert len(s1) == 1 and s1[0][0] == "train"
+    assert (s1[0][2], s1[0][3]) == (2, 1)  # 2 docs, 1 group
+    assert sum(r[2] for r in rows) == 3
