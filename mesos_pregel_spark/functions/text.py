@@ -621,3 +621,59 @@ def approx_vocab(
             / F.col("exact_distinct").cast("double"), 6
         ).alias("rel_error"),
     )
+
+
+# The BPE-ish subword proxy: maximal lowercase-alpha runs, digit runs,
+# and single other-characters over the NORMALIZED text — a tokenizer-
+# agnostic stand-in for subword count whose regex behaves identically
+# in Java (Spark) and RE2-like (DuckDB) engines for this class-only
+# pattern.  Mirrored verbatim in queries_text.SQL_FERTILITY.
+SUBWORD_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def fertility_stats(docs: DataFrame) -> DataFrame:
+    """Tokenizer fertility per (source, lang) — the pre-training
+    budget metric: how many SUBWORDS a tokenizer will spend per
+    whitespace word (fertility), and how many characters each subword
+    carries.  High-fertility slices (digit-heavy, punctuation-heavy,
+    non-English) consume token budget disproportionately to their
+    text volume — the roll-up a data recipe reads next to source_mix
+    before converting byte budgets into token budgets.
+
+    Pinned: per-doc counts are exact longs (word count = the shared
+    tokens_col split; subword count = regexp_extract_all over the
+    same normalized text with the class-only SUBWORD_RE); the
+    per-group sums are order-independent integer aggregates; fertility
+    and chars_per_subword are ONE 9dp-rounded division each with
+    GREATEST(. , 1) guards.  One corpus scan, one hash aggregate with
+    map-side partials, no joins, no Python."""
+    per = docs.select(
+        "source", "lang", normalize_text(F.col("text")).alias("norm")
+    ).select(
+        "source", "lang",
+        F.length("norm").cast("long").alias("nc"),
+        F.size(F.split(F.col("norm"), " ")).cast("long").alias("nw"),
+        F.size(
+            F.expr(f"regexp_extract_all(norm, '{SUBWORD_RE}', 0)")
+        ).cast("long").alias("ns"),
+    )
+    return (
+        per.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nw").cast("long").alias("n_words"),
+            F.sum("ns").cast("long").alias("n_subwords"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+        .select(
+            "source", "lang", "n_docs", "n_words", "n_subwords", "n_chars",
+            F.round(
+                F.col("n_subwords").cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1)).cast("double"), 9
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.greatest(F.col("n_subwords"), F.lit(1)).cast("double"), 9
+            ).alias("chars_per_subword"),
+        )
+    )

@@ -7464,6 +7464,7 @@ _QUERY_PRIORITY: list[str] = [
     "clique_communities",
     "dispersion",
     "cluster_split",
+    "fertility",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

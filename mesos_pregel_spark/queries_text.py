@@ -63,6 +63,7 @@ from mesos_pregel_spark.functions.text import (
     bigram_logprob,
     LANG_STOPWORDS,
     PII_PATTERNS,
+    fertility_stats,
     fingerprint,
     language_id,
     pii_redact,
@@ -2318,6 +2319,31 @@ GROUP BY l.split, l.source
 )
 
 
+SQL_FERTILITY = f"""
+WITH base AS (
+  SELECT source, lang, {_NORM} AS norm FROM documents
+),
+per AS (
+  SELECT source, lang,
+         CAST(length(norm) AS BIGINT) AS nc,
+         CAST(len(string_split(norm, ' ')) AS BIGINT) AS nw,
+         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+              AS BIGINT) AS ns
+  FROM base
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS n_words,
+       CAST(SUM(ns) AS BIGINT) AS n_subwords,
+       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(ns) AS DOUBLE)
+             / CAST(GREATEST(SUM(nw), 1) AS DOUBLE), 9) AS fertility,
+       ROUND(CAST(SUM(nc) AS DOUBLE)
+             / CAST(GREATEST(SUM(ns), 1) AS DOUBLE), 9) AS chars_per_subword
+FROM per GROUP BY source, lang
+"""
+
+
 def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the stopword-vote language-ID against the
     documents table's ground-truth ``lang`` column — the evaluation a
@@ -2519,6 +2545,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_source_matrix": lambda s, d: _eager_release(
         dup_source_matrix(_docs(s, d), threshold=DUP_MATRIX_THR)),
     "cluster_split": _cluster_split,
+    "fertility": lambda s, d: fertility_stats(_docs(s, d)),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -2581,4 +2608,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
     "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
     "cluster_split": SQL_CLUSTER_SPLIT,
+    "fertility": SQL_FERTILITY,
 }

@@ -443,3 +443,43 @@ def test_langid_confusion_rows_sum_to_one(spark):
     )
     pred = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
     assert pred == {1: "en", 2: "de"}
+
+
+def test_fertility_closed_forms(spark):
+    """Subword fertility on hand texts: 'abc def' is 2 words / 2
+    subwords (fertility 1.0); 'ab1cd, x9!' fragments into alpha/digit/
+    punct runs — exact counts pinned against a python re replication."""
+    import re
+
+    from mesos_pregel_spark.functions.text import SUBWORD_RE, fertility_stats
+
+    rows = [
+        (1, "abc def", "en", "s1"),
+        (2, "ab1cd, x9!", "en", "s1"),
+        (3, "  Mixed   CASE  text ", "xx", "s2"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {(r["source"], r["lang"]): r
+           for r in fertility_stats(docs).collect()}
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    def expect(texts):
+        nw = sum(len(norm(t).split(" ")) for t in texts)
+        ns = sum(len(re.findall(SUBWORD_RE, norm(t))) for t in texts)
+        nc = sum(len(norm(t)) for t in texts)
+        return nw, ns, nc
+
+    nw, ns, nc = expect(["abc def", "ab1cd, x9!"])
+    r = got[("s1", "en")]
+    assert (r["n_docs"], r["n_words"], r["n_subwords"], r["n_chars"]) \
+        == (2, nw, ns, nc)
+    # 'ab1cd, x9!' -> ab|1|cd|,|x|9|! = 7 subwords; 'abc def' -> 2
+    assert ns == 9
+    r2 = got[("s2", "xx")]
+    assert (r2["n_words"], r2["n_subwords"]) == (3, 3)
+    assert r2["fertility"] == 1.0
