@@ -58,16 +58,17 @@ def _any(conds: list[Column]) -> Column:
     return out
 
 
-def betweenness_sampled(
+def _brandes_state(
     spark: SparkSession,
     edges: DataFrame,
     n_pivots: int = 8,
     max_depth: int = 10,
     edge_partitions: int | None = None,
     pivots: Sequence | None = None,
-) -> tuple[DataFrame, PregelRun]:
-    """Sampled betweenness from ``n_pivots`` md5-min pivots, truncated
-    at BFS radius ``max_depth``.  Returns (bc(id, bc), run)."""
+):
+    """The shared forward + backward Brandes sweeps.  Returns
+    (state, persisted sym edges, run, pivots) with per-lane dist/sig/
+    delta columns settled; callers own the finalize + release."""
     nparts = edge_partitions or spark.sparkContext.defaultParallelism
     e = (
         symmetrize(edges.select("src", "dst", "weight")).select("src", "dst")
@@ -201,6 +202,26 @@ def betweenness_sampled(
             run.record(phase="bwd", depth=d, **aggs)
             run.next_superstep()
 
+        return state, e, run, pivots
+    except BaseException:
+        run.release()
+        raise
+
+
+def betweenness_sampled(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_pivots: int = 8,
+    max_depth: int = 10,
+    edge_partitions: int | None = None,
+    pivots: Sequence | None = None,
+) -> tuple[DataFrame, PregelRun]:
+    """Sampled betweenness from ``n_pivots`` md5-min pivots, truncated
+    at BFS radius ``max_depth``.  Returns (bc(id, bc), run)."""
+    state, e, run, pivots = _brandes_state(
+        spark, edges, n_pivots, max_depth, edge_partitions, pivots
+    )
+    try:
         # ---- bc: lane sum excluding each lane's own pivot ------------
         terms = [
             F.when(F.col("id") != F.lit(p), F.col(f"delta{i}"))
@@ -213,6 +234,71 @@ def betweenness_sampled(
         result = run.finish(
             state.select("id", F.round(total, 6).alias("bc"))
         )
+    except BaseException:
+        run.release()
+        raise
+    e.unpersist()
+    run._edges_live = None
+    return result, run
+
+
+def edge_betweenness_sampled(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_pivots: int = 8,
+    max_depth: int = 10,
+    edge_partitions: int | None = None,
+    pivots: Sequence | None = None,
+    top_k: int = 200,
+) -> tuple[DataFrame, PregelRun]:
+    """Girvan–Newman edge betweenness (Girvan & Newman PNAS 2002) from
+    the SAME sampled sweeps: for a shortest-path-DAG edge (v, w) with
+    dist(w) = dist(v) + 1 in lane i, the edge dependency is
+    sigma_i(v) · (1 + delta_i(w)) / sigma_i(w) — exactly the term
+    Brandes' backward recurrence sums into delta(v), read off PER EDGE
+    instead of per vertex.  Summed over lanes and both orientations of
+    each undirected edge, rounded to 6 dp (the vertex-bc ulp
+    contract); the top-k edges under the total order (ebc DESC, lo,
+    hi) are THE Girvan-Newman cut candidates.
+
+    One extra pass over the already-persisted sym edge table (two
+    id-keyed state joins, one hash aggregate, one TakeOrdered) — no
+    additional supersteps beyond the shared sweeps."""
+    state, e, run, pivots = _brandes_state(
+        spark, edges, n_pivots, max_depth, edge_partitions, pivots
+    )
+    k = len(pivots)
+    try:
+        sv, sw, je = state.alias("sv"), state.alias("sw"), e.alias("je")
+        terms = [
+            F.when(
+                (F.col(f"sv.dist{i}") >= 0)
+                & (F.col(f"sw.dist{i}") == F.col(f"sv.dist{i}") + 1),
+                F.col(f"sv.sig{i}")
+                * (F.lit(1.0) + F.col(f"sw.delta{i}"))
+                / F.col(f"sw.sig{i}"),
+            ).otherwise(F.lit(0.0))
+            for i in range(k)
+        ]
+        total = terms[0]
+        for term in terms[1:]:
+            total = total + term
+        per_dir = (
+            je.join(sv, F.col("je.src") == F.col("sv.id"))
+            .join(sw, F.col("je.dst") == F.col("sw.id"))
+            .select(
+                F.least("je.src", "je.dst").alias("lo"),
+                F.greatest("je.src", "je.dst").alias("hi"),
+                total.alias("c"),
+            )
+        )
+        out = (
+            per_dir.groupBy("lo", "hi")
+            .agg(F.round(F.sum("c"), 6).alias("ebc"))
+            .orderBy(F.desc("ebc"), "lo", "hi")
+            .limit(top_k)
+        )
+        result = run.finish(out)
     except BaseException:
         run.release()
         raise

@@ -5433,14 +5433,15 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bc.select(F.col("id").alias("actor"), "bc")
 
 
-def _sql_betweenness(
+def _sql_brandes_prefix(
     depth: int = _BETWEENNESS_DEPTH, k: int = _BETWEENNESS_PIVOTS
 ) -> str:
-    """Unrolled Brandes: forward BFS rounds with sigma path counting
-    (NOT EXISTS visited-guard + SUM combine per lane-row), then the
-    backward dependency sweep descending one depth per CTE — lanes are
-    ROWS here (lane, id), the exact relational transcription of the
-    engine's lane COLUMNS."""
+    """Unrolled Brandes CTE prefix (through bw0): forward BFS rounds
+    with sigma path counting (NOT EXISTS visited-guard + SUM combine
+    per lane-row), then the backward dependency sweep descending one
+    depth per CTE — lanes are ROWS here (lane, id), the exact
+    relational transcription of the engine's lane COLUMNS.  Shared by
+    the vertex (betweenness) and edge (edge_betweenness) finals."""
     parts = [f"""
 WITH be AS MATERIALIZED (
   SELECT 'c:' || o_custkey AS s, 's:' || l_suppkey AS d
@@ -5489,7 +5490,13 @@ bw{d} AS MATERIALIZED (
   WHERE v.dist = {d}
   GROUP BY v.lane, v.id, v.dist, v.sigma
 )""")
-    parts.append("""
+    return "".join(parts)
+
+
+def _sql_betweenness(
+    depth: int = _BETWEENNESS_DEPTH, k: int = _BETWEENNESS_PIVOTS
+) -> str:
+    return _sql_brandes_prefix(depth, k) + """
 SELECT b.id AS actor,
        ROUND(COALESCE(SUM(CASE WHEN p.id IS NULL THEN w.delta END), 0), 6)
          AS bc
@@ -5497,11 +5504,60 @@ FROM bverts b
 LEFT JOIN bw0 w ON w.id = b.id
 LEFT JOIN piv p ON p.lane = w.lane AND p.id = w.id
 GROUP BY b.id
-""")
-    return "".join(parts)
+"""
 
 
 SQL_BETWEENNESS = _sql_betweenness()
+
+
+# edge-betweenness output cap: the Girvan-Newman cut shortlist.
+_EDGE_BETWEENNESS_TOPK = 200
+
+
+def q_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Girvan-Newman edge betweenness from the SAME pivot-sampled
+    Brandes sweeps as `betweenness` (algos/betweenness.py contract):
+    per shortest-path-DAG edge, sigma(v)·(1+delta(w))/sigma(w) summed
+    over lanes and both orientations, 6dp-rounded; top-200 under the
+    (ebc DESC, lo, hi) total order — the cut-candidate shortlist."""
+    from mesos_pregel_spark.algos.betweenness import edge_betweenness_sampled
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    ebc, _run = edge_betweenness_sampled(
+        spark, e, n_pivots=_BETWEENNESS_PIVOTS, max_depth=_BETWEENNESS_DEPTH,
+        edge_partitions=8, top_k=_EDGE_BETWEENNESS_TOPK,
+    )
+    return ebc
+
+
+def _sql_edge_betweenness(
+    depth: int = _BETWEENNESS_DEPTH, k: int = _BETWEENNESS_PIVOTS,
+    top: int = _EDGE_BETWEENNESS_TOPK,
+) -> str:
+    return _sql_brandes_prefix(depth, k) + f"""
+SELECT lo, hi, ebc FROM (
+  SELECT LEAST(e.s, e.d) AS lo, GREATEST(e.s, e.d) AS hi,
+         ROUND(SUM(v.sigma * (1 + w.delta) / w.sigma), 6) AS ebc
+  FROM und e
+  JOIN bw0 v ON v.id = e.s
+  JOIN bw0 w ON w.lane = v.lane AND w.id = e.d AND w.dist = v.dist + 1
+  GROUP BY 1, 2
+) t
+ORDER BY ebc DESC, lo, hi
+LIMIT {top}
+"""
+
+
+SQL_EDGE_BETWEENNESS = _sql_edge_betweenness()
 
 
 # Matching round cap: parity is exact at ANY shared cap (matched is
@@ -7139,6 +7195,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hitting_time": q_hitting_time,
     "clique_communities": q_clique_communities,
     "dispersion": q_dispersion,
+    "edge_betweenness": q_edge_betweenness,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
     "ktruss": q_ktruss,
@@ -7465,6 +7522,7 @@ _QUERY_PRIORITY: list[str] = [
     "dispersion",
     "cluster_split",
     "fertility",
+    "edge_betweenness",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7509,6 +7567,7 @@ ORACLE_SQL: dict[str, str] = {
     "hitting_time": SQL_HITTING_TIME,
     "clique_communities": SQL_CLIQUE_COMMUNITIES,
     "dispersion": SQL_DISPERSION,
+    "edge_betweenness": SQL_EDGE_BETWEENNESS,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,
     "ktruss": SQL_KTRUSS,
