@@ -43,25 +43,21 @@ from mesos_pregel_spark.algos.triangles import triangle_tuples
 from mesos_pregel_spark.plans.pregel import PregelRun
 
 
-def clique_communities(
-    spark: SparkSession,
-    edges: DataFrame,
-    edge_partitions: int | None = None,
-) -> tuple[DataFrame, PregelRun]:
-    """k=3 CPM.  Returns (membership(id, community), run) — one row
-    per (vertex, community) pair; vertices in no triangle are in no
-    community (CPM semantics, not a partition)."""
-    tri = triangle_tuples(spark, edges)
-
+def keyed_triangles(tri: DataFrame) -> DataFrame:
+    """(a,b,c) triangles -> their three edge keys + the star center
+    (the LEAST key).  Shared by the cold build and the warm refresh."""
     ekey = lambda x, y: F.concat_ws("|", F.col(x), F.col(y))  # noqa: E731
-    keyed = tri.select(
+    return tri.select(
         ekey("a", "b").alias("ea"),
         ekey("a", "c").alias("eb"),
         ekey("b", "c").alias("ec"),
         "a", "b", "c",
     ).withColumn("emin", F.least("ea", "eb", "ec"))
 
-    links = (
+
+def star_links(keyed: DataFrame) -> DataFrame:
+    """Per-triangle star links (edge key -> star center), distinct."""
+    return (
         keyed.select(F.col("ea").alias("src"), F.col("emin").alias("dst"))
         .unionByName(
             keyed.select(F.col("eb").alias("src"), F.col("emin").alias("dst"))
@@ -74,20 +70,42 @@ def clique_communities(
         .withColumn("weight", F.lit(1.0))
     )
 
-    comps, run = connected_components_jump(
-        spark, links, edge_partitions=edge_partitions
-    )
 
-    membership = (
-        keyed.join(
+def corner_anchors(keyed: DataFrame) -> DataFrame:
+    """(vertex, star-center) anchor pairs — the merge-stable membership
+    state: community labels change when components merge, anchors
+    never do; membership = anchors ⋈ current labels."""
+    return keyed.select(
+        F.explode(F.array("a", "b", "c")).alias("id"), "emin"
+    ).distinct()
+
+
+def membership_from(anchors: DataFrame, comps: DataFrame) -> DataFrame:
+    return (
+        anchors.join(
             comps.withColumnsRenamed({"id": "emin", "component": "community"}),
             "emin",
         )
-        .select(
-            F.explode(F.array("a", "b", "c")).alias("id"), "community"
-        )
+        .select("id", "community")
         .distinct()
     )
+
+
+def clique_communities(
+    spark: SparkSession,
+    edges: DataFrame,
+    edge_partitions: int | None = None,
+) -> tuple[DataFrame, PregelRun]:
+    """k=3 CPM.  Returns (membership(id, community), run) — one row
+    per (vertex, community) pair; vertices in no triangle are in no
+    community (CPM semantics, not a partition)."""
+    tri = triangle_tuples(spark, edges)
+    keyed = keyed_triangles(tri)
+    links = star_links(keyed)
+    comps, run = connected_components_jump(
+        spark, links, edge_partitions=edge_partitions
+    )
+    membership = membership_from(corner_anchors(keyed), comps)
     out = membership.localCheckpoint(eager=True)
     tri.unpersist()
     return out, run

@@ -749,3 +749,121 @@ def warm_dag_levels(
         delta_edges=delta_edges if prev_converged else None,
         **kwargs,
     )
+
+
+# ---------------------------------------------------------------------------
+# warm clique-percolation (CPM k=3) refresh
+# ---------------------------------------------------------------------------
+
+
+def cpm_state(
+    spark: SparkSession, edges: DataFrame, edge_partitions: int | None = None
+) -> dict:
+    """Cold CPM build that RETAINS the warm-refreshable state: the
+    canonical edge set (for incremental triangle closure), the star
+    links, the merge-stable (vertex, star-center) anchors, and the
+    link-graph labels.  Community labels change when components merge;
+    anchors never do — that asymmetry is what makes the refresh exact."""
+    from mesos_pregel_spark.algos.cc import connected_components_jump
+    from mesos_pregel_spark.algos.cpm import (
+        corner_anchors,
+        keyed_triangles,
+        star_links,
+    )
+    from mesos_pregel_spark.algos.triangles import (
+        canonical_undirected,
+        triangle_tuples,
+    )
+
+    und = truncate_plan(canonical_undirected(edges))
+    tri = triangle_tuples(spark, edges)
+    keyed = keyed_triangles(tri)
+    links = truncate_plan(star_links(keyed))
+    anchors = truncate_plan(corner_anchors(keyed))
+    comps, run = connected_components_jump(
+        spark, links, edge_partitions=edge_partitions
+    )
+    labels = truncate_plan(comps)
+    tri.unpersist()
+    return {"und": und, "links": links, "anchors": anchors,
+            "labels": labels, "run": run}
+
+
+def cpm_membership(state: dict) -> DataFrame:
+    """Current (vertex, community) membership from the state."""
+    from mesos_pregel_spark.algos.cpm import membership_from
+
+    return membership_from(state["anchors"], state["labels"])
+
+
+def cpm_apply_delta(
+    spark: SparkSession,
+    state: dict,
+    delta_edges: DataFrame,
+    edge_partitions: int | None = None,
+) -> dict:
+    """Exact warm CPM under edge ADDITIONS (the warm-CC contract:
+    additions only; removals need a cold rebuild).
+
+    Every NEW triangle contains at least one delta edge, so closure
+    enumeration joins the delta against the updated adjacency instead
+    of re-running the full wedge kernel — per-batch cost scales with
+    the delta's neighborhoods, not the corpus.  New star links extend
+    the link graph monotonically, so the engine's warm hash-min CC
+    reuses the previous labels with the delta links as the initial
+    frontier: labels are EXACTLY the cold run's (min-label CC is
+    monotone under additions), supersteps scale with how far the
+    merges propagate through the old component quotient."""
+    from mesos_pregel_spark.algos.cc import connected_components
+    from mesos_pregel_spark.algos.cpm import (
+        corner_anchors,
+        keyed_triangles,
+        star_links,
+    )
+    from mesos_pregel_spark.algos.triangles import canonical_undirected
+
+    d_und = canonical_undirected(delta_edges)
+    # drop deltas already present (idempotent micro-batches)
+    d_new = truncate_plan(
+        d_und.join(state["und"], ["lo", "hi"], "left_anti")
+    )
+    und = truncate_plan(state["und"].unionByName(d_new).distinct())
+
+    # adjacency of the UPDATED graph, symmetrized once
+    sym = und.select(F.col("lo").alias("s"), F.col("hi").alias("d")) \
+        .unionByName(und.select(F.col("hi").alias("s"),
+                                F.col("lo").alias("d")))
+    n1 = sym.withColumnsRenamed({"s": "x", "d": "w1"})
+    n2 = sym.withColumnsRenamed({"s": "y", "d": "w2"})
+    new_tri = (
+        d_new.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+        .join(n1, "x")
+        .join(n2, "y")
+        .where(F.col("w1") == F.col("w2"))
+        .select(F.sort_array(F.array("x", "y", "w1")).alias("abc"))
+        .select(
+            F.col("abc")[0].alias("a"),
+            F.col("abc")[1].alias("b"),
+            F.col("abc")[2].alias("c"),
+        )
+        .distinct()
+    )
+    keyed = keyed_triangles(new_tri)
+    d_links = star_links(keyed)
+    d_anchors = corner_anchors(keyed)
+
+    links = truncate_plan(
+        state["links"].unionByName(d_links).distinct()
+    )
+    anchors = truncate_plan(
+        state["anchors"].unionByName(d_anchors).distinct()
+    )
+    comps, run = connected_components(
+        spark, links,
+        prev_labels=state["labels"],   # (id, component), the cc contract
+        delta_edges=d_links,
+        edge_partitions=edge_partitions,
+    )
+    labels = truncate_plan(comps)
+    return {"und": und, "links": links, "anchors": anchors,
+            "labels": labels, "run": run}
