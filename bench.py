@@ -975,6 +975,41 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         detail["betweenness_rounds"] = bw_rounds
         detail["betweenness_vertices"] = n_bc
 
+    if on("cpm"):
+        # Clique-percolation communities on the shared zipf graph:
+        # triangle enumeration (A4 kernel) + 2-links-per-triangle star
+        # build + pointer-jumping CC over the link graph — the whole
+        # pipeline is triangle-count-bound, never triangle-PAIR-bound.
+        from mesos_pregel_spark.algos.cpm import clique_communities
+
+        t = time.monotonic()
+        memb, run_cpm = clique_communities(
+            spark, g, edge_partitions=nparts,
+        )
+        n_memb = memb.count()
+        cpm_sec = time.monotonic() - t
+        queries["cpm"] = round(cpm_sec, 3)
+        throughput["cpm_memberships_per_sec"] = round(n_memb / cpm_sec)
+        detail["cpm_membership_rows"] = n_memb
+        detail["cpm_cc_rounds"] = len(run_cpm.metrics)
+
+    if on("hitting"):
+        # Integer Bellman hitting time: 8 supersteps, one scatter+sum
+        # combine each over the sym edge set — the markov/pagerank
+        # shuffle shape with zero-FP integer state.
+        from mesos_pregel_spark.algos.hitting import hitting_time
+
+        t = time.monotonic()
+        ht, _run_ht = hitting_time(
+            spark, g, max_supersteps=8, edge_partitions=nparts,
+        )
+        n_ht = ht.count()
+        ht_sec = time.monotonic() - t
+        queries["hitting"] = round(ht_sec, 3)
+        throughput["hitting_edge_scans_per_sec"] = round(
+            2 * g_edges * 8 / ht_sec)
+        detail["hitting_vertices"] = n_ht
+
     if on("matching"):
         # Local-max maximal matching on the shared zipf graph: two
         # supersteps per round, one struct-min combiner; the active
