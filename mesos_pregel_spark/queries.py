@@ -2335,6 +2335,100 @@ FROM r GROUP BY actor
 """
 
 
+def q_circadian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circadian concentration per actor — is the actor a 24/7 service
+    or a business-hours human/batch job?  Hour-of-day histogram peak
+    plus the hour-entropy rate, the cadence fingerprint next to
+    burstiness' gap moments.
+
+    Pinned: hour = (epoch_µs div 3600·10⁶) mod 24 — pure integer
+    arithmetic on the NTZ-safe µs column, timezone-free and identical
+    cross-engine; peak = ROW_NUMBER over the all-integer total order
+    (n DESC, hour ASC); entropy terms n·ln(total/n) snap to BIGINT
+    micro-nats BEFORE the sum and the per-event rate is the exact
+    nano-nat floor division (the transition_entropy discipline — zero
+    FP in aggregates, ONE rounded division for peak_share).
+
+    Scale: one hash aggregate to 24 rows per actor, one 24-row window
+    per actor, one roll-up.  No joins wider than (actor, hour)."""
+    from pyspark.sql import Window
+
+    from mesos_pregel_spark.functions.sessions import _us_col
+
+    us = _us_col()
+    per = (
+        _events(spark, sf_dir)
+        .select(F.col("event_type").alias("actor"), us.alias("us"))
+        .select("actor", F.expr("(us div 3600000000) % 24").alias("hour"))
+        .groupBy("actor", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = per.groupBy("actor").agg(F.sum("n").cast("long").alias("n_events"))
+    j = per.join(tot, "actor")
+    w = Window.partitionBy("actor").orderBy(F.desc("n"), F.asc("hour"))
+    ranked = j.select(
+        "actor", "hour", "n", "n_events",
+        F.row_number().over(w).alias("rn"),
+        F.round(
+            F.col("n").cast("double")
+            * F.log(
+                F.col("n_events").cast("double") / F.col("n").cast("double")
+            )
+            * 1e6
+        ).cast("long").alias("h_micro"),
+    )
+    return ranked.groupBy("actor").agg(
+        F.max("n_events").alias("n_events"),
+        F.max(F.when(F.col("rn") == 1, F.col("hour"))).alias("peak_hour"),
+        F.round(
+            F.max(F.when(F.col("rn") == 1, F.col("n"))).cast("double")
+            / F.max("n_events").cast("double"), 9
+        ).alias("peak_share"),
+        F.sum("h_micro").cast("long").alias("entropy_micro"),
+    ).select(
+        "actor", "n_events", "peak_hour", "peak_share", "entropy_micro",
+        F.expr(
+            "(entropy_micro div n_events) * 1000"
+            " + ((entropy_micro % n_events) * 1000) div n_events"
+        ).alias("rate_nano"),
+    )
+
+
+SQL_CIRCADIAN = """
+WITH per AS (
+  SELECT event_type AS actor,
+         (epoch_us(ts) // 3600000000) % 24 AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT actor, CAST(SUM(n) AS BIGINT) AS n_events FROM per GROUP BY actor
+),
+ranked AS (
+  SELECT p.actor, p.hour, p.n, t.n_events,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.actor ORDER BY p.n DESC, p.hour ASC) AS rn,
+         CAST(ROUND(CAST(p.n AS DOUBLE)
+                    * ln(CAST(t.n_events AS DOUBLE) / CAST(p.n AS DOUBLE))
+                    * 1000000) AS BIGINT) AS h_micro
+  FROM per p JOIN tot t ON t.actor = p.actor
+),
+roll AS (
+  SELECT actor,
+         MAX(n_events) AS n_events,
+         MAX(CASE WHEN rn = 1 THEN hour END) AS peak_hour,
+         ROUND(CAST(MAX(CASE WHEN rn = 1 THEN n END) AS DOUBLE)
+               / CAST(MAX(n_events) AS DOUBLE), 9) AS peak_share,
+         CAST(SUM(h_micro) AS BIGINT) AS entropy_micro
+  FROM ranked GROUP BY actor
+)
+SELECT actor, n_events, peak_hour, peak_share, entropy_micro,
+       (entropy_micro // n_events) * 1000
+         + ((entropy_micro % n_events) * 1000) // n_events AS rate_nano
+FROM roll
+"""
+
+
 SQL_REPLY_LATENCY = """
 WITH seq AS (
   SELECT event_type AS src_actor, epoch_us(ts) AS us,
@@ -7191,6 +7285,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_core": q_s_core,
     "burstiness": q_burstiness,
     "gap_percentiles": q_gap_percentiles,
+    "circadian": q_circadian,
     "core_periphery": q_core_periphery,
     "hitting_time": q_hitting_time,
     "clique_communities": q_clique_communities,
@@ -7523,6 +7618,8 @@ _QUERY_PRIORITY: list[str] = [
     "cluster_split",
     "fertility",
     "edge_betweenness",
+    "circadian",
+    "vocab_coverage",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7563,6 +7660,7 @@ ORACLE_SQL: dict[str, str] = {
     "s_core": SQL_S_CORE,
     "burstiness": SQL_BURSTINESS,
     "gap_percentiles": SQL_GAP_PERCENTILES,
+    "circadian": SQL_CIRCADIAN,
     "core_periphery": SQL_CORE_PERIPHERY,
     "hitting_time": SQL_HITTING_TIME,
     "clique_communities": SQL_CLIQUE_COMMUNITIES,

@@ -2319,6 +2319,82 @@ GROUP BY l.split, l.source
 )
 
 
+# Vocabulary-coverage ladder: the share of corpus token mass covered
+# by the k most frequent terms, k per rung — the read-out a tokenizer/
+# vocab-pruning plan consumes next to heaps_law's growth fit.
+_COVERAGE_KS = (10, 100, 1000)
+
+
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary coverage: exact per-term counts, terms ranked
+    by the all-total order (cnt DESC, token ASC), cumulative covered
+    mass at each k rung, ONE 9dp division per rung.
+
+    Scale shape: counts are one explode + hash aggregate (vocab-sized,
+    not corpus-sized); the ranking is a TakeOrdered over the max-k
+    head — never a global sort of the vocabulary (the pack_concat
+    serial-window lesson applied at design time); the rungs are three
+    tiny aggregates over the 1000-row head."""
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = counts.agg(F.sum("cnt").cast("long").alias("total_tokens"))
+    kmax = max(_COVERAGE_KS)
+    top = counts.orderBy(F.desc("cnt"), "token").limit(kmax)
+    from pyspark.sql import Window
+
+    ranked = top.withColumn(
+        "rn", F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("token"))
+        )
+    )
+    rungs = None
+    for k in _COVERAGE_KS:
+        r = ranked.where(F.col("rn") <= k).agg(
+            F.lit(k).cast("long").alias("k"),
+            F.sum("cnt").cast("long").alias("covered_tokens"),
+        )
+        rungs = r if rungs is None else rungs.unionByName(r)
+    return rungs.join(F.broadcast(tot)).select(
+        "k", "covered_tokens", "total_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double"), 9
+        ).alias("coverage"),
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH terms AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents) t
+  WHERE token <> '' GROUP BY token
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM terms),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rn
+  FROM terms
+),
+rungs AS (
+  SELECT CAST(10 AS BIGINT) AS k,
+         CAST(SUM(cnt) AS BIGINT) AS covered_tokens
+  FROM ranked WHERE rn <= 10
+  UNION ALL
+  SELECT 100, CAST(SUM(cnt) AS BIGINT) FROM ranked WHERE rn <= 100
+  UNION ALL
+  SELECT 1000, CAST(SUM(cnt) AS BIGINT) FROM ranked WHERE rn <= 1000
+)
+SELECT k, covered_tokens, total_tokens,
+       ROUND(CAST(covered_tokens AS DOUBLE)
+             / CAST(total_tokens AS DOUBLE), 9) AS coverage
+FROM rungs CROSS JOIN tot
+"""
+
+
 SQL_FERTILITY = f"""
 WITH base AS (
   SELECT source, lang, {_NORM} AS norm FROM documents
@@ -2546,6 +2622,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         dup_source_matrix(_docs(s, d), threshold=DUP_MATRIX_THR)),
     "cluster_split": _cluster_split,
     "fertility": lambda s, d: fertility_stats(_docs(s, d)),
+    "vocab_coverage": _vocab_coverage,
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -2609,4 +2686,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
     "cluster_split": SQL_CLUSTER_SPLIT,
     "fertility": SQL_FERTILITY,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
 }

@@ -522,3 +522,39 @@ def test_gap_percentiles_order_statistics():
     assert got["a"] == (n,) + exp
     assert got["a"][1:] == (4_000_000, 8_000_000, 8_000_000)
     assert got["b"] == (1, 7_000_000, 7_000_000, 7_000_000)
+
+
+def test_circadian_closed_forms():
+    """Hour histogram on the twin: an always-9am actor peaks at hour 9
+    with share 1.0 and zero entropy; a 50/50 two-hour actor has
+    peak_share 0.5, lower-hour tie-break, and ln(2) nats/event."""
+    import math
+
+    import duckdb
+
+    from mesos_pregel_spark.queries import SQL_CIRCADIAN
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE events (
+          user_id INT, event_type TEXT, event_id INT, ts TIMESTAMP)
+    """)
+    for i in range(4):
+        con.execute(
+            "INSERT INTO events VALUES (1, 'nine', ?, "
+            "TIMESTAMP '2026-01-0" + str(i + 1) + " 09:15:00')", [i])
+    for i in range(3):
+        con.execute(
+            "INSERT INTO events VALUES (1, 'both', ?, "
+            "TIMESTAMP '2026-01-0" + str(i + 1) + " 08:00:00')", [100 + i])
+        con.execute(
+            "INSERT INTO events VALUES (1, 'both', ?, "
+            "TIMESTAMP '2026-01-0" + str(i + 1) + " 20:30:00')", [200 + i])
+    got = {r[0]: r[1:] for r in con.execute(SQL_CIRCADIAN).fetchall()}
+    n, peak, share, emicro, rnano = got["nine"]
+    assert (n, peak, share, emicro, rnano) == (4, 9, 1.0, 0, 0)
+    n, peak, share, emicro, rnano = got["both"]
+    assert (n, peak, share) == (6, 8, 0.5)   # tie -> lower hour
+    # 2 * round(3*ln(2)*1e6) micro-nats; rate = ln(2) nano-nats/event
+    assert emicro == 2 * round(3 * math.log(2) * 1e6)
+    assert abs(rnano - 1000 * round(math.log(2) * 1e6) // 1) <= 1000

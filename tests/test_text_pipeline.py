@@ -483,3 +483,29 @@ def test_fertility_closed_forms(spark):
     r2 = got[("s2", "xx")]
     assert (r2["n_words"], r2["n_subwords"]) == (3, 3)
     assert r2["fertility"] == 1.0
+
+
+def test_vocab_coverage_monotone_and_exact():
+    """Coverage ladder on the twin: hand corpus where the top-10 rung
+    is computable by hand; rungs are monotone and k=1000 covers all."""
+    import duckdb
+
+    from mesos_pregel_spark.queries_text import SQL_VOCAB_COVERAGE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text TEXT, lang TEXT, "
+        "source TEXT, n_chars BIGINT)"
+    )
+    # 'a' x10, 'b' x5, then c..z one each (24 singletons): N = 39
+    words = ["a"] * 10 + ["b"] * 5 + [chr(c) for c in range(99, 123)]
+    text = " ".join(words)
+    con.execute("INSERT INTO documents VALUES (1, ?, 'en', 's', ?)",
+                [text, len(text)])
+    rows = {r[0]: r[1:] for r in con.execute(SQL_VOCAB_COVERAGE).fetchall()}
+    total = len(words)
+    # top-10 by (cnt DESC, token ASC): a(10), b(5), then 8 singletons
+    assert rows[10] == (10 + 5 + 8, total, round((10 + 5 + 8) / total, 9))
+    assert rows[100] == (total, total, 1.0)
+    assert rows[1000] == (total, total, 1.0)
+    assert rows[10][0] <= rows[100][0] <= rows[1000][0]
