@@ -3631,6 +3631,91 @@ def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_forman_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented Forman-Ricci curvature per edge (Forman 2003; the
+    graph form popularized by Sreejith et al. J.Stat.Mech 2016):
+    F(e) = 4 − deg(u) − deg(v) + 3·t(e) where t(e) = triangles on the
+    edge.  Strongly NEGATIVE edges are the hub-to-hub bridges traffic
+    must squeeze through (the curvature view of edge betweenness,
+    computed without any shortest paths); positive edges sit inside
+    dense clusters.
+
+    Pinned: every quantity is an exact long (degrees from the distinct
+    und edge table, t(e) from the triangle list) — zero FP anywhere;
+    output = the 100 most negative edges under the all-integer total
+    order (curv ASC, lo ASC, hi ASC), a deterministic LIMIT.
+
+    Scale shape: one degree aggregate + two broadcast-joinable
+    vertex-map joins + one per-edge triangle count (A4's kernel) +
+    TakeOrdered.  No iteration, no windows over edges."""
+    from mesos_pregel_spark.algos.triangles import triangle_tuples
+
+    und = _parts_edges(spark, sf_dir).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    )
+    deg = (
+        und.select(F.col("lo").alias("id"))
+        .unionByName(und.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_tuples(spark, _parts_edges(spark, sf_dir))
+    emb = (
+        tri.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+        .unionByName(tri.select(F.col("a").alias("lo"),
+                                F.col("c").alias("hi")))
+        .unionByName(tri.select(F.col("b").alias("lo"),
+                                F.col("c").alias("hi")))
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    out = (
+        und.join(deg.withColumnsRenamed({"id": "lo", "deg": "deg_lo"}), "lo")
+        .join(deg.withColumnsRenamed({"id": "hi", "deg": "deg_hi"}), "hi")
+        .join(emb, ["lo", "hi"], "left_outer")
+        .select(
+            "lo", "hi", "deg_lo", "deg_hi",
+            F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
+            (F.lit(4) - F.col("deg_lo") - F.col("deg_hi")
+             + F.lit(3) * F.coalesce("t", F.lit(0))).cast("long")
+            .alias("curvature"),
+        )
+        .orderBy("curvature", "lo", "hi")
+        .limit(100)
+    )
+    res = out.localCheckpoint(eager=True)
+    tri.unpersist()
+    return res
+
+
+SQL_FORMAN = _SQL_PARTS + """
+, tri AS MATERIALIZED (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+  JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+emb AS (
+  SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT a AS lo, b AS hi FROM tri
+    UNION ALL SELECT a, c FROM tri
+    UNION ALL SELECT b, c FROM tri
+  ) u GROUP BY lo, hi
+)
+SELECT u.lo, u.hi,
+       dl.deg AS deg_lo, dh.deg AS deg_hi,
+       CAST(COALESCE(emb.t, 0) AS BIGINT) AS triangles,
+       CAST(4 - dl.deg - dh.deg + 3 * COALESCE(emb.t, 0) AS BIGINT)
+         AS curvature
+FROM und u
+JOIN pdeg dl ON dl.id = u.lo
+JOIN pdeg dh ON dh.id = u.hi
+LEFT JOIN emb ON emb.lo = u.lo AND emb.hi = u.hi
+ORDER BY curvature, u.lo, u.hi
+LIMIT 100
+"""
+
+
 SQL_DISPERSION = _SQL_PARTS + f"""
 , tri AS MATERIALIZED (
   SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
@@ -7290,6 +7375,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hitting_time": q_hitting_time,
     "clique_communities": q_clique_communities,
     "dispersion": q_dispersion,
+    "forman_curvature": q_forman_curvature,
     "edge_betweenness": q_edge_betweenness,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
@@ -7620,6 +7706,7 @@ _QUERY_PRIORITY: list[str] = [
     "edge_betweenness",
     "circadian",
     "vocab_coverage",
+    "forman_curvature",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7665,6 +7752,7 @@ ORACLE_SQL: dict[str, str] = {
     "hitting_time": SQL_HITTING_TIME,
     "clique_communities": SQL_CLIQUE_COMMUNITIES,
     "dispersion": SQL_DISPERSION,
+    "forman_curvature": SQL_FORMAN,
     "edge_betweenness": SQL_EDGE_BETWEENNESS,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,

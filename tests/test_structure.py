@@ -535,3 +535,34 @@ def test_dispersion_closed_forms():
     assert rows[(11, 12)] == (2, 1)    # 13-14 unlinked -> dispersion 1
     # single-apex edges have no pairs at all
     assert rows[(11, 13)] == (1, 0)
+
+
+def test_forman_curvature_closed_forms():
+    """Forman-Ricci on the twin: a triangle edge has F = 4-2-2+3 = 3;
+    a bare bridge between two hubs is strongly negative."""
+    import duckdb
+
+    from mesos_pregel_spark.queries import SQL_FORMAN
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_orderkey INT, l_partkey INT)")
+
+    def basket(oid, parts):
+        for p in parts:
+            con.execute("INSERT INTO lineitem VALUES (?, ?)", [oid, p])
+
+    # triangle {1,2,3}
+    basket(100, [1, 2, 3])
+    # bridge 3-10 where 10 is a hub with 4 pendant edges
+    basket(200, [3, 10])
+    for i, p in enumerate((11, 12, 13, 14)):
+        basket(300 + i, [10, p])
+    rows = {(r[0], r[1]): (r[2], r[3], r[4], r[5])
+            for r in con.execute(SQL_FORMAN).fetchall()}
+    # triangle edge (1,2): deg 2+2, t=1 -> 4-4+3 = 3
+    assert rows[(1, 2)] == (2, 2, 1, 3)
+    # bridge (3,10): deg 3 and 5, t=0 -> 4-8 = -4
+    assert rows[(3, 10)] == (3, 5, 0, -4)
+    # most negative first: the bridge outranks every triangle edge
+    first = con.execute(SQL_FORMAN).fetchone()
+    assert (first[0], first[1]) == (3, 10)
