@@ -3631,6 +3631,89 @@ def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+# ego-net sampling knobs: 4 derandomized md5-min seeds, 2 hops,
+# per-vertex fanout capped at the 8 smallest neighbor ids — every
+# choice a pinned total order, so the sample is a pure function of
+# the graph (reproducible across runs, partitionings and engines).
+_EGO_SEEDS = 4
+_EGO_FANOUT = 8
+
+
+def q_ego_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic capped snowball sample (the ego-net extraction a
+    debugging/visualization workflow runs against a production graph —
+    Goodman 1961 snowball sampling, derandomized): from each of the 4
+    md5-min seed vertices, expand 2 hops keeping at most the 8
+    smallest-id neighbors per expanded vertex.
+
+    Pinned: seeds by the engine-standard (md5(string(id)), id) order;
+    the fanout cap is a ROW_NUMBER prefix of the neighbor list ordered
+    by id ASC (purely local, oracle = the same window); expansion
+    edges are emitted with their hop and deduped on (seed, hop, src,
+    dst).  Output ≤ seeds·(C + C²) rows by construction.
+
+    Scale shape: the capped adjacency is ONE per-src window over the
+    sym edge table (partition size bounded by that vertex's degree —
+    the reply_latency regime; a production variant would pre-bucket
+    hub adjacencies, documented not needed at driver scale); the two
+    hops are two joins against the tiny frontier.  No iteration."""
+    from pyspark.sql import Window
+
+    und = _parts_edges(spark, sf_dir).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    )
+    sym = und.select(F.col("lo").alias("s"), F.col("hi").alias("d")) \
+        .unionByName(und.select(F.col("hi").alias("s"),
+                                F.col("lo").alias("d")))
+    w = Window.partitionBy("s").orderBy("d")
+    capped = sym.withColumn("rn", F.row_number().over(w)) \
+        .where(F.col("rn") <= _EGO_FANOUT).select("s", "d")
+    verts = sym.select(F.col("s").alias("id")).distinct()
+    seeds = verts.orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    ).limit(_EGO_SEEDS).select(F.col("id").alias("seed"))
+
+    hop1 = seeds.join(capped, seeds["seed"] == capped["s"]).select(
+        "seed", F.lit(1).cast("int").alias("hop"),
+        F.col("s").alias("src"), F.col("d").alias("dst"),
+    )
+    hop2 = hop1.select("seed", F.col("dst").alias("u")).join(
+        capped, F.col("u") == capped["s"]
+    ).select(
+        "seed", F.lit(2).cast("int").alias("hop"),
+        F.col("s").alias("src"), F.col("d").alias("dst"),
+    )
+    return hop1.unionByName(hop2).distinct()
+
+
+SQL_EGO_NET = _SQL_PARTS + f"""
+, syme AS MATERIALIZED (
+  SELECT lo AS s, hi AS d FROM und UNION SELECT hi, lo FROM und
+),
+capped AS MATERIALIZED (
+  SELECT s, d FROM (
+    SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s ORDER BY d) AS rn
+    FROM syme) r
+  WHERE rn <= {_EGO_FANOUT}
+),
+seeds AS (
+  SELECT id AS seed FROM (
+    SELECT id FROM pdeg ORDER BY md5(CAST(id AS VARCHAR)), id
+    LIMIT {_EGO_SEEDS}) t
+),
+hop1 AS (
+  SELECT seed, CAST(1 AS INT) AS hop, c.s AS src, c.d AS dst
+  FROM seeds JOIN capped c ON c.s = seeds.seed
+),
+hop2 AS (
+  SELECT h.seed, CAST(2 AS INT) AS hop, c.s AS src, c.d AS dst
+  FROM hop1 h JOIN capped c ON c.s = h.dst
+)
+SELECT DISTINCT seed, hop, src, dst FROM (
+  SELECT * FROM hop1 UNION ALL SELECT * FROM hop2) u
+"""
+
+
 def q_forman_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Augmented Forman-Ricci curvature per edge (Forman 2003; the
     graph form popularized by Sreejith et al. J.Stat.Mech 2016):
@@ -7376,6 +7459,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clique_communities": q_clique_communities,
     "dispersion": q_dispersion,
     "forman_curvature": q_forman_curvature,
+    "ego_net": q_ego_net,
     "edge_betweenness": q_edge_betweenness,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
@@ -7707,6 +7791,7 @@ _QUERY_PRIORITY: list[str] = [
     "circadian",
     "vocab_coverage",
     "forman_curvature",
+    "ego_net",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7753,6 +7838,7 @@ ORACLE_SQL: dict[str, str] = {
     "clique_communities": SQL_CLIQUE_COMMUNITIES,
     "dispersion": SQL_DISPERSION,
     "forman_curvature": SQL_FORMAN,
+    "ego_net": SQL_EGO_NET,
     "edge_betweenness": SQL_EDGE_BETWEENNESS,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,

@@ -566,3 +566,39 @@ def test_forman_curvature_closed_forms():
     # most negative first: the bridge outranks every triangle edge
     first = con.execute(SQL_FORMAN).fetchone()
     assert (first[0], first[1]) == (3, 10)
+
+
+def test_ego_net_caps_and_determinism():
+    """Snowball twin on a hand graph: a 12-neighbor hub seed keeps only
+    its 8 smallest-id neighbors; hop-2 rows expand only from kept
+    hop-1 endpoints; output is a pure function of the graph (two runs
+    identical)."""
+    import duckdb
+
+    from mesos_pregel_spark.queries import SQL_EGO_NET
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_orderkey INT, l_partkey INT)")
+    # hub 1 with neighbors 2..13 (12 of them) via 2-part baskets
+    for i, p in enumerate(range(2, 14)):
+        con.execute("INSERT INTO lineitem VALUES (?, 1)", [100 + i])
+        con.execute("INSERT INTO lineitem VALUES (?, ?)", [100 + i, p])
+    # neighbor 2 has extra neighbors 20, 21
+    for i, p in enumerate((20, 21)):
+        con.execute("INSERT INTO lineitem VALUES (?, 2)", [300 + i])
+        con.execute("INSERT INTO lineitem VALUES (?, ?)", [300 + i, p])
+    rows = con.execute(SQL_EGO_NET).fetchall()
+    again = con.execute(SQL_EGO_NET).fetchall()
+    assert sorted(rows) == sorted(again)
+    by_seed_src = {}
+    for seed, hop, src, dst in rows:
+        by_seed_src.setdefault((seed, hop, src), set()).add(dst)
+    # wherever vertex 1 was expanded, only its 8 smallest neighbors
+    for (seed, hop, src), dsts in by_seed_src.items():
+        if src == 1:
+            assert dsts == set(range(2, 10)), (seed, hop, dsts)
+    # hop-2 srcs are exactly hop-1 dsts of the same seed
+    for seed in {r[0] for r in rows}:
+        h1_dst = {r[3] for r in rows if r[0] == seed and r[1] == 1}
+        h2_src = {r[2] for r in rows if r[0] == seed and r[1] == 2}
+        assert h2_src <= h1_dst
