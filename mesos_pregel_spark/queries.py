@@ -3639,6 +3639,112 @@ _EGO_SEEDS = 4
 _EGO_FANOUT = 8
 
 
+# Derandomized independent-cascade knobs: edge survival is the pinned
+# 48-bit md5 uniform on the CANONICAL edge key (both directions share
+# fate -> undirected percolation), p = 0.5, 4 md5-min seeds on the
+# percolated vertex set, 8 BFS rounds.
+_IC_SEED = "ic42"
+_IC_DEPTH = 8
+
+
+def q_ic_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent-cascade spread, DERANDOMIZED (Kempe-Kleinberg-Tardos
+    2003 via its percolation equivalence: IC activation = reachability
+    over edges that flip a success coin ONCE) — the md5 uniform IS the
+    coin, so the cascade is a pure function of the graph and seed
+    string: activation profile = exact per-hop reach counts of the
+    4 md5-min seeds on the surviving subgraph.
+
+    The stochastic-spread companion of lt_spread's threshold model:
+    LT asks "how many neighbors push you over", IC asks "which edges
+    happened to transmit".
+
+    Pinned: survival u48(md5('ic42:' || lo || '|' || hi)) < 0.5 on the
+    canonical key; seeds from the percolated vertex set by the
+    engine-standard (md5(string(id)), id) order; hop counts via the
+    k-lane unit-weight Bellman-Ford kernel capped at 8 supersteps =
+    the twin's recursion cap (asymmetric caps would diverge).
+
+    Scale shape: the percolation filter is one JVM md5 projection (no
+    shuffle); the cascade rides the shared k-lane kernel — lanes share
+    one scatter per round."""
+    from mesos_pregel_spark.algos.landmarks import landmark_distances
+
+    und = _parts_edges(spark, sf_dir).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|",
+                                  F.lit(_IC_SEED),
+                                  F.col("lo").cast("string"),
+                                  F.col("hi").cast("string"))),
+                1, 12,
+            ), 16, 10,
+        ).cast("long") / F.lit(281474976710656.0)
+    )
+    kept = und.where(u < F.lit(0.5))
+    e = (
+        kept.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionByName(kept.select(F.col("hi").alias("src"),
+                                 F.col("lo").alias("dst")))
+        .withColumn("weight", F.lit(1.0))
+    )
+    seeds = [
+        r["id"]
+        for r in e.select(F.col("src").alias("id")).distinct()
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(4).collect()
+    ]
+    dists, _run = landmark_distances(
+        spark, e, seeds, max_supersteps=_IC_DEPTH, edge_partitions=8
+    )
+    lanes = None
+    for i in range(len(seeds)):
+        part = dists.where(F.col(f"d{i}").isNotNull()).select(
+            F.lit(i).cast("long").alias("lane"),
+            F.col(f"d{i}").cast("long").alias("hop"),
+        )
+        lanes = part if lanes is None else lanes.unionByName(part)
+    return lanes.where(F.col("hop") <= _IC_DEPTH).groupBy("lane", "hop").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+SQL_IC_SPREAD = _SQL_PARTS.replace("WITH op", "WITH RECURSIVE op") + f"""
+, kept AS MATERIALIZED (
+  SELECT lo, hi FROM und
+  WHERE ('0x' || substr(MD5('{_IC_SEED}|' || CAST(lo AS VARCHAR)
+                        || '|' || CAST(hi AS VARCHAR)), 1, 12))::BIGINT
+        / 281474976710656.0 < 0.5
+),
+syme AS MATERIALIZED (
+  SELECT lo AS s, hi AS d FROM kept UNION SELECT hi, lo FROM kept
+),
+lms AS MATERIALIZED (
+  -- seeds picked by the md5-min order; LANES numbered by ascending id
+  -- (the landmark-kernel contract: lane i = i-th smallest landmark)
+  SELECT id AS a, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT)
+           AS lane
+  FROM (SELECT DISTINCT s AS id FROM syme
+        ORDER BY md5(CAST(s AS VARCHAR)), s LIMIT 4) t
+),
+reach AS (
+  SELECT lane, a AS v, 0 AS hop FROM lms
+  UNION
+  SELECT r.lane, e.d AS v, r.hop + 1 AS hop
+  FROM reach r JOIN syme e ON e.s = r.v
+  WHERE r.hop < {_IC_DEPTH}
+),
+best AS (
+  SELECT lane, v, MIN(hop) AS hop FROM reach GROUP BY lane, v
+)
+SELECT lane, CAST(hop AS BIGINT) AS hop, CAST(COUNT(*) AS BIGINT) AS n
+FROM best GROUP BY lane, hop
+"""
+
+
 def q_ego_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic capped snowball sample (the ego-net extraction a
     debugging/visualization workflow runs against a production graph —
@@ -7460,6 +7566,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dispersion": q_dispersion,
     "forman_curvature": q_forman_curvature,
     "ego_net": q_ego_net,
+    "ic_spread": q_ic_spread,
     "edge_betweenness": q_edge_betweenness,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
@@ -7792,6 +7899,7 @@ _QUERY_PRIORITY: list[str] = [
     "vocab_coverage",
     "forman_curvature",
     "ego_net",
+    "ic_spread",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7839,6 +7947,7 @@ ORACLE_SQL: dict[str, str] = {
     "dispersion": SQL_DISPERSION,
     "forman_curvature": SQL_FORMAN,
     "ego_net": SQL_EGO_NET,
+    "ic_spread": SQL_IC_SPREAD,
     "edge_betweenness": SQL_EDGE_BETWEENNESS,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,

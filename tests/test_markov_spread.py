@@ -270,3 +270,56 @@ def test_lt_sweep_rounds_monotone_in_theta(spark):
     for r in sweep.collect():
         a, b, c = [(x if x >= 0 else inf) for x in (r["r0"], r["r1"], r["r2"])]
         assert a <= b <= c
+
+
+def test_ic_spread_percolation_equivalence():
+    """Derandomized IC on the twin: the cascade equals plain BFS
+    reachability over the md5-surviving edge set — verified against a
+    pure-python percolation BFS on a hand graph, including a seed
+    whose cascade is cut off by failed edges."""
+    import hashlib
+    from collections import Counter, deque
+
+    import duckdb
+
+    from mesos_pregel_spark.queries import SQL_IC_SPREAD
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_orderkey INT, l_partkey INT)")
+    # a 30-vertex ring + chords via 2-part baskets
+    edges = [(i, (i + 1) % 30) for i in range(30)] + \
+        [(i, (i + 7) % 30) for i in range(0, 30, 3)]
+    for oid, (a, b) in enumerate(edges):
+        lo, hi = sorted((a + 1, b + 1))
+        con.execute("INSERT INTO lineitem VALUES (?, ?)", [100 + oid, lo])
+        con.execute("INSERT INTO lineitem VALUES (?, ?)", [100 + oid, hi])
+
+    def u48(lo, hi):
+        h = hashlib.md5(f"ic42|{lo}|{hi}".encode()).hexdigest()[:12]
+        return int(h, 16) / 281474976710656.0
+
+    und = {tuple(sorted((a + 1, b + 1))) for a, b in edges}
+    kept = [(lo, hi) for lo, hi in und if u48(lo, hi) < 0.5]
+    adj = {}
+    for lo, hi in kept:
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    seeds = sorted(
+        adj, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:4]
+    exp = []
+    for lane, s in enumerate(sorted(seeds)):   # lanes by ascending id
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if dist[v] >= 8:
+                continue
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        for hop, n in sorted(Counter(dist.values()).items()):
+            exp.append((lane, hop, n))
+    got = sorted(tuple(r) for r in con.execute(SQL_IC_SPREAD).fetchall())
+    assert got == sorted(exp)
