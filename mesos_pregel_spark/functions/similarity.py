@@ -467,3 +467,53 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def dim_truncation_recall(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    dims: tuple = (8, 16, 32),
+    n_queries: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation read-out (Kusupati et al.
+    NeurIPS 2022): recall@k of exact top-k computed on the FIRST d
+    dimensions against the full-dimension exact top-k — the curve an
+    embedding-serving plan reads before trading index size for recall
+    (truncate-then-index is the standard MRL deployment).
+
+    Deterministic by construction: both rankings are the pinned
+    cosine_topk contract (cosine@6dp DESC, vec_id ASC); recall is an
+    exact integer intersection via an equi-join, ONE rounded division;
+    zero-overlap queries surface as recall 0.0 (left join).
+
+    Shape (design-for-100×): the truncation is a JVM slice projection
+    — no Python, no shuffle; each rung reruns the already-audited
+    brute-force kernel on a SHORTER vector (strictly cheaper than the
+    full-dim pass); the joins are over n_queries·k-row tables."""
+    exact = cosine_topk(spark, embeddings, n_queries=n_queries, k=k)
+    qids = exact.select("query_id").distinct()
+    out = None
+    for d in dims:
+        trunc = embeddings.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        approx = cosine_topk(spark, trunc, n_queries=n_queries, k=k)
+        hits = (
+            exact.select("query_id", "vec_id")
+            .join(approx.select("query_id", "vec_id"),
+                  ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        rung = qids.join(hits, "query_id", "left_outer").select(
+            F.lit(d).cast("long").alias("dim"),
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k)),
+                9,
+            ).alias("recall"),
+        )
+        out = rung if out is None else out.unionByName(rung)
+    return out

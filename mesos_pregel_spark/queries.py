@@ -7900,6 +7900,7 @@ _QUERY_PRIORITY: list[str] = [
     "forman_curvature",
     "ego_net",
     "ic_spread",
+    "mrl_recall",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

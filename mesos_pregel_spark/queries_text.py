@@ -49,6 +49,7 @@ from mesos_pregel_spark.functions.similarity import (
     cosine_scores,
     cosine_topk,
     ann_recall,
+    dim_truncation_recall,
     embedding_near_dups,
     ivf_purity,
     ivf_topk,
@@ -2368,6 +2369,59 @@ def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_DIMS = (8, 16, 32)
+
+
+def _sql_mrl_recall(dims: tuple = _MRL_DIMS, k: int = 10) -> str:
+    """Per-rung truncated-cosine top-k vs the full-dim top-k —
+    list slices v[1:d], the same 6dp-rounded rank contract."""
+    parts = ["""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 3),
+top_full AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                      e.vec_id ASC) AS rank
+    FROM q, e WHERE e.vec_id <> q.query_id) r
+  WHERE rank <= """ + str(k) + """
+)"""]
+    for d in dims:
+        parts.append(f""",
+top_{d} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(list_cosine_similarity(
+                        q.qv[1:{d}], e.v[1:{d}]), 6) DESC,
+                      e.vec_id ASC) AS rank
+    FROM q, e WHERE e.vec_id <> q.query_id) r
+  WHERE rank <= {k}
+),
+hits_{d} AS (
+  SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM top_full f JOIN top_{d} a
+    ON a.query_id = f.query_id AND a.vec_id = f.vec_id
+  GROUP BY f.query_id
+)""")
+    rungs = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS BIGINT) AS dim, q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(k)!r}, 9)
+         AS recall
+FROM q LEFT JOIN hits_{d} h ON h.query_id = q.query_id"""
+        for d in dims
+    )
+    parts.append("\n" + rungs + "\n")
+    return "".join(parts)
+
+
+SQL_MRL_RECALL = _sql_mrl_recall()
+
+
 SQL_VOCAB_COVERAGE = f"""
 WITH terms AS (
   SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -2623,6 +2677,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_split": _cluster_split,
     "fertility": lambda s, d: fertility_stats(_docs(s, d)),
     "vocab_coverage": _vocab_coverage,
+    "mrl_recall": lambda s, d: dim_truncation_recall(s, _emb(s, d)),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -2687,4 +2742,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "cluster_split": SQL_CLUSTER_SPLIT,
     "fertility": SQL_FERTILITY,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "mrl_recall": SQL_MRL_RECALL,
 }

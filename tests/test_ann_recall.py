@@ -120,3 +120,31 @@ def test_ann_multitable_recall_at_10(spark, corpus):
     # more tables can only widen each query's candidate set
     assert all(b >= a for a, b in zip(r1, rl)), (r1, rl)
     assert all(r >= MULTI_RECALL_BOUND for r in rl), rl
+
+
+def test_dim_truncation_recall_monotone_and_full(spark):
+    """MRL rung sanity on a deterministic synthetic corpus: truncating
+    to the FULL width (64) reproduces the exact top-k (recall 1.0),
+    and per-query mean recall is non-decreasing in d on this fixture."""
+    import math
+
+    from mesos_pregel_spark.functions.similarity import (
+        dim_truncation_recall,
+    )
+
+    rows = []
+    for i in range(60):
+        # +1 offset keeps every vector nonzero (vec 0 would be all
+        # sin(0) = 0 -> zero norm)
+        vec = [math.sin(0.1 * (i + 1) * (j + 1)) for j in range(64)]
+        rows.append((i, vec, i % 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    out = dim_truncation_recall(spark, emb, dims=(8, 32, 64))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["dim"], []).append(r["recall"])
+    assert all(r == 1.0 for r in got[64])
+    means = {d: sum(v) / len(v) for d, v in got.items()}
+    assert means[8] <= means[32] + 1e-9 <= means[64] + 2e-9
