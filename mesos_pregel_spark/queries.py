@@ -2257,6 +2257,96 @@ FROM d
 """
 
 
+def q_graph_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-extraction hygiene audit — the one-row report a pipeline
+    publishes next to the graph it just built, so a downstream job can
+    assert its assumptions instead of discovering them (how much
+    multi-edge collapse happened, how many self-transitions were
+    dropped, which actors never transition at all).
+
+    Pinned definitions (all exact longs, ONE rounded division):
+    transitions = LEAD pairs under the stable (ts, event_id) order
+    INCLUDING self-transitions; self_loops = src = dst; edges =
+    distinct directed non-self pairs; isolated actors = event actors
+    that appear in no edge endpoint; multi_edge_factor = non-self
+    transitions per distinct edge.
+
+    Scale shape: one per-user window (the edge-extraction pass itself)
+    + two hash aggregates + one distinct — every count rides the scan
+    the extraction already pays."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    tr = seq.where(F.col("dst").isNotNull())
+    base = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("event_type").cast("long").alias("n_actors"),
+    )
+    trs = tr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0))
+        .cast("long").alias("n_self_loops"),
+    )
+    ed = tr.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    edc = ed.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    eac = (
+        ed.select(F.col("src").alias("a"))
+        .unionByName(ed.select(F.col("dst").alias("a")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edge_actors"))
+    )
+    return base.join(trs).join(edc).join(eac).select(
+        "n_events", "n_users", "n_actors", "n_transitions", "n_self_loops",
+        "n_edges",
+        (F.col("n_actors") - F.col("n_edge_actors")).cast("long")
+        .alias("n_isolated_actors"),
+        F.round(
+            (F.col("n_transitions") - F.col("n_self_loops")).cast("double")
+            / F.col("n_edges").cast("double"), 9
+        ).alias("multi_edge_factor"),
+    )
+
+
+SQL_GRAPH_HYGIENE = """
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+tr AS (SELECT src, dst FROM seq WHERE dst IS NOT NULL),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_actors
+  FROM events
+),
+trs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_transitions,
+         CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_self_loops
+  FROM tr
+),
+ed AS (SELECT DISTINCT src, dst FROM tr WHERE src <> dst),
+edc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ed),
+eac AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edge_actors FROM (
+    SELECT src AS a FROM ed UNION SELECT dst FROM ed) u
+)
+SELECT n_events, n_users, n_actors, n_transitions, n_self_loops, n_edges,
+       CAST(n_actors - n_edge_actors AS BIGINT) AS n_isolated_actors,
+       ROUND(CAST(n_transitions - n_self_loops AS DOUBLE)
+             / CAST(n_edges AS DOUBLE), 9) AS multi_edge_factor
+FROM base CROSS JOIN trs CROSS JOIN edc CROSS JOIN eac
+"""
+
+
 def q_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact inter-event gap order statistics (p50/p90/p99) per actor —
     the latency-SLO companion of `burstiness`' moment summary: the
@@ -7560,6 +7650,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burstiness": q_burstiness,
     "gap_percentiles": q_gap_percentiles,
     "circadian": q_circadian,
+    "graph_hygiene": q_graph_hygiene,
     "core_periphery": q_core_periphery,
     "hitting_time": q_hitting_time,
     "clique_communities": q_clique_communities,
@@ -7901,6 +7992,7 @@ _QUERY_PRIORITY: list[str] = [
     "ego_net",
     "ic_spread",
     "mrl_recall",
+    "graph_hygiene",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7942,6 +8034,7 @@ ORACLE_SQL: dict[str, str] = {
     "burstiness": SQL_BURSTINESS,
     "gap_percentiles": SQL_GAP_PERCENTILES,
     "circadian": SQL_CIRCADIAN,
+    "graph_hygiene": SQL_GRAPH_HYGIENE,
     "core_periphery": SQL_CORE_PERIPHERY,
     "hitting_time": SQL_HITTING_TIME,
     "clique_communities": SQL_CLIQUE_COMMUNITIES,

@@ -280,3 +280,39 @@ def test_window_edge_delta_changed(spark):
     )
     [r] = window_edge_delta(wedges).collect()
     assert (r["status"], r["w_prev"], r["w_next"]) == ("changed", 1.0, 4.0)
+
+
+def test_graph_hygiene_closed_forms():
+    """Hygiene audit on a hand events table (twin side): counts of
+    self-transitions, multi-edge collapse and an isolated actor."""
+    import duckdb
+
+    from mesos_pregel_spark.queries import SQL_GRAPH_HYGIENE
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE events (
+          user_id INT, event_type TEXT, event_id INT, ts TIMESTAMP)
+    """)
+    rows = [
+        # user 1: a -> a -> b -> a  (1 self loop; a->b, b->a)
+        (1, "a", 1), (1, "a", 2), (1, "b", 3), (1, "a", 4),
+        # user 2: a -> b (duplicate of the a->b edge -> multi-edge)
+        (2, "a", 10), (2, "b", 11),
+        # user 3: single event with a never-transitioning actor
+        (3, "zzz", 20),
+    ]
+    for u, a, i in rows:
+        con.execute(
+            "INSERT INTO events VALUES (?, ?, ?, "
+            "TIMESTAMP '2026-01-01 00:00:00' + to_seconds(?))",
+            [u, a, i, i],
+        )
+    r = con.execute(SQL_GRAPH_HYGIENE).fetchone()
+    (n_events, n_users, n_actors, n_tr, n_self, n_edges,
+     n_isolated, mef) = r
+    assert (n_events, n_users, n_actors) == (7, 3, 3)
+    assert (n_tr, n_self) == (4, 1)          # 3 from user1 + 1 from user2
+    assert n_edges == 2                       # a->b, b->a
+    assert n_isolated == 1                    # zzz
+    assert mef == 1.5                         # 3 non-self / 2 edges
