@@ -3560,6 +3560,86 @@ SELECT id AS part, h AS h_micro FROM h{steps}
 SQL_HITTING_TIME = _sql_hitting_time()
 
 
+def q_coreness_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortativity by CORE NUMBER (the k-shell analogue of Newman
+    2002 degree mixing): Pearson correlation of endpoint coreness over
+    both edge orientations — do deep-core vertices attach to each
+    other (nested-core topology) or to the periphery (star-like)?
+    Degree mixing can look neutral while core mixing is strongly
+    positive; this is the structural read-out core_periphery's block
+    densities summarize coarsely.
+
+    Pinned: coreness = the exact capped H-index schedule shared with
+    core_periphery; the six sufficient statistics (n, Σx, Σy, Σx²,
+    Σy², Σxy) are exact BIGINT sums of integers, so the one final
+    double expression is bit-identical cross-engine (the
+    degree_assortativity contract verbatim, with core values in place
+    of degrees)."""
+    from mesos_pregel_spark.algos.kcore import core_number
+
+    und_w = _parts_edges(spark, sf_dir)
+    cores, _run = core_number(
+        spark, und_w, max_supersteps=_CORE_PERIPHERY_STEPS, edge_partitions=8
+    )
+    und = und_w.select(F.col("src").alias("lo"), F.col("dst").alias("hi"))
+    pairs = (
+        und.unionByName(
+            und.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+        )
+        .join(cores.withColumnsRenamed({"id": "lo", "core": "cx"}), "lo")
+        .join(cores.withColumnsRenamed({"id": "hi", "core": "cy"}), "hi")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cx").alias("sx"),
+        F.sum("cy").alias("sy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).alias("syy"),
+        F.sum(F.col("cx") * F.col("cy")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").alias("n_endpoints"),
+        (num / F.sqrt(denx * deny)).alias("core_mixing"),
+    )
+
+
+def _sql_coreness_mixing(steps: int = _CORE_PERIPHERY_STEPS) -> str:
+    """The parts H-index unroll (shared generator body) + the Newman
+    sufficient-statistics roll-up over core values."""
+    prefix = _sql_core_periphery(steps)
+    cut = prefix.index("km AS (")
+    return prefix[:cut] + """pairs AS (
+  SELECT lo AS x, hi AS y FROM und
+  UNION ALL SELECT hi, lo FROM und
+),
+j AS (
+  SELECT CAST(cx.core AS BIGINT) AS cx, CAST(cy.core AS BIGINT) AS cy
+  FROM pairs
+  JOIN cn cx ON pairs.x = cx.actor
+  JOIN cn cy ON pairs.y = cy.actor
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(cx) AS BIGINT) AS sx, CAST(SUM(cy) AS BIGINT) AS sy,
+         CAST(SUM(cx * cx) AS BIGINT) AS sxx,
+         CAST(SUM(cy * cy) AS BIGINT) AS syy,
+         CAST(SUM(cx * cy) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT n AS n_endpoints,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) AS core_mixing
+FROM s
+"""
+
+
+SQL_CORENESS_MIXING = _sql_coreness_mixing()
+
+
 def q_clique_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=3 clique-percolation communities (Palla et al. Nature 2005)
     on the part co-order graph — overlapping communities; a vertex
@@ -7652,6 +7732,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "circadian": q_circadian,
     "graph_hygiene": q_graph_hygiene,
     "core_periphery": q_core_periphery,
+    "coreness_mixing": q_coreness_mixing,
     "hitting_time": q_hitting_time,
     "clique_communities": q_clique_communities,
     "dispersion": q_dispersion,
@@ -7993,6 +8074,7 @@ _QUERY_PRIORITY: list[str] = [
     "ic_spread",
     "mrl_recall",
     "graph_hygiene",
+    "coreness_mixing",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8036,6 +8118,7 @@ ORACLE_SQL: dict[str, str] = {
     "circadian": SQL_CIRCADIAN,
     "graph_hygiene": SQL_GRAPH_HYGIENE,
     "core_periphery": SQL_CORE_PERIPHERY,
+    "coreness_mixing": SQL_CORENESS_MIXING,
     "hitting_time": SQL_HITTING_TIME,
     "clique_communities": SQL_CLIQUE_COMMUNITIES,
     "dispersion": SQL_DISPERSION,

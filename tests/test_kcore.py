@@ -276,3 +276,37 @@ def test_core_periphery_closed_form():
     assert (kmax, n_core, n_periph) == (3, 4, 5)
     assert (e_cc, e_cp, e_pp) == (6, 5, 0)
     assert (d_cc, d_cp, d_pp) == (1.0, 0.25, 0.0)
+
+
+def test_coreness_mixing_closed_form():
+    """Core-mixing twin on the K4+pendants graph: pendant edges pair
+    core 3 with core 1, clique edges pair 3 with 3 — python Pearson
+    over the exact endpoint pairs reproduces the value bitwise."""
+    import math
+
+    import duckdb
+
+    from mesos_pregel_spark.queries import SQL_CORENESS_MIXING
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_orderkey INT, l_partkey INT)")
+    for p in (1, 2, 3, 4):
+        con.execute("INSERT INTO lineitem VALUES (100, ?)", [p])
+    for i, p in enumerate((10, 11, 12, 13, 14)):
+        con.execute("INSERT INTO lineitem VALUES (?, 1)", [200 + i])
+        con.execute("INSERT INTO lineitem VALUES (?, ?)", [200 + i, p])
+    n, r = con.execute(SQL_CORENESS_MIXING).fetchone()
+    core = {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1, 13: 1, 14: 1}
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)] + \
+        [(1, p) for p in (10, 11, 12, 13, 14)]
+    pairs = [(core[a], core[b]) for a, b in edges] + \
+        [(core[b], core[a]) for a, b in edges]
+    nn = len(pairs)
+    sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    exp = (nn * sxy - sx * sy) / math.sqrt(
+        (nn * sxx - sx * sx) * (nn * syy - sy * sy))
+    assert n == nn == 22
+    assert r == exp
+    assert r < 0   # hub bridges deep core to shallow pendants
