@@ -677,3 +677,73 @@ def fertility_stats(docs: DataFrame) -> DataFrame:
             ).alias("chars_per_subword"),
         )
     )
+
+
+def lexical_pairs(
+    docs: DataFrame, df_cap: int = 50, top_k: int = 100
+) -> DataFrame:
+    """Sparse lexical all-pairs similarity (Bayardo-Ma-Srikant WWW
+    2007's inverted-index family): the tf-idf dot product between
+    every document pair that shares at least one DISCRIMINATIVE term
+    — the lexical cousin of embedding_near_dups, catching template
+    reuse that shingle Jaccard misses when boilerplate is reordered.
+
+    Pinned exactness: per-(doc, term) weights follow the tfidf_topk
+    discipline (idf ROUNDED at 6dp before any product) and are then
+    SNAPPED to BIGINT micro-units, so every pair score is an exact
+    integer sum of exact integer products — order-independent under
+    any partitioning, zero FP in the aggregate; top-k under the
+    all-integer (score DESC, doc_a, doc_b) total order.
+
+    Scale shape: the inverted index keeps only terms with
+    2 <= df <= df_cap, so pair work is bounded by vocab · C(df_cap, 2)
+    — never corpus²; one self-join on the term key + one hash
+    aggregate + TakeOrdered.  The df cap is the same hub discipline as
+    link_prediction's degree cap (a df-10⁶ stopword would otherwise
+    dominate the pair space while carrying ~zero idf weight anyway)."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + 1).cast("double")
+              / (F.col("df") + 1).cast("double")) + 1.0,
+        6,
+    )
+    w = (
+        tf.join(dfreq.where((F.col("df") >= 2) & (F.col("df") <= df_cap)),
+                "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term", "doc_id",
+            F.round(
+                F.round(F.col("tf").cast("double") * idf, 6) * 1e6
+            ).cast("long").alias("w_micro"),
+        )
+    )
+    a, b = w.alias("a"), w.alias("b")
+    pairs = a.join(
+        b, (F.col("a.term") == F.col("b.term"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (F.col("a.w_micro") * F.col("b.w_micro")).alias("prod"),
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum("prod").cast("long").alias("score_micro2"),
+        )
+        .orderBy(F.desc("score_micro2"), "doc_a", "doc_b")
+        .limit(top_k)
+    )

@@ -8075,6 +8075,7 @@ _QUERY_PRIORITY: list[str] = [
     "mrl_recall",
     "graph_hygiene",
     "coreness_mixing",
+    "lexical_pairs",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -66,6 +66,7 @@ from mesos_pregel_spark.functions.text import (
     PII_PATTERNS,
     fertility_stats,
     fingerprint,
+    lexical_pairs,
     language_id,
     pii_redact,
     quality_score,
@@ -2369,6 +2370,49 @@ def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEXPAIR_DF_CAP = 50
+_LEXPAIR_TOPK = 100
+
+SQL_LEXICAL_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, token AS term FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+    FROM documents) t
+  WHERE token <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+w AS (
+  SELECT tf.term, tf.doc_id,
+         CAST(ROUND(ROUND(CAST(tf.tf AS DOUBLE)
+               * (ROUND(ln(CAST(n.n_docs + 1 AS DOUBLE)
+                           / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0, 6)), 6)
+               * 1000000) AS BIGINT) AS w_micro
+  FROM tf
+  JOIN dfreq ON dfreq.term = tf.term
+   AND dfreq.df BETWEEN 2 AND {_LEXPAIR_DF_CAP}
+  CROSS JOIN n
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.w_micro * b.w_micro AS prod
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+       CAST(SUM(prod) AS BIGINT) AS score_micro2
+FROM pairs GROUP BY doc_a, doc_b
+ORDER BY score_micro2 DESC, doc_a, doc_b
+LIMIT {_LEXPAIR_TOPK}
+"""
+
+
 _MRL_DIMS = (8, 16, 32)
 
 
@@ -2678,6 +2722,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fertility": lambda s, d: fertility_stats(_docs(s, d)),
     "vocab_coverage": _vocab_coverage,
     "mrl_recall": lambda s, d: dim_truncation_recall(s, _emb(s, d)),
+    "lexical_pairs": lambda s, d: lexical_pairs(
+        _docs(s, d), df_cap=_LEXPAIR_DF_CAP, top_k=_LEXPAIR_TOPK),
 }
 
 TEXT_ORACLE_SQL: dict[str, str] = {
@@ -2743,4 +2789,5 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     "fertility": SQL_FERTILITY,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "mrl_recall": SQL_MRL_RECALL,
+    "lexical_pairs": SQL_LEXICAL_PAIRS,
 }

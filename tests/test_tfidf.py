@@ -73,3 +73,50 @@ def test_rare_term_outranks_common(spark):
     assert got[(1, 1)] == "beta" and got[(1, 2)] == "alpha"
     assert got[(2, 1)] == "gamma"
     assert got[(3, 1)] == "delta"
+
+
+def test_lexical_pairs_exact_integer_scores():
+    """Sparse all-pairs twin on a hand corpus: two template-sharing
+    docs dominate, scores are exact integer micro-products replicated
+    by a python implementation of the same pinned recipe, and a
+    df>cap stopword contributes nothing."""
+    import math
+
+    import duckdb
+
+    from mesos_pregel_spark.queries_text import (
+        _LEXPAIR_DF_CAP,
+        SQL_LEXICAL_PAIRS,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text TEXT, lang TEXT, "
+        "source TEXT, n_chars BIGINT)"
+    )
+    # 60 docs all containing 'common' (df 60 > 50 cap -> excluded);
+    # docs 1 and 2 share 'template alpha beta'; doc 3 shares 'alpha'
+    texts = {1: "common template alpha beta x1",
+             2: "common template alpha beta x2",
+             3: "common alpha x3"}
+    for i in range(4, 61):
+        texts[i] = f"common filler{i}"
+    for did, t in texts.items():
+        con.execute("INSERT INTO documents VALUES (?, ?, 'en', 's', ?)",
+                    [did, t, len(t)])
+    rows = con.execute(SQL_LEXICAL_PAIRS).fetchall()
+
+    n_docs = len(texts)
+
+    def w_micro(tf, df):
+        idf = round(math.log((n_docs + 1) / (df + 1)) + 1.0, 6)
+        return round(round(tf * idf, 6) * 1e6)
+
+    # expected top pair: (1,2) sharing template/alpha/beta (df 2,3,2)
+    exp_12 = (w_micro(1, 2) ** 2) * 2 + w_micro(1, 3) ** 2
+    got = {(r[0], r[1]): (r[2], r[3]) for r in rows}
+    assert got[(1, 2)] == (3, exp_12)
+    assert got[(1, 3)] == (1, w_micro(1, 3) ** 2)
+    assert rows[0][:2] == (1, 2)  # dominant pair ranks first
+    # the df-61 stopword never forms a pair on its own
+    assert all(n <= 3 for (_a, _b), (n, _s) in got.items())
