@@ -3915,6 +3915,132 @@ FROM best GROUP BY lane, hop
 """
 
 
+# Bond-percolation rungs: the classic giant-component-vs-p curve.
+_PERC_PS = (0.3, 0.5, 0.7)
+
+
+def q_percolation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond-percolation profile (Callaway-Newman-Strogatz-Watts PRL
+    2000, derandomized): keep each canonical edge iff its pinned
+     48-bit md5 uniform < p, then measure the giant connected
+    component's share at each rung — the edge-failure robustness curve
+    next to A37's targeted-attack and error_tolerance's vertex-failure
+    profiles (bond vs site percolation).  The nested property is free
+    documentation: the p=0.3 edge set is a SUBSET of p=0.5's (same
+    uniform), so the curve is monotone by construction.
+
+    Pinned: the same md5-coin family as ic_spread (seed 'perc42');
+    components via the engine's hash-min CC per rung; isolated
+    vertices (all edges failed) count as size-1 components over the
+    FULL vertex set (the robustness convention); exact longs, ONE
+    rounded division per rung.
+
+    Scale shape: the filter is a JVM md5 projection; each rung is one
+    CC run over a strictly smaller edge set; the roll-up is a 1-row
+    aggregate per rung."""
+    und = _parts_edges(spark, sf_dir).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    )
+    n_vertices = (
+        und.select(F.col("lo").alias("id"))
+        .unionByName(und.select(F.col("hi").alias("id")))
+        .distinct().count()
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|",
+                                  F.lit("perc42"),
+                                  F.col("lo").cast("string"),
+                                  F.col("hi").cast("string"))),
+                1, 12,
+            ), 16, 10,
+        ).cast("long") / F.lit(281474976710656.0)
+    )
+    rows = None
+    for p in _PERC_PS:
+        kept = und.where(u < F.lit(p))
+        n_kept = kept.count()
+        if n_kept == 0:
+            giant = 1 if n_vertices else 0
+        else:
+            comps, _run = connected_components(
+                spark,
+                kept.select(F.col("lo").alias("src"),
+                            F.col("hi").alias("dst"),
+                            F.lit(1.0).alias("weight")),
+                edge_partitions=8,
+            )
+            sizes = comps.groupBy("component").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            giant = sizes.agg(F.max("n")).collect()[0][0] or 1
+        r = spark.createDataFrame(
+            [(float(p), int(n_vertices), int(n_kept), int(giant))],
+            "p double, n_vertices long, n_edges_kept long, giant long",
+        ).select(
+            "p", "n_vertices", "n_edges_kept", "giant",
+            F.round(
+                F.col("giant").cast("double")
+                / F.col("n_vertices").cast("double"), 9
+            ).alias("giant_share"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def _sql_percolation_profile(ps: tuple = _PERC_PS) -> str:
+    parts = ["""
+WITH RECURSIVE op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+und AS MATERIALIZED (
+  SELECT a.p AS lo, b.p AS hi
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+uu AS MATERIALIZED (
+  SELECT lo, hi,
+         ('0x' || substr(MD5('perc42|' || CAST(lo AS VARCHAR)
+                          || '|' || CAST(hi AS VARCHAR)), 1, 12))::BIGINT
+         / 281474976710656.0 AS u
+  FROM und
+),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM (
+  SELECT lo AS id FROM und UNION SELECT hi FROM und) v)"""]
+    for i, p in enumerate(ps):
+        parts.append(f""",
+kept{i} AS MATERIALIZED (SELECT lo, hi FROM uu WHERE u < {p!r}),
+sym{i} AS MATERIALIZED (
+  SELECT lo AS s, hi AS d FROM kept{i} UNION SELECT hi, lo FROM kept{i}
+),
+reach{i} AS (
+  SELECT s AS v, s AS c FROM sym{i}
+  UNION
+  SELECT sym{i}.d, r.c FROM reach{i} r JOIN sym{i} ON sym{i}.s = r.v
+),
+comp{i} AS (SELECT v, MIN(c) AS c FROM reach{i} GROUP BY v),
+giant{i} AS (
+  SELECT COALESCE(MAX(n), 1) AS giant FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM comp{i} GROUP BY c) s
+),
+ek{i} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_kept FROM kept{i})""")
+    rungs = "\nUNION ALL\n".join(
+        f"""SELECT CAST({p!r} AS DOUBLE) AS p,
+       nv.n_vertices, ek{i}.n_edges_kept,
+       CAST(giant{i}.giant AS BIGINT) AS giant,
+       ROUND(CAST(giant{i}.giant AS DOUBLE)
+             / CAST(nv.n_vertices AS DOUBLE), 9) AS giant_share
+FROM nv CROSS JOIN ek{i} CROSS JOIN giant{i}"""
+        for i, p in enumerate(ps)
+    )
+    parts.append("\n" + rungs + "\n")
+    return "".join(parts)
+
+
+SQL_PERCOLATION = _sql_percolation_profile()
+
+
 def q_ego_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic capped snowball sample (the ego-net extraction a
     debugging/visualization workflow runs against a production graph —
@@ -7739,6 +7865,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forman_curvature": q_forman_curvature,
     "ego_net": q_ego_net,
     "ic_spread": q_ic_spread,
+    "percolation_profile": q_percolation_profile,
     "edge_betweenness": q_edge_betweenness,
     "triangles_per_vertex": q_triangles_per_vertex,
     "triangle_total": q_triangle_total,
@@ -8076,6 +8203,7 @@ _QUERY_PRIORITY: list[str] = [
     "graph_hygiene",
     "coreness_mixing",
     "lexical_pairs",
+    "percolation_profile",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8126,6 +8254,7 @@ ORACLE_SQL: dict[str, str] = {
     "forman_curvature": SQL_FORMAN,
     "ego_net": SQL_EGO_NET,
     "ic_spread": SQL_IC_SPREAD,
+    "percolation_profile": SQL_PERCOLATION,
     "edge_betweenness": SQL_EDGE_BETWEENNESS,
     "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
     "triangle_total": SQL_TRIANGLE_TOTAL,

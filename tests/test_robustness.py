@@ -141,3 +141,51 @@ def test_random_strategy_rejects_unknown(spark):
         attack_tolerance(
             spark, _df(spark, [(1, 2)]), strategy="nope"
         )
+
+
+def test_percolation_profile_monotone_and_exact():
+    """Bond-percolation twin on a hand graph: the kept-edge sets nest
+    (same uniform, rising p) so giant share is monotone; exact values
+    replicated by a pure-python union-find over the same md5 coins."""
+    import hashlib
+
+    import duckdb
+
+    from mesos_pregel_spark.queries import _PERC_PS, SQL_PERCOLATION
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_orderkey INT, l_partkey INT)")
+    edges = [(i, i + 1) for i in range(1, 40)] + \
+        [(i, i + 5) for i in range(1, 35, 3)]
+    for oid, (a, b) in enumerate(edges):
+        con.execute("INSERT INTO lineitem VALUES (?, ?)", [500 + oid, a])
+        con.execute("INSERT INTO lineitem VALUES (?, ?)", [500 + oid, b])
+
+    def u48(lo, hi):
+        h = hashlib.md5(f"perc42|{lo}|{hi}".encode()).hexdigest()[:12]
+        return int(h, 16) / 281474976710656.0
+
+    und = sorted({tuple(sorted(e)) for e in edges})
+    verts = sorted({v for e in und for v in e})
+    got = {r[0]: r[1:] for r in con.execute(SQL_PERCOLATION).fetchall()}
+    prev_share = -1.0
+    for p in _PERC_PS:
+        kept = [(lo, hi) for lo, hi in und if u48(lo, hi) < p]
+        parent = {v: v for v in verts}
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for lo, hi in kept:
+            parent[find(lo)] = find(hi)
+        from collections import Counter
+        sizes = Counter(find(v) for v in verts)
+        giant = max(sizes.values()) if sizes else 1
+        nv, ek, g, share = got[p]
+        assert (nv, ek, g) == (len(verts), len(kept), giant), p
+        assert share == round(giant / len(verts), 9)
+        assert share >= prev_share   # nested edge sets -> monotone
+        prev_share = share
